@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship ER pipeline (blocking + pairwise Hamming scoring
++ transitive clustering) over the sf0.001 documents table adapted to
+the corpus schema. ``queries()`` — one callable per implemented
+operator/pipeline from SURVEY.md §2 (+ the training-data ops).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query, with identical output column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +18,143 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: ER clusters over
+    the documents corpus (doc_id, cluster_id)."""
+    from hexhamming_ray.pipelines.text import er_clusters_docs
+
+    return er_clusters_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hexhamming_ray.pipelines import relational as R
+    from hexhamming_ray.pipelines import text as T
+    from hexhamming_ray.stages import annsearch as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis over documents (SQL-oracled) ---
+        "token_counts": T.token_counts,
+        "quality_scores": T.quality_scores,
+        "doc_stats_by_lang": T.doc_stats_by_lang,
+        "top_docs_by_len": T.top_docs_by_len,
+        "doc_fingerprints": T.doc_fingerprints,
+        "exact_dedup": T.exact_dedup,
+        "langid_docs": T.langid_docs,
+        # --- near-dup / ER (rows-only: not SQL-expressible) ---
+        "simhash_docs": T.simhash_docs,
+        "minhash_dup_pairs": T.minhash_dup_pairs,
+        "er_clusters_docs": T.er_clusters_docs,
+        # --- similarity search over embeddings ---
+        "knn_bruteforce": A.knn_bruteforce,
+        "knn_lsh": A.knn_lsh,
+        "embedding_near_dup_pairs": A.embedding_near_dup_pairs,
+        # --- relational operator surface (SQL-oracled) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "orders_by_status": R.orders_by_status,
+        "top_customers": R.top_customers,
+        "customers_per_region": R.customers_per_region,
+        "events_by_type": R.events_by_type,
+        "high_value_lineitems": R.high_value_lineitems,
+        "distinct_order_customers": R.distinct_order_customers,
+        "parts_top_price": R.parts_top_price,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, "
+            "length(text) AS n_chars_m, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Z]')) AS n_upper, "
+            "len(regexp_extract_all(text, '[0-9]')) AS n_digits, "
+            "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+            "(len(regexp_extract_all(text, '\\S+')) >= 5 AND "
+            " len(regexp_extract_all(text, '[^\\w\\s]')) * 5 <= length(text) + 1) "
+            "AS quality_ok "
+            "FROM documents"
+        ),
+        "doc_stats_by_lang": (
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, "
+            "MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "top_docs_by_len": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
+            "COUNT(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+            "  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "embedding_near_dup_pairs": (
+            "SELECT a.vec_id AS id_lo, b.vec_id AS id_hi "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_x100, "
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+            "  AS sum_disc_price_cents, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_status": (
+            "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "top_customers": (
+            "SELECT c.c_custkey, c.c_name, "
+            "SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents, "
+            "COUNT(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_name "
+            "ORDER BY total_cents DESC, c.c_custkey LIMIT 10"
+        ),
+        "customers_per_region": (
+            "SELECT r.r_name, COUNT(*) AS n_customers, "
+            "SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS total_acctbal_cents "
+            "FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
+        ),
+        "events_by_type": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli "
+            "FROM events GROUP BY event_type"
+        ),
+        "high_value_lineitems": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents "
+            "FROM lineitem WHERE l_extendedprice > 45000"
+        ),
+        "distinct_order_customers": (
+            "SELECT COUNT(DISTINCT o_custkey) AS n_custkeys FROM orders"
+        ),
+        "parts_top_price": (
+            "SELECT p_partkey, p_name, "
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents "
+            "FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10"
+        ),
+    }

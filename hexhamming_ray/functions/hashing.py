@@ -1,0 +1,263 @@
+"""Vectorized fingerprint functions: sha256, 256-bit simhash, minhash,
+rolling-hash document fingerprints, stable ids.
+
+The simhash is computed over byte 8-gram shingles with a fully
+vectorized numpy path: one concatenated buffer per batch, rolling
+uint64 window hashes built from 8 shifted adds, a splitmix64 finisher,
+bit-unpacking, and cumsum-based segment sums per document. No per-row
+Python work except offset bookkeeping (SURVEY.md §4.3: the scorer/
+fingerprint hot paths must be batch-level, never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+FP_BYTES = 32  # 256-bit fingerprints
+_LANE_SALTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+_SPLIT_K1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLIT_K2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over a uint64 array."""
+    z = z ^ (z >> np.uint64(30))
+    z = z * _SPLIT_K1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _SPLIT_K2
+    return z ^ (z >> np.uint64(31))
+
+
+def _rolling_u64(buf: np.ndarray, sc: "_SimhashScratch") -> np.ndarray:
+    """Injective uint64 value of every 8-byte window of a uint8 buffer
+    (big-endian packing via 8 shifted ORs through preallocated scratch).
+
+    Returns a view of scratch of length ``len(buf) - 7``.
+    """
+    m = buf.shape[0]
+    if m < 8:
+        return np.empty(0, dtype=np.uint64)
+    sc.ensure(m)
+    u = sc.u64_a[:m]
+    np.copyto(u, buf, casting="unsafe")
+    out = sc.u64_b[: m - 7]
+    tmp = sc.u64_c[: m - 7]
+    np.left_shift(u[:m - 7], np.uint64(56), out=out)
+    for k in range(1, 8):
+        np.left_shift(u[k : m - 7 + k], np.uint64(8 * (7 - k)), out=tmp)
+        np.bitwise_or(out, tmp, out=out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# simhash: content-defined sampled byte 8-grams + bincount bit histogram
+# ---------------------------------------------------------------------------
+# This sandbox faults fresh pages very slowly (BASELINE.md §B: 32 MB XOR
+# 2.7 s cold), and numpy's reduceat over 2D bit matrices is slow, so the
+# hot path (a) samples ~1/4 of windows content-defined (sampling depends
+# only on window bytes, so it is insertion/shift-robust), and (b) turns
+# per-bit counting into per-byte histograms: one np.bincount per
+# (doc, lane) over offset-tagged hash bytes, folded to 64 bit counts by
+# an (8*256, 64) matmul with a precomputed expansion LUT. All large
+# buffers live in per-process scratch, reused across batches.
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_SAMPLE_SHIFT = np.uint64(62)  # keep windows whose (h*GOLD) top 2 bits == 0
+_SMALL_DOC_WINDOWS = 64  # docs with fewer windows use all of them
+
+# (8*256, 64) float32: row p*256+v maps byte value v at byte position p
+# to its 8 bit indicators at bit positions p*8..p*8+7
+_HISTLUT = np.zeros((8 * 256, 64), dtype=np.float32)
+for _p in range(8):
+    _bits = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+    _HISTLUT[_p * 256 : (_p + 1) * 256, _p * 8 : (_p + 1) * 8] = _bits
+_POFF = (np.arange(8, dtype=np.uint16) * 256)[None, :]
+
+
+class _SimhashScratch:
+    def __init__(self):
+        self.cap = 0
+        self.wcap = 0
+
+    def ensure(self, nbytes: int) -> None:
+        if nbytes > self.cap:
+            cap = max(nbytes, 1 << 20, self.cap * 2)
+            self.u64_a = np.empty(cap, dtype=np.uint64)
+            self.u64_b = np.empty(cap, dtype=np.uint64)
+            self.u64_c = np.empty(cap, dtype=np.uint64)
+            self.cap = cap
+
+    def ensure_windows(self, nwin: int) -> None:
+        if nwin > self.wcap:
+            wcap = max(nwin, 1 << 18, self.wcap * 2)
+            self.g = np.empty(wcap, dtype=np.uint64)
+            self.offs = np.empty((wcap, 8), dtype=np.uint16)
+            self.wcap = wcap
+
+
+_SCRATCH: _SimhashScratch | None = None
+
+
+def _scratch() -> _SimhashScratch:
+    global _SCRATCH
+    if _SCRATCH is None:
+        _SCRATCH = _SimhashScratch()
+    return _SCRATCH
+
+
+def simhash_batch(contents: list[bytes]) -> np.ndarray:
+    """256-bit simhash per document -> (N, 32) uint8.
+
+    Majority vote per bit position over four salted splitmix64 lanes of
+    the document's sampled byte-8-gram window hashes. Documents shorter
+    than 8 bytes get the all-zero sentinel fingerprint (they are handled
+    by the exact sha256 path, never near-dup scored).
+    """
+    n = len(contents)
+    out = np.zeros((n, FP_BYTES), dtype=np.uint8)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return out
+    buf = np.frombuffer(b"".join(contents), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nwin_doc = np.maximum(lens - 7, 0)
+    total_win = int(nwin_doc.sum())
+    if total_win == 0:
+        return out
+    sc = _scratch()
+    with np.errstate(over="ignore"):
+        h = _rolling_u64(buf, sc)
+        # gather valid (non-boundary-crossing) windows + their doc ids
+        docv = np.repeat(np.arange(n), nwin_doc)
+        seg_off = np.cumsum(nwin_doc) - nwin_doc
+        within = np.arange(total_win) - np.repeat(seg_off, nwin_doc)
+        hv = h[starts[docv] + within]
+        # content-defined sampling; small docs keep every window
+        keep = ((hv * _GOLD) >> _SAMPLE_SHIFT) == 0
+        keep |= nwin_doc[docv] < _SMALL_DOC_WINDOWS
+        hv = hv[keep]
+        docv = docv[keep]
+        m = hv.shape[0]
+        if m == 0:
+            return out
+        sc.ensure_windows(m)
+        seg_starts = np.searchsorted(docv, np.arange(n), side="left")
+        seg_ends = np.searchsorted(docv, np.arange(n), side="right")
+        wcounts = seg_ends - seg_starts
+        counts = np.empty((n, 4, 64), dtype=np.float32)
+        g = sc.g[:m]
+        offs = sc.offs[:m]
+        for lane in range(4):
+            np.bitwise_xor(hv, _LANE_SALTS[lane], out=g)
+            g ^= g >> np.uint64(30)
+            g *= _SPLIT_K1
+            g ^= g >> np.uint64(27)
+            g *= _SPLIT_K2
+            g ^= g >> np.uint64(31)
+            gb = g.view(np.uint8).reshape(m, 8)
+            np.add(gb, _POFF, out=offs, casting="unsafe")
+            flat = offs.reshape(-1)
+            for d in range(n):
+                s8, e8 = seg_starts[d] * 8, seg_ends[d] * 8
+                if s8 == e8:
+                    counts[d, lane] = 0.0
+                    continue
+                hist = np.bincount(flat[s8:e8], minlength=2048).astype(
+                    np.float32
+                )
+                counts[d, lane] = hist @ _HISTLUT
+    maj = (counts.reshape(n, 256) * 2 > wcounts[:, None]).astype(np.uint8)
+    packed = np.packbits(maj, axis=1, bitorder="big")
+    nonzero = wcounts > 0
+    out[nonzero] = packed[nonzero]
+    return out
+
+
+def sha256_batch(contents: list[bytes]) -> list[str]:
+    """Hex sha256 digest per document (per-row invariant vs the
+    reference corpus, BASELINE.json input_hint)."""
+    return [hashlib.sha256(c).hexdigest() for c in contents]
+
+
+def stable_id(repo: str, path: str, commit: str) -> int:
+    """Deterministic 63-bit positive file id from (repo, path, commit)
+    (FIXTURES.md §B: first 8 bytes of sha256, masked into int64)."""
+    d = hashlib.sha256(f"{repo}|{path}|{commit}".encode()).digest()
+    return int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def stable_id_batch(repos, paths, commits) -> np.ndarray:
+    return np.fromiter(
+        (stable_id(r, p, c) for r, p, c in zip(repos, paths, commits)),
+        dtype=np.int64,
+        count=len(repos),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash (word-shingle) for the documents-table near-dup pipeline
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_batch(
+    token_lists: list[list[bytes]],
+    num_perm: int = 64,
+    shingle: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """MinHash signatures -> (N, num_perm) uint64.
+
+    Word ``shingle``-grams hashed with blake2b(8); ``num_perm``
+    universal-hash permutations ``(a*x + b) mod p`` applied vectorized.
+    Empty docs get all-max signatures (never collide).
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    n = len(token_lists)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        if len(toks) < shingle:
+            grams = [b" ".join(toks)] if toks else []
+        else:
+            grams = [b" ".join(toks[j : j + shingle]) for j in range(len(toks) - shingle + 1)]
+        if not grams:
+            continue
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(g, digest_size=8).digest(), "big")
+                for g in set(grams)
+            ),
+            dtype=np.uint64,
+        )
+        with np.errstate(over="ignore"):
+            # (P, S) universal hashes; modulo a Mersenne prime keeps the
+            # distribution uniform under uint64 wraparound
+            vals = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+        sigs[i] = vals.min(axis=1)
+    return sigs
+
+
+def band_keys_from_minhash(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """LSH band keys -> (N, bands) uint64: hash of each band's rows."""
+    n, p = sigs.shape
+    r = p // bands
+    with np.errstate(over="ignore"):
+        keys = np.zeros((n, bands), dtype=np.uint64)
+        for bidx in range(bands):
+            seg = sigs[:, bidx * r : (bidx + 1) * r]
+            acc = np.full(n, 0x9E3779B97F4A7C15, dtype=np.uint64)
+            for col in range(r):
+                acc = _mix64(acc ^ seg[:, col])
+            keys[:, bidx] = acc
+    return keys

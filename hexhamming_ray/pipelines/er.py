@@ -1,0 +1,176 @@
+"""Flagship pipeline: blocking + pairwise scoring + transitive
+clustering over a Parquet source-code corpus (BASELINE.json north_star).
+
+Stage graph (SURVEY.md §3.5) — every wide step is a Dataset primitive,
+streaming end-to-end, with optional stage-boundary Parquet checkpoints:
+
+  read_parquet(files)                         columns pruned to 5
+    -> map_batches(fingerprint_batch)         sha256 + 256-bit simhash
+    -> [checkpoint fingerprints/]
+    -> groupby(sha256)  exact collapse        shuffle 1
+    -> map_batches(make_bands)                16 x 16-bit LSH bands
+    -> groupby(bkey).count -> broadcast hot keys (singleton pruning)
+    -> map_batches(HotKeyFilter)              actor pool, np.isin
+    -> groupby(bkey).map_groups(ScoreBlock)   shuffle 2, scorer actors
+    -> union dup star edges
+    -> groupby(id_lo, id_hi).min(dist)        shuffle 3, pair dedup
+    -> [checkpoint edges/]
+    -> connected_components (iterative groupby+join rounds)
+    -> left join fingerprints -> clusters     singletons keep own id
+    -> [checkpoint clusters/]
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hexhamming_ray.stages.fingerprint import fingerprint_dataset
+from hexhamming_ray.stages.blocking import (
+    HotKeyFilter,
+    exact_collapse,
+    make_bands,
+)
+from hexhamming_ray.stages.scoring import (
+    DEFAULT_THRESHOLD,
+    EDGE_SCHEMA,
+    ScoreBlock,
+)
+from hexhamming_ray.state.unionfind import connected_components
+from hexhamming_ray.state.checkpoint import Checkpointer
+
+
+def build_edges(
+    files_ds,
+    *,
+    threshold: int = DEFAULT_THRESHOLD,
+    checkpointer: Checkpointer | None = None,
+    scorer_concurrency=None,
+):
+    """files -> (fingerprints_ds, edges_ds). Edges are deduped canonical
+    pairs (id_lo < id_hi, dist <= threshold inclusive)."""
+    import ray
+
+    ck = checkpointer or Checkpointer(None)
+
+    def _fps():
+        return fingerprint_dataset(files_ds)
+
+    fps = ck.stage("fingerprints", _fps)
+
+    def _edges():
+        reps, dup_edges = exact_collapse(fps)
+        banded = reps.map_batches(
+            make_bands, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()  # consumed twice: count pass + candidate filter
+        # singleton pruning: keys with >= 2 members, broadcast once
+        counts = banded.groupby("bkey").count()
+
+        def _multi(batch: pa.Table) -> pa.Table:
+            mask = pc.greater_equal(batch.column("count()"), 2)
+            return batch.filter(mask).select(["bkey"])
+
+        hot = counts.map_batches(
+            _multi, batch_format="pyarrow", zero_copy_batch=True
+        )
+        hot_keys = np.sort(
+            np.concatenate(
+                [b["bkey"] for b in hot.iter_batches(batch_format="numpy")]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        hot_ref = ray.put(hot_keys)
+        cand = banded.map_batches(
+            HotKeyFilter,
+            fn_constructor_args=(hot_ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+        near_edges = cand.groupby("bkey").map_groups(
+            ScoreBlock,
+            fn_constructor_kwargs={"threshold": threshold},
+            batch_format="pyarrow",
+            concurrency=scorer_concurrency or (1, 8),
+        )
+        all_edges = near_edges.union(dup_edges)
+        return (
+            all_edges.groupby(["id_lo", "id_hi"])
+            .min("dist")
+            .rename_columns(["id_lo", "id_hi", "dist"])
+        )
+
+    edges = ck.stage("edges", _edges)
+    return fps, edges
+
+
+def build_clusters(fps, edges, *, checkpointer: Checkpointer | None = None,
+                   num_partitions: int = 32):
+    """-> clusters Dataset (file_id, cluster_id); singleton files keep
+    cluster_id == file_id."""
+    ck = checkpointer or Checkpointer(None)
+
+    def _clusters():
+        from hexhamming_ray.state.unionfind import _remap_column
+
+        labels = connected_components(edges)
+
+        def as_mapping(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("node").cast(pa.int64()),
+                    "dst": batch.column("cluster_id").cast(pa.int64()),
+                }
+            )
+
+        mapping = labels.map_batches(
+            as_mapping, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def dup_id(batch: pa.Table) -> pa.Table:
+            fid = batch.column("file_id").cast(pa.int64())
+            return pa.table({"cid": fid, "file_id": fid})
+
+        ids = fps.select_columns(["file_id"]).map_batches(
+            dup_id, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # cid = labels[file_id] where clustered, else file_id (singleton)
+        remapped = _remap_column(ids, "cid", "file_id", mapping)
+
+        def finish(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "file_id": batch.column("file_id").cast(pa.int64()),
+                    "cluster_id": batch.column("cid").cast(pa.int64()),
+                }
+            )
+
+        return remapped.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return ck.stage("clusters", _clusters)
+
+
+def run_pipeline(
+    files_dir: str,
+    *,
+    out_dir: str | None = None,
+    threshold: int = DEFAULT_THRESHOLD,
+    resume: bool = True,
+):
+    """End-to-end ER over a files Parquet directory. Returns dict of
+    Datasets. With ``out_dir`` set, stage outputs are checkpointed as
+    partitioned Parquet and completed stages are skipped on re-run."""
+    import ray
+
+    files_ds = ray.data.read_parquet(
+        files_dir, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    ck = Checkpointer(out_dir if resume else None)
+    fps, edges = build_edges(files_ds, threshold=threshold, checkpointer=ck)
+    clusters = build_clusters(fps, edges, checkpointer=ck)
+    return {"fingerprints": fps, "edges": edges, "clusters": clusters}

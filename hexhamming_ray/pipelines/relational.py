@@ -1,0 +1,255 @@
+"""Relational operator demos over the TPC-H-ish test tables — the
+general query surface of the engine (SURVEY.md §2.3: filters,
+projections, grouped aggregation, joins, sorts, limits, distinct).
+
+Money/measure sums are computed in integer cents/milli-units so the
+DuckDB oracle hashes identically (no float-summation-order hazards).
+Column names match the oracle SQL aliases exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregation over lineitem (integer units).
+    (l_returnflag, l_linestatus, sum_qty_x100, sum_price_cents,
+    sum_disc_price_cents, n_rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = pc.round(pc.multiply(batch.column("l_quantity"), 100)).cast(
+            pa.int64()
+        )
+        price_c = _cents(batch.column("l_extendedprice"))
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_x100": qty,
+                "price_cents": price_c,
+                "disc_price_cents": pc.round(pc.multiply(disc_price, 100)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_x100"), Sum("price_cents"), Sum("disc_price_cents"), Count()
+    )
+    return out.rename_columns(
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_x100",
+            "sum_price_cents",
+            "sum_disc_price_cents",
+            "n_rows",
+        ]
+    )
+
+
+def orders_by_status(sf_dir: str):
+    """(o_orderstatus, n_orders, total_cents)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("o_orderstatus").aggregate(Count(), Sum("cents"))
+    return out.rename_columns(["o_orderstatus", "n_orders", "total_cents"])
+
+
+def top_customers(sf_dir: str):
+    """Top 10 customers by total order value: native hash join
+    orders x customer, grouped sum, sort desc, limit.
+    (c_custkey, c_name, total_cents, n_orders)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_cust = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("cents"), Count())
+        .rename_columns(["o_custkey", "total_cents", "n_orders"])
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "c_name": batch.column("c_name"),
+                "total_cents": batch.column("total_cents"),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return (
+        joined.map_batches(project, batch_format="pyarrow")
+        .sort(["total_cents", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+class _NationRegionLookup:
+    """Broadcast-join stage: the small side (nation x region) is read
+    once per actor from the object store (ray.put ref), applied as a
+    vectorized gather — never re-shipped per batch and never shuffled
+    (SURVEY.md §4.2: broadcast small sides instead of shuffle joins)."""
+
+    def __init__(self, lookup_ref):
+        import ray
+
+        nk, rname = ray.get(lookup_ref)
+        self.max_nk = int(nk.max())
+        self.table = np.empty(self.max_nk + 1, dtype=object)
+        self.table[nk] = rname
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy()
+        return pa.table(
+            {
+                "r_name": pa.array(list(self.table[nk]), pa.string()),
+                "c_acctbal_cents": _cents(batch.column("c_acctbal")),
+            }
+        )
+
+
+def customers_per_region(sf_dir: str):
+    """Customers joined through nation -> region via broadcast lookup:
+    (r_name, n_customers, total_acctbal_cents)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _t(sf_dir, "nation").to_pandas()
+    region = _t(sf_dir, "region").to_pandas()
+    merged = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    lookup_ref = ray.put(
+        (merged["n_nationkey"].to_numpy(), merged["r_name"].to_numpy())
+    )
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    tagged = cust.map_batches(
+        _NationRegionLookup,
+        fn_constructor_args=(lookup_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    out = tagged.groupby("r_name").aggregate(Count(), Sum("c_acctbal_cents"))
+    return out.rename_columns(["r_name", "n_customers", "total_acctbal_cents"])
+
+
+def events_by_type(sf_dir: str):
+    """(event_type, n_events, sum_value_milli) — events aggregation."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_milli": pc.round(
+                    pc.multiply(batch.column("value"), 1000)
+                ).cast(pa.int64()),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = ds.groupby("event_type").aggregate(Count(), Sum("value_milli"))
+    return out.rename_columns(["event_type", "n_events", "sum_value_milli"])
+
+
+def high_value_lineitems(sf_dir: str):
+    """Filter + project demo with predicate pushdown at the read:
+    (l_orderkey, l_linenumber, price_cents) where extendedprice>45000."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("l_extendedprice"), 45000.0)
+        f = batch.filter(mask)
+        return pa.table(
+            {
+                "l_orderkey": f.column("l_orderkey"),
+                "l_linenumber": f.column("l_linenumber"),
+                "price_cents": _cents(f.column("l_extendedprice")),
+            }
+        )
+
+    return _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_order_customers(sf_dir: str):
+    """Distinct count: (n_custkeys) — single row."""
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+    n = ds.unique("o_custkey")
+    return pa.table({"n_custkeys": pa.array([len(n)], pa.int64())})
+
+
+def parts_top_price(sf_dir: str):
+    """Top 10 parts by retail price: (p_partkey, p_name, price_cents)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "p_name": batch.column("p_name"),
+                "price_cents": _cents(batch.column("p_retailprice")),
+            }
+        )
+
+    return (
+        _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["price_cents", "p_partkey"], descending=[True, False])
+        .limit(10)
+    )

@@ -1,0 +1,78 @@
+"""Fingerprint stage: content -> (file_id, sha256, simhash, n_tokens).
+
+Stateless ``map_batches`` transform over zero-copy Arrow batches
+(SURVEY.md §7 M1). Projects ``content`` away immediately after hashing
+so the wide string column never crosses a shuffle boundary (SURVEY.md
+§4.2 memory row).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hexhamming_ray.functions.hashing import (
+    FP_BYTES,
+    sha256_batch,
+    simhash_batch,
+    stable_id_batch,
+)
+
+FINGERPRINT_SCHEMA = pa.schema(
+    [
+        ("file_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("sha256", pa.string()),
+        ("simhash", pa.binary(FP_BYTES)),
+        ("n_tokens", pa.int32()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """One Arrow batch of files -> fingerprints (content dropped)."""
+    content = batch.column("content")
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    raw: list[bytes] = content.cast(pa.binary()).to_pylist()
+    raw = [b if b is not None else b"" for b in raw]
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    commits = batch.column("commit").to_pylist()
+    fps = simhash_batch(raw)
+    n_tokens = pc.count_substring_regex(content, r"\S+").cast(pa.int32())
+    n_chars = pc.utf8_length(content).cast(pa.int64())
+    if "_id" in batch.schema.names:
+        file_id = batch.column("_id").cast(pa.int64()).combine_chunks()
+    else:
+        file_id = pa.array(stable_id_batch(repos, paths, commits))
+    return pa.table(
+        {
+            "file_id": file_id,
+            "repo": batch.column("repo"),
+            "path": batch.column("path"),
+            "commit": batch.column("commit"),
+            "lang": batch.column("lang"),
+            "sha256": pa.array(sha256_batch(raw), type=pa.string()),
+            "simhash": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(FP_BYTES), len(raw), [None, pa.py_buffer(fps.tobytes())]
+            ),
+            "n_tokens": n_tokens,
+            "n_chars": n_chars,
+        },
+        schema=FINGERPRINT_SCHEMA,
+    )
+
+
+def fingerprint_dataset(files_ds, *, batch_size: int = 256):
+    """files Dataset -> fingerprints Dataset (stateless task stage)."""
+    return files_ds.map_batches(
+        fingerprint_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,127 @@
+"""End-to-end ER pipeline correctness on a tiny planted corpus:
+cluster agreement with a brute-force local oracle, pairwise F1,
+sha256 row invariant, edge canonicalization, checkpoint resume."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+CORPUS = "/tmp/hexray_test_corpus"
+N_FILES = 400
+
+
+@pytest.fixture(scope="session")
+def corpus(ray_session):
+    from hexhamming_ray.sources.synth import generate_corpus
+
+    files_dir = generate_corpus(CORPUS, n_files=N_FILES, seed=42)
+    return files_dir
+
+
+@pytest.fixture(scope="session")
+def pipeline_out(corpus):
+    from hexhamming_ray.pipelines.er import run_pipeline
+
+    out_dir = "/tmp/hexray_test_ck"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_pipeline(corpus, out_dir=out_dir)
+    return res, out_dir
+
+
+def test_sha256_invariant(corpus, pipeline_out):
+    """Per-row invariant (input_hint): fingerprint sha256 equals
+    sha256 of the corpus row's content."""
+    import hashlib
+
+    res, _ = pipeline_out
+    files = pq.read_table(glob.glob(os.path.join(corpus, "*.parquet"))[0])
+    by_key = {}
+    for r in files.to_pylist()[:200]:
+        by_key[(r["repo"], r["path"], r["commit"])] = hashlib.sha256(
+            r["content"].encode()
+        ).hexdigest()
+    checked = 0
+    for b in res["fingerprints"].iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            k = (row["repo"], row["path"], row["commit"])
+            if k in by_key:
+                assert row["sha256"] == by_key[k]
+                checked += 1
+    assert checked >= 100
+
+
+def test_edges_canonical(pipeline_out):
+    res, _ = pipeline_out
+    tbl = res["edges"].to_pandas()
+    assert (tbl["id_lo"] < tbl["id_hi"]).all()
+    assert not tbl.duplicated(["id_lo", "id_hi"]).any()
+    from hexhamming_ray.stages.scoring import DEFAULT_THRESHOLD
+
+    assert (tbl["dist"] <= DEFAULT_THRESHOLD).all()
+
+
+def test_clusters_match_local_unionfind(pipeline_out):
+    """Cluster assignment must equal transitive closure of the edge set
+    (min-id representative), for every file."""
+    from hexhamming_ray.state.unionfind import unionfind_local
+
+    res, _ = pipeline_out
+    edges = res["edges"].to_pandas()
+    parent = unionfind_local(list(zip(edges["id_lo"], edges["id_hi"])))
+    clusters = res["clusters"].to_pandas()
+    assert len(clusters) == clusters["file_id"].nunique()
+    for fid, cid in zip(clusters["file_id"], clusters["cluster_id"]):
+        assert parent.get(fid, fid) == cid
+
+
+def test_pairwise_f1(pipeline_out):
+    from hexhamming_ray.pipelines.evaluate import pairwise_scores
+
+    res, _ = pipeline_out
+    scores = pairwise_scores(
+        res["clusters"], os.path.join(CORPUS, "labeled_pairs.parquet")
+    )
+    assert scores["n_labeled"] > 200
+    assert scores["f1"] >= 0.99, scores
+
+
+def test_checkpoint_resume(corpus, pipeline_out):
+    """A re-run with the same checkpoint dir must skip completed stages
+    (checkpoint files untouched) and produce identical clusters."""
+    from hexhamming_ray.pipelines.er import run_pipeline
+
+    res1, out_dir = pipeline_out
+    stamp = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out_dir, "*", "*.parquet"))
+    }
+    res2 = run_pipeline(corpus, out_dir=out_dir)
+    stamp2 = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out_dir, "*", "*.parquet"))
+    }
+    assert stamp == stamp2  # nothing recomputed
+    c1 = res1["clusters"].to_pandas().sort_values("file_id").reset_index(drop=True)
+    c2 = res2["clusters"].to_pandas().sort_values("file_id").reset_index(drop=True)
+    assert c1.equals(c2)
+
+
+def test_simhash_separation(ray_session):
+    """Planted clones land within threshold; unrelated bases far."""
+    from hexhamming_ray.functions.hashing import simhash_batch
+    from hexhamming_ray.functions.kernel import hamming_rowwise
+    from hexhamming_ray.sources.synth import make_cluster_rows
+
+    rows_a = make_cluster_rows(3, 42)  # size >= 2 cluster
+    rows_b = make_cluster_rows(5, 42)
+    fps = simhash_batch(
+        [r["content"].encode() for r in rows_a[:2] + rows_b[:1]]
+    )
+    d_clone = hamming_rowwise(fps[0:1], fps[1:2])[0]
+    d_diff = hamming_rowwise(fps[0:1], fps[2:3])[0]
+    assert d_clone <= 20
+    assert d_diff > 40

@@ -1,0 +1,93 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare row count + schema + order-insensitive values
+against oracle_sql() via DuckDB."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+SQL_QUERIES = sorted(
+    __import__("__ray_entry__").oracle_sql().keys()
+)
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(ray_session, name):
+    entry = __import__("__ray_entry__")
+    q = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    got = _norm(_to_pandas(q(SF_DIR)))
+    want = _norm(_duck().sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name} columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} rows {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+ROWS_ONLY = ["simhash_docs", "minhash_dup_pairs", "er_clusters_docs", "knn_lsh"]
+
+
+@pytest.mark.parametrize("name", ["simhash_docs", "minhash_dup_pairs", "knn_lsh"])
+def test_rows_only_queries_run(ray_session, name):
+    entry = __import__("__ray_entry__")
+    df = _to_pandas(entry.queries()[name](SF_DIR))
+    assert df is not None
+    if name == "simhash_docs":
+        assert len(df) == 500 and df["simhash_hex"].str.len().eq(64).all()
