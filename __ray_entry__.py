@@ -107,7 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": (
             "SELECT a.vec_id AS id_lo, b.vec_id AS id_hi "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the flagship ER job twice in fresh subprocesses
+(num_cpus=8 then 32) on the same synthetic corpus and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the north
+rule's N-vs-4N-node cluster comparison; see BASELINE.md §C).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline_queries():
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "er_clusters_docs",
+        "minhash_dup_pairs",
+        "exact_dedup",
+        "token_counts",
+        "quality_scores",
+        "langid_docs",
+        "simhash_docs",
+        "knn_bruteforce",
+        "embedding_near_dup_pairs",
+        "q1_pricing_summary",
+        "top_customers",
+        "customers_per_region",
+    ]
+    return {n: qs[n] for n in names}
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return res.count()
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    queries = _headline_queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries.items():
+        t0 = time.monotonic()
+        rows[name] = _consume(fn(sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_pipelines_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str) -> dict:
+    """Flagship ER over the self-synthesized corpus (the scaling unit):
+    reports wall time and pairs-scored-proxy throughput."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from hexhamming_ray.sources.synth import generate_corpus
+    from hexhamming_ray.pipelines.er import run_pipeline
+
+    files_dir = generate_corpus(corpus_dir, n_files=n_files, seed=42)
+    t0 = time.monotonic()
+    res = run_pipeline(files_dir)
+    n_edges = res["edges"].count()
+    n_rows = res["clusters"].count()
+    wall = time.monotonic() - t0
+    ray.shutdown()
+    return {
+        "wall_sec": round(wall, 3),
+        "rows": n_rows,
+        "edges": n_edges,
+        "rows_per_sec": round(n_rows / wall, 1),
+        "num_cpus": num_cpus,
+        "n_files": n_files,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--er-run", action="store_true", help="internal: single ER run")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--n-files", type=int, default=20000)
+    ap.add_argument("--corpus-dir", default="/tmp/hexray_bench_corpus")
+    args = ap.parse_args()
+
+    num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if args.er_run:
+        print(json.dumps(run_er_corpus(args.n_files, num_cpus, args.corpus_dir)))
+        return
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--er-run",
+                    "--num-cpus",
+                    str(cpus),
+                    "--n-files",
+                    str(args.n_files),
+                    "--corpus-dir",
+                    args.corpus_dir,
+                ],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        t8 = results[8]["wall_sec"]
+        t32 = results[32]["wall_sec"]
+        eff = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "queries": {
+                        "er_wall_sec_cpus8": t8,
+                        "er_wall_sec_cpus32": t32,
+                        "rows_per_sec_cpus8": results[8]["rows_per_sec"],
+                        "rows_per_sec_cpus32": results[32]["rows_per_sec"],
+                    },
+                    "sf": args.n_files,
+                    "num_cpus": 32,
+                }
+            )
+        )
+        return
+
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,4 +173,37 @@ def run_pipeline(
     ck = Checkpointer(out_dir if resume else None)
     fps, edges = build_edges(files_ds, threshold=threshold, checkpointer=ck)
     clusters = build_clusters(fps, edges, checkpointer=ck)
+    if out_dir:
+        write_pipeline_metrics(out_dir, fps, edges, clusters)
     return {"fingerprints": fps, "edges": edges, "clusters": clusters}
+
+
+def write_pipeline_metrics(out_dir: str, fps, edges, clusters) -> None:
+    """Pair-scoring / clustering metrics to Parquet (north rule:
+    per-partition lineage lives in the checkpoint manifest; these are
+    the pipeline-level counters). Everything derives from small
+    distributed aggregates — no full materialization on the driver."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Max, Mean
+
+    path = os.path.join(out_dir, "metrics.parquet")
+    if os.path.exists(path):
+        return
+    n_files = fps.count()
+    n_edges = edges.count()
+    # edge distance profile (scored pairs kept)
+    dist_stats = edges.aggregate(Mean("dist"), Max("dist")) if n_edges else {}
+    # cluster size profile
+    sizes = clusters.groupby("cluster_id").count()
+    size_stats = sizes.aggregate(Max("count()"), Count())
+    rows = [
+        {"metric": "n_files", "value": float(n_files)},
+        {"metric": "n_edges", "value": float(n_edges)},
+        {"metric": "mean_edge_dist", "value": float(dist_stats.get("mean(dist)", 0.0) or 0.0)},
+        {"metric": "max_edge_dist", "value": float(dist_stats.get("max(dist)", 0) or 0)},
+        {"metric": "n_clusters", "value": float(size_stats["count()"])},
+        {"metric": "max_cluster_size", "value": float(size_stats["max(count())"])},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), path)

@@ -20,7 +20,9 @@ def _t(sf_dir: str, name: str, columns=None):
 
 
 def _cents(col) -> pa.Array:
-    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+    return pc.round(
+        pc.multiply(col, 100), ndigits=0, round_mode="half_towards_infinity"
+    ).cast(pa.int64())  # DuckDB ROUND(double) = half away from zero
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -30,9 +32,11 @@ def q1_pricing_summary(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
-        qty = pc.round(pc.multiply(batch.column("l_quantity"), 100)).cast(
-            pa.int64()
-        )
+        qty = pc.round(
+            pc.multiply(batch.column("l_quantity"), 100),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
         price_c = _cents(batch.column("l_extendedprice"))
         disc_price = pc.multiply(
             batch.column("l_extendedprice"),
@@ -44,9 +48,11 @@ def q1_pricing_summary(sf_dir: str):
                 "l_linestatus": batch.column("l_linestatus"),
                 "qty_x100": qty,
                 "price_cents": price_c,
-                "disc_price_cents": pc.round(pc.multiply(disc_price, 100)).cast(
-                    pa.int64()
-                ),
+                "disc_price_cents": pc.round(
+                    pc.multiply(disc_price, 100),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ).cast(pa.int64()),
             }
         )
 
@@ -196,7 +202,9 @@ def events_by_type(sf_dir: str):
             {
                 "event_type": batch.column("event_type"),
                 "value_milli": pc.round(
-                    pc.multiply(batch.column("value"), 1000)
+                    pc.multiply(batch.column("value"), 1000),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
                 ).cast(pa.int64()),
             }
         )

@@ -197,13 +197,10 @@ class _MinhashBand:
                 ),
                 "bkey": pa.array(keys.reshape(-1).view(np.int64)),
                 "doc_id": pa.array(np.repeat(ids, self.bands)),
-                "sig": pa.array(
-                    list(
-                        np.repeat(
-                            sigs.view(np.uint8).reshape(n, -1), self.bands, axis=0
-                        )
-                    ),
-                    type=pa.binary(self.num_perm * 8),
+                "sig": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(self.num_perm * 8),
+                    n * self.bands,
+                    [None, pa.py_buffer(np.repeat(sigs, self.bands, axis=0).tobytes())],
                 ),
             }
         )
@@ -278,6 +275,7 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5):
         _JaccardVerify,
         fn_constructor_kwargs={"threshold": threshold},
         batch_format="pyarrow",
+        concurrency=(1, 4),
     )
     out = pairs.groupby(["id_lo", "id_hi"]).aggregate(Max("sim_x1000"))
     return out.rename_columns(["id_lo", "id_hi", "sim_x1000"])

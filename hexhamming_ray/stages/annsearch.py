@@ -211,7 +211,7 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
             )
 
     partial = bucketed.groupby("bucket").map_groups(
-        ScoreBucket, batch_format="pyarrow"
+        ScoreBucket, batch_format="pyarrow", concurrency=(1, 4)
     )
 
     def final_topk(group: pa.Table) -> pa.Table:
@@ -229,7 +229,7 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
-def embedding_near_dup_pairs(sf_dir: str, *, threshold: float = 0.95):
+def embedding_near_dup_pairs(sf_dir: str, *, threshold: float = 0.45):
     """All pairs with cosine >= threshold (embedding near-dup dedup):
     (id_lo, id_hi). Brute-force within-batch vs broadcast full matrix —
     exact at test scale; the LSH-bucketed variant is the scale path."""

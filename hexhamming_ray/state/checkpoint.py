@@ -56,6 +56,26 @@ class Checkpointer:
             shutil.rmtree(final)
         os.replace(tmp, final)
         out = ray.data.read_parquet(final)
-        self.manifest[name] = {"complete": True, "rows": out.count()}
+        self.manifest[name] = {
+            "complete": True,
+            "rows": out.count(),
+            "partitions": self._partition_lineage(final),
+        }
         self._save_manifest()
+        return out
+
+    @staticmethod
+    def _partition_lineage(path: str) -> list[dict]:
+        """Per-partition lineage: one entry per output Parquet file with
+        its row count (from footer metadata — no data read)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, fname)
+            out.append(
+                {"file": fname, "rows": pq.ParquetFile(fp).metadata.num_rows}
+            )
         return out

@@ -1,0 +1,103 @@
+"""Component tests: distributed union-find vs local oracle, multimodal
+plumbing, text functions, minhash properties, synth determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_connected_components_vs_local(ray_session):
+    import ray
+
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        unionfind_local,
+    )
+
+    rng = np.random.default_rng(0)
+    # chains + cliques + singleton-ish pairs; ids deliberately sparse
+    pairs = []
+    for c in range(30):
+        base = c * 1000 + int(rng.integers(0, 50))
+        size = int(rng.integers(2, 8))
+        ids = base + np.cumsum(rng.integers(1, 9, size=size))
+        for i in range(len(ids) - 1):
+            pairs.append((int(ids[i]), int(ids[i + 1])))  # chain
+    # one long path (stresses round count)
+    path = np.arange(100000, 100040)
+    pairs += [(int(a), int(b)) for a, b in zip(path[:-1], path[1:])]
+    tbl = pa.table(
+        {
+            "id_lo": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_hi": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        r["node"]: r["cluster_id"]
+        for b in connected_components(ds).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    want = unionfind_local(pairs)
+    assert got == want
+
+
+def test_media_features_pipeline(ray_session):
+    from hexhamming_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        media_features,
+    )
+
+    out = media_features(200).to_pandas()
+    assert len(out) == 200
+    assert set(out["kind"]) == {"image", "audio", "video"}
+    assert all(len(f) == 64 for f in out["feature"])
+    # deterministic
+    out2 = media_features(200).to_pandas()
+    assert (
+        out.sort_values("media_id")["n_bytes"].tolist()
+        == out2.sort_values("media_id")["n_bytes"].tolist()
+    )
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode="real")._decode(b"x", "image")
+
+
+def test_text_functions():
+    import pyarrow as pa
+
+    from hexhamming_ray.functions import text as T
+
+    arr = pa.array(["Hello World 42!", "", "the cat and the dog", "el que la de"])
+    assert T.token_count(arr).to_pylist() == [3, 0, 5, 4]
+    q = T.quality_features(arr)
+    assert q["n_upper"].to_pylist() == [2, 0, 0, 0]
+    assert q["n_digits"].to_pylist() == [2, 0, 0, 0]
+    langs = T.langid_batch(arr).to_pylist()
+    assert langs[2] == "en"
+    assert langs[3] == "es"
+    assert langs[1] == "und"
+    # rolling fingerprint: deterministic, content-sensitive
+    f1 = T.rolling_fingerprint_batch(["abc", "abd", "abc"])
+    assert f1[0] == f1[2] and f1[0] != f1[1]
+
+
+def test_minhash_jaccard_estimate():
+    from hexhamming_ray.functions.hashing import minhash_batch
+
+    a = [f"w{i}".encode() for i in range(100)]
+    b = a[:80] + [f"x{i}".encode() for i in range(20)]  # ~2/3 shingle overlap
+    c = [f"z{i}".encode() for i in range(100)]
+    sigs = minhash_batch([a, b, c], num_perm=128)
+    est_ab = (sigs[0] == sigs[1]).mean()
+    est_ac = (sigs[0] == sigs[2]).mean()
+    assert est_ab > 0.4
+    assert est_ac < 0.1
+
+
+def test_synth_determinism():
+    from hexhamming_ray.sources.synth import make_cluster_rows
+
+    r1 = make_cluster_rows(7, 42)
+    r2 = make_cluster_rows(7, 42)
+    assert r1 == r2
+    assert make_cluster_rows(7, 43) != r1

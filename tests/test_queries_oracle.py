@@ -73,7 +73,9 @@ def test_query_matches_oracle(ray_session, name):
     q = entry.queries()[name]
     sql = entry.oracle_sql()[name]
     got = _norm(_to_pandas(q(SF_DIR)))
-    want = _norm(_duck().sql(sql).df())
+    con = _duck()
+    want = _norm(con.sql(sql).df())
+    con.close()
     assert list(got.columns) == list(want.columns), (
         f"{name} columns {list(got.columns)} != {list(want.columns)}"
     )
