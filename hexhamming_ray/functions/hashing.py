@@ -69,6 +69,7 @@ def _rolling_u64(buf: np.ndarray, sc: "_SimhashScratch") -> np.ndarray:
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 _SAMPLE_SHIFT = np.uint64(62)  # keep windows whose (h*GOLD) top 2 bits == 0
 _SMALL_DOC_WINDOWS = 64  # docs with fewer windows use all of them
+_MERSENNE = np.uint64((1 << 61) - 1)
 
 # (8*256, 64) float32: row p*256+v maps byte value v at byte position p
 # to its 8 bit indicators at bit positions p*8..p*8+7
@@ -108,6 +109,92 @@ def _scratch() -> _SimhashScratch:
     if _SCRATCH is None:
         _SCRATCH = _SimhashScratch()
     return _SCRATCH
+
+
+def _sampled_windows(contents: list[bytes]):
+    """Shared shingle extractor: content-defined-sampled byte-8-gram
+    window hashes for a batch. Returns (hv, seg_starts, seg_ends) with
+    hv the concatenated sampled window hashes (uint64) and the segment
+    bounds per document (empty segments for docs shorter than 8 bytes),
+    or None when the batch has no windows at all."""
+    n = len(contents)
+    lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n)
+    if n == 0 or int(lens.sum()) == 0:
+        return None
+    buf = np.frombuffer(b"".join(contents), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nwin_doc = np.maximum(lens - 7, 0)
+    total_win = int(nwin_doc.sum())
+    if total_win == 0:
+        return None
+    sc = _scratch()
+    with np.errstate(over="ignore"):
+        h = _rolling_u64(buf, sc)
+        # gather valid (non-boundary-crossing) windows + their doc ids
+        docv = np.repeat(np.arange(n), nwin_doc)
+        seg_off = np.cumsum(nwin_doc) - nwin_doc
+        within = np.arange(total_win) - np.repeat(seg_off, nwin_doc)
+        hv = h[starts[docv] + within]
+        # content-defined sampling; small docs keep every window
+        keep = ((hv * _GOLD) >> _SAMPLE_SHIFT) == 0
+        keep |= nwin_doc[docv] < _SMALL_DOC_WINDOWS
+        hv = hv[keep]
+        docv = docv[keep]
+    if hv.shape[0] == 0:
+        return None
+    seg_starts = np.searchsorted(docv, np.arange(n), side="left")
+    seg_ends = np.searchsorted(docv, np.arange(n), side="right")
+    return hv, docv, seg_starts, seg_ends
+
+
+def minhash_bytes_batch(
+    contents: list[bytes], num_perm: int = 64, seed: int = 42
+) -> np.ndarray:
+    """One-permutation MinHash over byte-8-gram shingles -> (N, num_perm)
+    uint64 (num_perm must be a power of two).
+
+    A single splitmix64 pass over the batch's sampled window stream;
+    each hash is routed to bucket ``v >> (64 - log2 P)`` and the
+    per-(doc, bucket) minimum taken with one scatter-min — 64x less
+    memory traffic than P independent permutation passes (this sandbox
+    is memory-bandwidth-bound). Empty buckets are densified by circular
+    borrow from the nearest filled bucket (rotation densification);
+    documents without windows keep the all-max sentinel signature."""
+    n = len(contents)
+    maxv = np.iinfo(np.uint64).max
+    sigs = np.full((n, num_perm), maxv, dtype=np.uint64)
+    sw = _sampled_windows(contents)
+    if sw is None:
+        return sigs
+    hv, docv, seg_starts, seg_ends = sw
+    shift = np.uint64(64 - int(np.log2(num_perm)))
+    salt = np.random.default_rng(seed).integers(
+        0, maxv, dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        v = hv ^ salt
+        v ^= v >> np.uint64(30)
+        v *= _SPLIT_K1
+        v ^= v >> np.uint64(27)
+        v *= _SPLIT_K2
+        v ^= v >> np.uint64(31)
+        bucket = (v >> shift).astype(np.int64)
+    key = docv * num_perm + bucket
+    flat = sigs.reshape(-1)
+    np.minimum.at(flat, key, v)
+    # rotation densification (skip docs with no windows at all)
+    has_win = seg_ends > seg_starts
+    filled = sigs != maxv
+    need = has_win & ~filled.all(axis=1)
+    if need.any():
+        x = np.concatenate([sigs[need], sigs[need]], axis=1)
+        pos = np.where(x != maxv, np.arange(2 * num_perm)[None, :], -1)
+        np.maximum.accumulate(pos, axis=1, out=pos)
+        val = np.take_along_axis(x, np.maximum(pos, 0), axis=1)
+        dense = np.where(pos >= 0, val, maxv)[:, num_perm:]
+        sigs[need] = dense
+    return sigs
 
 
 def simhash_batch(contents: list[bytes]) -> np.ndarray:
@@ -206,7 +293,6 @@ def stable_id_batch(repos, paths, commits) -> np.ndarray:
 # minhash (word-shingle) for the documents-table near-dup pipeline
 # ---------------------------------------------------------------------------
 
-_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def minhash_batch(

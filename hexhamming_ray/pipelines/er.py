@@ -64,8 +64,7 @@ def build_edges(
     def _edges():
         reps, dup_edges = exact_collapse(fps)
         banded = reps.map_batches(
-            make_bands, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()  # consumed twice: count pass + candidate filter
+            make_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).materialize()  # consumed twice: count pass + candidate filter
         # singleton pruning: keys with >= 2 members, broadcast once
         counts = banded.groupby("bkey").count()
 
@@ -74,8 +73,7 @@ def build_edges(
             return batch.filter(mask).select(["bkey"])
 
         hot = counts.map_batches(
-            _multi, batch_format="pyarrow", zero_copy_batch=True
-        )
+            _multi, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         hot_keys = np.sort(
             np.concatenate(
                 [b["bkey"] for b in hot.iter_batches(batch_format="numpy")]
@@ -83,12 +81,13 @@ def build_edges(
             )
         )
         hot_ref = ray.put(hot_keys)
+        # task-based filter: ray.get of the broadcast key set hits the
+        # local plasma store (zero-copy, cached) — no actor-pool spin-up
         cand = banded.map_batches(
-            HotKeyFilter,
-            fn_constructor_args=(hot_ref,),
+            HotKeyFilter(hot_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
+            batch_size=None,
         )
         near_edges = cand.groupby("bkey").map_groups(
             ScoreBlock,
@@ -127,16 +126,14 @@ def build_clusters(fps, edges, *, checkpointer: Checkpointer | None = None,
             )
 
         mapping = labels.map_batches(
-            as_mapping, batch_format="pyarrow", zero_copy_batch=True
-        )
+            as_mapping, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
         def dup_id(batch: pa.Table) -> pa.Table:
             fid = batch.column("file_id").cast(pa.int64())
             return pa.table({"cid": fid, "file_id": fid})
 
         ids = fps.select_columns(["file_id"]).map_batches(
-            dup_id, batch_format="pyarrow", zero_copy_batch=True
-        )
+            dup_id, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         # cid = labels[file_id] where clustered, else file_id (singleton)
         remapped = _remap_column(ids, "cid", "file_id", mapping)
 
@@ -149,8 +146,7 @@ def build_clusters(fps, edges, *, checkpointer: Checkpointer | None = None,
             )
 
         return remapped.map_batches(
-            finish, batch_format="pyarrow", zero_copy_batch=True
-        )
+            finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     return ck.stage("clusters", _clusters)
 

@@ -60,7 +60,7 @@ def q1_pricing_summary(sf_dir: str):
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty_x100"), Sum("price_cents"), Sum("disc_price_cents"), Count()
     )
@@ -89,8 +89,7 @@ def orders_by_status(sf_dir: str):
         )
 
     ds = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True
-    )
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     out = ds.groupby("o_orderstatus").aggregate(Count(), Sum("cents"))
     return out.rename_columns(["o_orderstatus", "n_orders", "total_cents"])
 
@@ -110,8 +109,7 @@ def top_customers(sf_dir: str):
         )
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True
-    )
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     per_cust = (
         orders.groupby("o_custkey")
         .aggregate(Sum("cents"), Count())
@@ -137,7 +135,7 @@ def top_customers(sf_dir: str):
         )
 
     return (
-        joined.map_batches(project, batch_format="pyarrow")
+        joined.map_batches(project, batch_format="pyarrow", batch_size=None)
         .sort(["total_cents", "c_custkey"], descending=[True, False])
         .limit(10)
     )
@@ -173,8 +171,12 @@ def customers_per_region(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    nation = _t(sf_dir, "nation").to_pandas()
-    region = _t(sf_dir, "region").to_pandas()
+    import pyarrow.parquet as pq
+
+    # tiny dimension tables: plain pyarrow read on the driver (a Ray
+    # Dataset read of a 25-row file costs seconds of fixed overhead)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     merged = nation.merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )
@@ -187,8 +189,7 @@ def customers_per_region(sf_dir: str):
         fn_constructor_args=(lookup_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
+        concurrency=(1, 4), batch_size=None)
     out = tagged.groupby("r_name").aggregate(Count(), Sum("c_acctbal_cents"))
     return out.rename_columns(["r_name", "n_customers", "total_acctbal_cents"])
 
@@ -210,8 +211,7 @@ def events_by_type(sf_dir: str):
         )
 
     ds = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True
-    )
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     out = ds.groupby("event_type").aggregate(Count(), Sum("value_milli"))
     return out.rename_columns(["event_type", "n_events", "sum_value_milli"])
 
@@ -233,7 +233,7 @@ def high_value_lineitems(sf_dir: str):
 
     return _t(
         sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def distinct_order_customers(sf_dir: str):
@@ -257,7 +257,7 @@ def parts_top_price(sf_dir: str):
 
     return (
         _t(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .sort(["price_cents", "p_partkey"], descending=[True, False])
         .limit(10)
     )

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from hexhamming_ray.functions import text as T
 from hexhamming_ray.functions.hashing import (
     band_keys_from_minhash,
-    minhash_batch,
+    minhash_bytes_batch,
     simhash_batch,
 )
 
@@ -47,8 +47,7 @@ def token_counts(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", zero_copy_batch=True
-    )
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def quality_scores(sf_dir: str):
@@ -70,8 +69,7 @@ def quality_scores(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", zero_copy_batch=True
-    )
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def doc_stats_by_lang(sf_dir: str):
@@ -108,8 +106,7 @@ def doc_fingerprints(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", zero_copy_batch=True
-    )
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def exact_dedup(sf_dir: str):
@@ -126,8 +123,7 @@ def exact_dedup(sf_dir: str):
         )
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", zero_copy_batch=True
-    )
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     out = ds.groupby("h").aggregate(Min("doc_id"), Count())
     return out.rename_columns(["h", "keep_id", "n_dups"])
 
@@ -144,8 +140,7 @@ def langid_docs(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", zero_copy_batch=True
-    )
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -168,27 +163,27 @@ def simhash_docs(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", zero_copy_batch=True
-    )
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 class _MinhashBand:
-    """Actor-pool stage: minhash signatures + LSH band keys per batch
-    (permutation tables built once per actor)."""
+    """Actor-pool stage: minhash signatures + LSH band keys per batch.
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 3):
+    Signatures are the fully-vectorized byte-8-gram MinHash
+    (``minhash_bytes_batch``): the word-shingle variant costs one
+    Python hash call per shingle, which dominated the stage wall time
+    at bench scale; the byte-shingle stream reuses the simhash window
+    scratch and runs at memory speed."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16):
         self.num_perm = num_perm
         self.bands = bands
-        self.shingle = shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = [
-            [w.encode() for w in t.split()]
-            for t in batch.column("text").to_pylist()
-        ]
-        sigs = minhash_batch(toks, num_perm=self.num_perm, shingle=self.shingle)
+        raw = [t.encode() for t in batch.column("text").to_pylist()]
+        sigs = minhash_bytes_batch(raw, num_perm=self.num_perm)
         keys = band_keys_from_minhash(sigs, self.bands)
-        n = len(toks)
+        n = len(raw)
         ids = batch.column("doc_id").to_numpy()
         return pa.table(
             {
@@ -269,8 +264,7 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5):
         _MinhashBand,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
+        concurrency=(1, 4), batch_size=None)
     pairs = banded.groupby("bkey").map_groups(
         _JaccardVerify,
         fn_constructor_kwargs={"threshold": threshold},
@@ -302,8 +296,7 @@ def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
         )
 
     files = _docs(sf_dir).map_batches(
-        adapt, batch_format="pyarrow", zero_copy_batch=True
-    )
+        adapt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     fps, edges = build_edges(files, threshold=threshold)
     clusters = build_clusters(fps, edges)
 
@@ -315,4 +308,4 @@ def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
             }
         )
 
-    return clusters.map_batches(finish, batch_format="pyarrow")
+    return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -169,8 +169,7 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
         fn_constructor_args=(dim, n_bits, n_tables),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
+        concurrency=(1, 4), batch_size=None)
 
     class ScoreBucket:
         def __init__(self):

@@ -60,11 +60,9 @@ def exact_collapse(fps_ds):
         .materialize()  # consumed twice: reps branch + dup-edges branch
     )
     reps = collapsed.map_batches(
-        _keep_reps, batch_format="pyarrow", zero_copy_batch=True
-    )
+        _keep_reps, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     dup_edges = collapsed.map_batches(
-        _dup_to_edges, batch_format="pyarrow", zero_copy_batch=True
-    )
+        _dup_to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return reps, dup_edges
 
 
@@ -118,15 +116,27 @@ def make_bands(batch: pa.Table, *, n_bands: int = N_BANDS) -> pa.Table:
 
 
 class HotKeyFilter:
-    """Actor-pool batch filter keeping only rows whose band key is in
-    the broadcast >=2-member key set (sorted int64 array in the object
-    store; read once per actor in __init__, never re-shipped per batch).
-    """
+    """Batch filter keeping only rows whose band key is in the
+    broadcast >=2-member key set. Holds only the ObjectRef when
+    pickled; ``ray.get`` on the worker resolves to the node-local
+    plasma copy zero-copy (broadcast once, never re-shipped per batch).
+    Usable as a plain task UDF — no actor pool spin-up needed for a
+    stateless vectorized filter."""
 
     def __init__(self, hot_keys_ref):
-        import ray
+        self.ref = hot_keys_ref
+        self._keys = None
 
-        self.keys = ray.get(hot_keys_ref)  # sorted np.int64 array
+    @property
+    def keys(self):
+        if self._keys is None:
+            import ray
+
+            self._keys = ray.get(self.ref)  # sorted np.int64 array
+        return self._keys
+
+    def __getstate__(self):
+        return {"ref": self.ref, "_keys": None}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bk = batch.column("bkey").to_numpy()

@@ -105,8 +105,7 @@ def _multiset_hash(edges_ds) -> tuple[int, int]:
     tot_h = 0
     tot_n = 0
     for t in edges_ds.map_batches(
-        h, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
+        h, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).iter_batches(batch_format="pyarrow"):
         for row in t.to_pylist():
             tot_h = (tot_h + row["h"]) % (1 << 64)
             tot_n += row["n"]
@@ -136,7 +135,7 @@ def _is_star_forest(edges_ds) -> bool:
         )
 
     per_node = (
-        edges_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        edges_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("node")
         .aggregate(Sum("is_member"), Count())
     )
@@ -149,8 +148,7 @@ def _is_star_forest(edges_ds) -> bool:
 
     total = 0
     for t in per_node.map_batches(
-        violations, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
+        violations, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).iter_batches(batch_format="pyarrow"):
         total += sum(r["bad"] for r in t.to_pylist())
     return total == 0
 
@@ -171,8 +169,7 @@ def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
         )
 
     edges = edges_ds.map_batches(
-        to_ab, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+        to_ab, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).materialize()
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch.column("a").combine_chunks()
@@ -184,6 +181,13 @@ def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
 
     prev = None
     converged = False
+    # Small-tail shortcut: once the (monotonically shrinking) edge set
+    # fits comfortably in one block, a single repartition(1) + local UF
+    # task produces the exact star forest in one pass — the tree-reduce
+    # tail of the distributed loop. At 10^12-file scale the loop below
+    # does the work; the tail only fires when remaining edges are tiny
+    # relative to a worker block (~64 MB).
+    SINGLE_BLOCK_EDGES = 4_000_000
     # Each round: symmetrize -> sort on the key column -> local UF per
     # block. Symmetrizing first is what makes the sort effective: every
     # incidence of a node carries that node in the SORT KEY column, so
@@ -194,10 +198,22 @@ def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
     # probe below still guards convergence: hash-stability alone cannot
     # distinguish "star forest" from "not yet merged".
     for r in range(max_rounds):
+        if edges.count() <= SINGLE_BLOCK_EDGES:
+            edges = (
+                edges.repartition(1)
+                .map_batches(
+                    _local_star,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=None,
+                )
+                .materialize()
+            )
+            converged = True
+            break
         edges = (
             edges.map_batches(
-                symmetrize, batch_format="pyarrow", zero_copy_batch=True
-            )
+                symmetrize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
             .sort("a")
             .map_batches(
                 _local_star,
@@ -237,7 +253,7 @@ def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
         )
 
     return (
-        edges.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        edges.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("node")
         .min("cluster_id")
         .rename_columns(["node", "cluster_id"])
@@ -272,8 +288,7 @@ def _remap_column(ds, col: str, payload: str, mapping_ds):
         )
 
     tagged = mapping_ds.map_batches(
-        tag_map, batch_format="pyarrow", zero_copy_batch=True
-    ).union(ds.map_batches(tag_data, batch_format="pyarrow", zero_copy_batch=True))
+        tag_map, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).union(ds.map_batches(tag_data, batch_format="pyarrow", zero_copy_batch=True, batch_size=None))
 
     return tagged.groupby("k").map_groups(
         _rewrite_group_factory(col, payload), batch_format="pyarrow"
