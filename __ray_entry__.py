@@ -56,7 +56,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_lineitems": R.high_value_lineitems,
         "distinct_order_customers": R.distinct_order_customers,
         "parts_top_price": R.parts_top_price,
+        "events_per_hour": R.events_per_hour,
+        "user_sessions": R.user_sessions,
+        # --- multimodal plumbing (rows-only; synthetic media table) ---
+        "media_features": _media_features_q,
     }
+
+
+def _media_features_q(sf_dir: str):
+    from hexhamming_ray.stages.multimodal import media_features
+
+    return media_features(500)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -156,5 +166,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, p_name, "
             "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents "
             "FROM part ORDER BY price_cents DESC, p_partkey LIMIT 10"
+        ),
+        "events_per_hour": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+            "COUNT(*) AS n_events, "
+            "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli "
+            "FROM events GROUP BY 1"
+        ),
+        "user_sessions": (
+            "SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events "
+            "FROM (SELECT user_id, CASE WHEN prev_ts IS NULL OR "
+            "ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM (SELECT user_id, ts, LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)) "
+            "GROUP BY user_id"
         ),
     }

@@ -261,3 +261,58 @@ def parts_top_price(sf_dir: str):
         .sort(["price_cents", "p_partkey"], descending=[True, False])
         .limit(10)
     )
+
+
+def events_per_hour(sf_dir: str):
+    """Tumbling-window aggregate: events bucketed into 1-hour windows.
+    (hour_epoch, n_events, sum_value_milli) — the windowed-aggregate
+    operator expressed as a derived-key groupby (window key computed
+    vectorized per batch; the shuffle is an ordinary hash groupby)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        epoch = pc.divide(hour.cast(pa.int64()), 1_000_000)
+        return pa.table(
+            {
+                "hour_epoch": epoch,
+                "value_milli": pc.round(
+                    pc.multiply(batch.column("value"), 1000),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ).cast(pa.int64()),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["ts", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ds.groupby("hour_epoch").aggregate(Count(), Sum("value_milli"))
+    return out.rename_columns(["hour_epoch", "n_events", "sum_value_milli"])
+
+
+def user_sessions(sf_dir: str, *, gap_minutes: int = 30):
+    """Sessionization: per-user event streams split at inactivity gaps
+    > ``gap_minutes``. (user_id, n_sessions, n_events). The stateful
+    window is realized as groupby(user).map_groups with a vectorized
+    in-group sort+diff — the partitioning assumption (one user's events
+    co-located) is exactly the groupby shuffle key."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").cast(pa.int64()).to_numpy())
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([len(ts)], pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
