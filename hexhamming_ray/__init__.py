@@ -27,3 +27,21 @@ def _tune_malloc() -> None:
 
 
 _tune_malloc()
+
+
+def pool_size(frac: float = 0.5, lo: int = 1, hi: int = 64) -> int:
+    """Fixed actor-pool size for stateful map_batches/map_groups stages,
+    derived from the cluster CPU count at call time. Ray Data's
+    autoscaling (min,max) pools routinely stay at min and serialize the
+    stage (observed here: a (1,8) scorer pool ran one actor for the
+    whole job), so stages size their pools explicitly. Keep the SUM of
+    concurrently-active pools below the CPU count: two fixed pools that
+    together hold every CPU starve the sort/shuffle tasks between them
+    (observed deadlock at 4 CPUs with 2+2 actors)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return max(lo, min(hi, int(cpus * frac)))

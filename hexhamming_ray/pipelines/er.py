@@ -89,11 +89,13 @@ def build_edges(
             zero_copy_batch=True,
             batch_size=None,
         )
+        from hexhamming_ray import pool_size
+
         near_edges = cand.groupby("bkey").map_groups(
             ScoreBlock,
             fn_constructor_kwargs={"threshold": threshold},
             batch_format="pyarrow",
-            concurrency=scorer_concurrency or (1, 8),
+            concurrency=scorer_concurrency or pool_size(0.5),
         )
         all_edges = near_edges.union(dup_edges)
         return (

@@ -189,7 +189,7 @@ def customers_per_region(sf_dir: str):
         fn_constructor_args=(lookup_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4), batch_size=None)
+        concurrency=2, batch_size=None)
     out = tagged.groupby("r_name").aggregate(Count(), Sum("c_acctbal_cents"))
     return out.rename_columns(["r_name", "n_customers", "total_acctbal_cents"])
 

@@ -259,17 +259,21 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5):
     (estimated Jaccard >= threshold). (id_lo, id_hi, sim_x1000)."""
     from ray.data.aggregate import Max
 
+    from hexhamming_ray import pool_size
+
     ds = _docs(sf_dir, ["doc_id", "text"])
     banded = ds.map_batches(
         _MinhashBand,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4), batch_size=None)
+        concurrency=pool_size(0.25),
+        batch_size=None,
+    )
     pairs = banded.groupby("bkey").map_groups(
         _JaccardVerify,
         fn_constructor_kwargs={"threshold": threshold},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool_size(0.25),
     )
     out = pairs.groupby(["id_lo", "id_hi"]).aggregate(Max("sim_x1000"))
     return out.rename_columns(["id_lo", "id_hi", "sim_x1000"])

@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from hexhamming_ray import pool_size
+
 
 def _emb(sf_dir: str):
     import ray
@@ -92,7 +94,7 @@ def knn_bruteforce(sf_dir: str, *, n_queries: int = 10, k: int = 5):
         fn_constructor_args=(queries_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(0.5),
         batch_size=2048,
     )
 
@@ -164,12 +166,15 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
     qids = set(int(r["vec_id"]) for r in qrows)
     qids_ref = ray.put(np.array(sorted(qids), dtype=np.int64))
 
+    # two stateful pools are live at once in this pipeline (bucketer ->
+    # sort -> scorer): cap each at a quarter of the CPUs so the shuffle
+    # tasks between them always have workers
     bucketed = ds.map_batches(
         _HyperplaneBucket,
         fn_constructor_args=(dim, n_bits, n_tables),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4), batch_size=None)
+        concurrency=pool_size(0.25), batch_size=None)
 
     class ScoreBucket:
         def __init__(self):
@@ -210,7 +215,7 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
             )
 
     partial = bucketed.groupby("bucket").map_groups(
-        ScoreBucket, batch_format="pyarrow", concurrency=(1, 4)
+        ScoreBucket, batch_format="pyarrow", concurrency=pool_size(0.25)
     )
 
     def final_topk(group: pa.Table) -> pa.Table:
@@ -268,6 +273,6 @@ def embedding_near_dup_pairs(sf_dir: str, *, threshold: float = 0.45):
         Score,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=pool_size(0.5),
         batch_size=2048,
     )
