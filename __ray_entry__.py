@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-dup / ER (rows-only: not SQL-expressible) ---
         "simhash_docs": T.simhash_docs,
         "minhash_dup_pairs": T.minhash_dup_pairs,
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "er_clusters_docs": T.er_clusters_docs,
         # --- similarity search over embeddings ---
         "knn_bruteforce": A.knn_bruteforce,

@@ -12,11 +12,12 @@ streaming end-to-end, with optional stage-boundary Parquet checkpoints:
     -> groupby(bkey).count -> broadcast hot keys (singleton pruning)
     -> map_batches(HotKeyFilter)              actor pool, np.isin
     -> groupby(bkey).map_groups(ScoreBlock)   shuffle 2, scorer actors
+       (canonical-band emission: pairs unique by construction,
+        so there is NO pair-dedup shuffle)
     -> union dup star edges
-    -> groupby(id_lo, id_hi).min(dist)        shuffle 3, pair dedup
     -> [checkpoint edges/]
-    -> connected_components (iterative groupby+join rounds)
-    -> left join fingerprints -> clusters     singletons keep own id
+    -> connected_components (sym+sort+local-UF rounds)
+    -> tagged-union remap fingerprints -> clusters  (singletons keep own id)
     -> [checkpoint clusters/]
 """
 
@@ -97,12 +98,11 @@ def build_edges(
             batch_format="pyarrow",
             concurrency=scorer_concurrency or pool_size(0.5),
         )
-        all_edges = near_edges.union(dup_edges)
-        return (
-            all_edges.groupby(["id_lo", "id_hi"])
-            .min("dist")
-            .rename_columns(["id_lo", "id_hi", "dist"])
-        )
+        # no pair-dedup shuffle: canonical-band emission makes near
+        # edges unique by construction, and dup star edges (same-sha
+        # file -> its representative) cannot collide with near edges
+        # (those connect distinct-sha representatives)
+        return near_edges.union(dup_edges)
 
     edges = ck.stage("edges", _edges)
     return fps, edges

@@ -313,3 +313,77 @@ def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
         )
 
     return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+class _ExactJaccard:
+    """Exact token-3-gram Jaccard for candidate pairs. The documents'
+    shingle sets are broadcast once via ``ray.put`` (small side); at
+    10^12-doc scale this becomes a hash join of candidate pairs against
+    the corpus on doc_id — the candidate set, not the corpus, is what
+    this stage iterates."""
+
+    def __init__(self, docs_ref, threshold: float):
+        import ray
+
+        self.shingles = ray.get(docs_ref)  # dict doc_id -> frozenset
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        out_lo, out_hi, out_j = [], [], []
+        for a, b in zip(lo.tolist(), hi.tolist()):
+            sa = self.shingles.get(a)
+            sb = self.shingles.get(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= self.threshold:
+                out_lo.append(a)
+                out_hi.append(b)
+                out_j.append(int(round(j * 1000)))
+        return pa.table(
+            {
+                "id_lo": pa.array(out_lo, pa.int64()),
+                "id_hi": pa.array(out_hi, pa.int64()),
+                "jaccard_x1000": pa.array(out_j, pa.int64()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5):
+    """Near-dup pairs with EXACT token-3-gram Jaccard >= threshold:
+    MinHash-LSH proposes candidates (cheap, approximate), then the
+    exact set Jaccard verifies — the estimate filters, the exact value
+    decides. (id_lo, id_hi, jaccard_x1000)."""
+    import ray
+
+    # candidates from the minhash pipeline at a permissive threshold
+    cands = minhash_dup_pairs(sf_dir, threshold=0.3)
+
+    def shingle_set(text: str) -> frozenset:
+        toks = text.split()
+        if len(toks) < 3:
+            return frozenset([" ".join(toks)]) if toks else frozenset()
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    shingles = {}
+    for b in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for r in b.to_pylist():
+            shingles[r["doc_id"]] = shingle_set(r["text"])
+    docs_ref = ray.put(shingles)
+
+    return cands.map_batches(
+        _ExactJaccard,
+        fn_constructor_args=(docs_ref, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        batch_size=None,
+    )

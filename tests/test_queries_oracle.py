@@ -86,7 +86,10 @@ def test_query_matches_oracle(ray_session, name):
 ROWS_ONLY = ["simhash_docs", "minhash_dup_pairs", "er_clusters_docs", "knn_lsh"]
 
 
-@pytest.mark.parametrize("name", ["simhash_docs", "minhash_dup_pairs", "knn_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    ["simhash_docs", "minhash_dup_pairs", "knn_lsh", "ngram_jaccard_pairs", "media_features"],
+)
 def test_rows_only_queries_run(ray_session, name):
     entry = __import__("__ray_entry__")
     df = _to_pandas(entry.queries()[name](SF_DIR))
