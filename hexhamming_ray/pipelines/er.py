@@ -9,14 +9,18 @@ streaming end-to-end, with optional stage-boundary Parquet checkpoints:
     -> [checkpoint fingerprints/]
     -> groupby(sha256)  exact collapse        shuffle 1
     -> map_batches(make_bands)                16 x 16-bit LSH bands
-    -> groupby(bkey).count -> broadcast hot keys (singleton pruning)
-    -> map_batches(HotKeyFilter)              actor pool, np.isin
-    -> groupby(bkey).map_groups(ScoreBlock)   shuffle 2, scorer actors
+    -> sort(bkey)                             shuffle 2 (the only
+       candidate shuffle: the run scorer over sorted blocks skips
+       singleton keys vectorized and scores key runs with no per-group
+       Python; block-edge runs go through a small groupby pass)
+    -> map_batches(ScoreRuns)                 scorer actor pool
+       + boundary_rows -> groupby(bkey).map_groups(ScoreBlock)
        (canonical-band emission: pairs unique by construction,
         so there is NO pair-dedup shuffle)
     -> union dup star edges
     -> [checkpoint edges/]
-    -> connected_components (sym+sort+local-UF rounds)
+    -> connected_components (sym+sort+local-UF rounds; single-block
+       tail emits labels directly for small edge sets)
     -> tagged-union remap fingerprints -> clusters  (singletons keep own id)
     -> [checkpoint clusters/]
 """
@@ -30,11 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from hexhamming_ray.stages.fingerprint import fingerprint_dataset
-from hexhamming_ray.stages.blocking import (
-    HotKeyFilter,
-    exact_collapse,
-    make_bands,
-)
+from hexhamming_ray.stages.blocking import exact_collapse, make_bands
 from hexhamming_ray.stages.scoring import (
     DEFAULT_THRESHOLD,
     EDGE_SCHEMA,
@@ -63,46 +63,50 @@ def build_edges(
     fps = ck.stage("fingerprints", _fps)
 
     def _edges():
+        from hexhamming_ray import pool_size
+        from hexhamming_ray.stages.scoring import ScoreRuns, boundary_rows
+
         reps, dup_edges = exact_collapse(fps)
         banded = reps.map_batches(
-            make_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).materialize()  # consumed twice: count pass + candidate filter
-        # singleton pruning: keys with >= 2 members, broadcast once
-        counts = banded.groupby("bkey").count()
-
-        def _multi(batch: pa.Table) -> pa.Table:
-            mask = pc.greater_equal(batch.column("count()"), 2)
-            return batch.filter(mask).select(["bkey"])
-
-        hot = counts.map_batches(
-            _multi, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        hot_keys = np.sort(
-            np.concatenate(
-                [b["bkey"] for b in hot.iter_batches(batch_format="numpy")]
-                or [np.empty(0, dtype=np.int64)]
-            )
+            make_bands, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
         )
-        hot_ref = ray.put(hot_keys)
-        # task-based filter: ray.get of the broadcast key set hits the
-        # local plasma store (zero-copy, cached) — no actor-pool spin-up
-        cand = banded.map_batches(
-            HotKeyFilter(hot_ref),
+        # ONE sort replaces the count-groupby + broadcast-filter +
+        # groupby-map_groups cascade: the run scorer skips singleton
+        # band keys with two numpy comparisons and scores interior runs
+        # without per-group Python overhead. Materialized because two
+        # passes read it (interior runs + boundary runs).
+        sorted_b = banded.sort("bkey").materialize()
+        near_interior = sorted_b.map_batches(
+            ScoreRuns,
+            fn_constructor_kwargs={"threshold": threshold},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
-        )
-        from hexhamming_ray import pool_size
-
-        near_edges = cand.groupby("bkey").map_groups(
-            ScoreBlock,
-            fn_constructor_kwargs={"threshold": threshold},
-            batch_format="pyarrow",
             concurrency=scorer_concurrency or pool_size(0.5),
+        )
+        # runs straddling block edges: at most 2 per block, merged and
+        # scored by an ordinary (small) groupby
+        near_boundary = (
+            sorted_b.map_batches(
+                boundary_rows,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("bkey")
+            .map_groups(
+                ScoreBlock,
+                fn_constructor_kwargs={"threshold": threshold},
+                batch_format="pyarrow",
+                concurrency=2,
+            )
         )
         # no pair-dedup shuffle: canonical-band emission makes near
         # edges unique by construction, and dup star edges (same-sha
         # file -> its representative) cannot collide with near edges
         # (those connect distinct-sha representatives)
-        return near_edges.union(dup_edges)
+        return near_interior.union(near_boundary).union(dup_edges)
 
     edges = ck.stage("edges", _edges)
     return fps, edges

@@ -1,28 +1,44 @@
 """Candidate-pair scoring: the engine's analog of the reference's
-pairwise Hamming kernels, run block-at-a-time inside the band groupby.
+pairwise Hamming kernels, run block-at-a-time over the banded corpus.
 
-``ScoreBlock`` is a callable CLASS used with
-``groupby('bkey').map_groups(ScoreBlock, concurrency=N)`` — an actor
-pool: the popcount kernel tables and the preallocated XOR tile live in
-``__init__`` (once per actor; cf. the reference's once-per-process
-``set_algo`` pointer selection, python_hexhamming.cc:443-496 — made
-per-actor instead of global because the reference's global mutation is
-not thread-safe, SURVEY.md §4.1).
+Two execution surfaces share one core:
 
-Within a block the scorer first collapses identical fingerprints
-(clones frequently share an exact simhash) and emits STAR edges inside
-each identity class — union-find needs connectivity, not cliques, so a
-k-member class costs k-1 edges, which is what keeps skew hubs linear.
-Distinct fingerprints are scored all-pairs with the vectorized
-XOR+popcount tile kernel; pairs with ``dist <= threshold`` (inclusive,
-matching check_hexstrings_within_dist semantics, python_hexhamming.cc:
-62-64) become edges between class representatives.
+* ``ScoreBlock`` — callable class for ``groupby('bkey').map_groups``:
+  one candidate block per call. Used for the (tiny) boundary pass and
+  directly in tests.
+* ``ScoreRuns`` — callable class for ``map_batches`` over a dataset
+  SORTED by ``bkey``: iterates key runs inside each block with numpy
+  (singleton runs are skipped vectorized, length-2 runs — the vast
+  majority — are scored in one batched XOR+popcount, longer runs reuse
+  the block core). This replaces the groupby+map_groups scoring path,
+  whose per-group Python overhead dominated at bench scale, and it
+  makes the hot-key pre-count pass unnecessary (singletons cost two
+  numpy comparisons instead of a shuffle + broadcast filter). Runs
+  touching a block edge may continue in the neighbor block, so each
+  block's first and last run are NOT scored here — ``boundary_rows``
+  extracts them for a small groupby pass (per sorted block there are
+  at most 2 such runs).
 
-Oversized blocks (> ``cap`` distinct fingerprints — boilerplate floods)
-fall back to sorted-neighbor scoring within a window and count the
-skipped comparisons in the ``pairs_capped`` column of the metrics
-output — a documented, bounded degradation instead of an O(k^2) blowup
-(SURVEY.md §4.2 skew row).
+Actor-pool discipline: the popcount tables and the preallocated XOR
+tile live in ``__init__`` (once per actor; cf. the reference's
+once-per-process ``set_algo`` pointer selection, python_hexhamming.cc:
+443-496 — made per-actor because the reference's global mutation is not
+thread-safe, SURVEY.md §4.1).
+
+Semantics: pairs with ``dist <= threshold`` (inclusive, matching
+check_hexstrings_within_dist, python_hexhamming.cc:62-64). CANONICAL-
+BAND emission: a near-dup pair shares many of its 16 bands; each pair
+is emitted only by the FIRST band whose keys match, so the edge stream
+is unique by construction and needs no dedup shuffle (measured 9x
+output reduction). Identical fingerprints match every band, so their
+0-distance star edges are owned by band 0; within a block identical
+fingerprints collapse to identity classes connected by STAR edges
+(union-find needs connectivity, not cliques — skew hubs cost O(k)).
+
+Oversized blocks (> ``cap`` distinct fingerprints — boilerplate
+floods) fall back to sorted-neighbor scoring within a window and count
+the skipped comparisons in ``pairs_capped`` — a documented, bounded
+degradation instead of an O(k^2) blowup (SURVEY.md §4.2 skew row).
 """
 
 from __future__ import annotations
@@ -42,9 +58,30 @@ EDGE_SCHEMA = pa.schema(
 # dist >= ~100, so the wide threshold costs no precision.
 DEFAULT_THRESHOLD = 20
 DEFAULT_CAP = 4096
+BAND_BITS = 16
 
 
-class ScoreBlock:
+def _edges_table(lo, hi, dd) -> pa.Table:
+    return pa.table(
+        {
+            "id_lo": pa.array(lo, type=pa.int64()),
+            "id_hi": pa.array(hi, type=pa.int64()),
+            "dist": pa.array(np.asarray(dd, dtype=np.int32), type=pa.int32()),
+        },
+        schema=EDGE_SCHEMA,
+    )
+
+
+def _first_match_band(fa: np.ndarray, fb: np.ndarray) -> np.ndarray:
+    """Index of the first 2-byte band segment where each row pair of
+    (N, 32) fingerprint matrices is equal. Guaranteed to exist for
+    pairs surfaced by a shared-band group."""
+    n_bands = fa.shape[1] // 2
+    eq = (fa.reshape(-1, n_bands, 2) == fb.reshape(-1, n_bands, 2)).all(axis=2)
+    return np.argmax(eq, axis=1)
+
+
+class _ScoreCore:
     def __init__(
         self,
         threshold: int = DEFAULT_THRESHOLD,
@@ -61,39 +98,29 @@ class ScoreBlock:
         self.pairs_scored = 0
         self.pairs_capped = 0
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        n = len(group)
-        if n < 2:
-            return EDGE_SCHEMA.empty_table()
-        # this group's band index: combined key = band_idx << band_width
-        band_idx = int(group.column("bkey")[0].as_py()) >> 16
-        ids = group.column("file_id").to_numpy()
-        mat = fsb_to_matrix(group.column("simhash"))
+    def score_run(self, band_idx: int, ids: np.ndarray, mat: np.ndarray):
+        """One candidate block (>= 2 rows sharing a band key) ->
+        (lo, hi, dist) arrays under canonical-band emission."""
         uniq, inv = np.unique(mat, axis=0, return_inverse=True)
         u = uniq.shape[0]
-        # representative (min id) per identity class + star edges inside it
-        order = np.lexsort((ids, inv))  # group classes, min id first
+        order = np.lexsort((ids, inv))  # group identity classes, min id first
         sid = ids[order]
         sinv = inv[order]
         class_start = np.searchsorted(sinv, np.arange(u), side="left")
         class_end = np.searchsorted(sinv, np.arange(u), side="right")
         rep = sid[class_start]  # min id of each class
-        lo_list = []
-        hi_list = []
-        d_list = []
-        # CANONICAL-BAND emission: a near-dup pair shares many of its 16
-        # bands, so emitting from every shared band multiplies shuffle
-        # volume ~9x (measured). Each pair is emitted only by the FIRST
-        # band whose keys match — unique by construction, which also
-        # removes the downstream pair-dedup shuffle entirely.
-        # Identical fingerprints match every band -> their star edges
-        # are owned by band 0.
+        lo_list, hi_list, d_list = [], [], []
         dup_mask = (class_end - class_start) > 1
         if band_idx == 0 and dup_mask.any():
             members = np.concatenate(
-                [sid[class_start[c] + 1 : class_end[c]] for c in np.nonzero(dup_mask)[0]]
+                [
+                    sid[class_start[c] + 1 : class_end[c]]
+                    for c in np.nonzero(dup_mask)[0]
+                ]
             )
-            reps_rep = np.repeat(rep[dup_mask], (class_end - class_start)[dup_mask] - 1)
+            reps_rep = np.repeat(
+                rep[dup_mask], (class_end - class_start)[dup_mask] - 1
+            )
             lo_list.append(reps_rep)
             hi_list.append(members)
             d_list.append(np.zeros(members.shape[0], dtype=np.int64))
@@ -106,7 +133,7 @@ class ScoreBlock:
                 self.pairs_scored += (u - 1) * self.window
                 self.pairs_capped += u * (u - 1) // 2 - (u - 1) * self.window
             if ii.size:
-                own = self._first_match_band(uniq, ii, jj) == band_idx
+                own = _first_match_band(uniq[ii], uniq[jj]) == band_idx
                 ii, jj, dd = ii[own], jj[own], dd[own]
             if ii.size:
                 a = rep[ii]
@@ -115,28 +142,35 @@ class ScoreBlock:
                 hi_list.append(np.maximum(a, b))
                 d_list.append(dd)
         if not lo_list:
-            return EDGE_SCHEMA.empty_table()
-        return pa.table(
-            {
-                "id_lo": pa.array(np.concatenate(lo_list), type=pa.int64()),
-                "id_hi": pa.array(np.concatenate(hi_list), type=pa.int64()),
-                "dist": pa.array(
-                    np.concatenate(d_list).astype(np.int32), type=pa.int32()
-                ),
-            },
-            schema=EDGE_SCHEMA,
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return (
+            np.concatenate(lo_list),
+            np.concatenate(hi_list),
+            np.concatenate(d_list),
         )
 
-    @staticmethod
-    def _first_match_band(uniq: np.ndarray, ii: np.ndarray, jj: np.ndarray):
-        """Index of the first band (16 x 2-byte segments of the 256-bit
-        fingerprint) where each pair's keys are equal. Guaranteed to
-        exist for pairs surfaced by a shared-band group."""
-        n_bands = uniq.shape[1] // 2
-        a = uniq[ii].reshape(ii.shape[0], n_bands, 2)
-        b = uniq[jj].reshape(jj.shape[0], n_bands, 2)
-        eq = (a == b).all(axis=2)  # (npairs, n_bands)
-        return np.argmax(eq, axis=1)
+    def score_pairs_vectorized(
+        self,
+        band_idx: np.ndarray,
+        ids_a: np.ndarray,
+        ids_b: np.ndarray,
+        fa: np.ndarray,
+        fb: np.ndarray,
+    ):
+        """All length-2 runs of a block at once: rowwise distance +
+        vectorized canonical-band ownership."""
+        from hexhamming_ray.functions.kernel import hamming_rowwise
+
+        d = hamming_rowwise(fa, fb)
+        self.pairs_scored += d.shape[0]
+        keep = (d <= self.threshold) & (_first_match_band(fa, fb) == band_idx)
+        if not keep.any():
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        a = ids_a[keep]
+        b = ids_b[keep]
+        return np.minimum(a, b), np.maximum(a, b), d[keep]
 
     def _sorted_neighbor(self, uniq: np.ndarray):
         """Bounded fallback for flooded blocks: np.unique already returns
@@ -164,3 +198,93 @@ class ScoreBlock:
             np.concatenate(outs[1]),
             np.concatenate(outs[2]),
         )
+
+
+class ScoreBlock(_ScoreCore):
+    """One candidate block per call (groupby().map_groups surface)."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n < 2:
+            return EDGE_SCHEMA.empty_table()
+        band_idx = int(group.column("bkey")[0].as_py()) >> BAND_BITS
+        ids = group.column("file_id").to_numpy()
+        mat = fsb_to_matrix(group.column("simhash"))
+        lo, hi, dd = self.score_run(band_idx, ids, mat)
+        return _edges_table(lo, hi, dd)
+
+
+def _run_bounds(keys: np.ndarray):
+    """Starts/ends of equal-key runs in a sorted key array."""
+    n = keys.shape[0]
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    return starts, ends
+
+
+class ScoreRuns(_ScoreCore):
+    """Scores every INTERIOR key run of a bkey-sorted block; the first
+    and last runs (which may continue in neighbor blocks) are left to
+    the boundary pass."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return EDGE_SCHEMA.empty_table()
+        keys = batch.column("bkey").to_numpy()
+        starts, ends = _run_bounds(keys)
+        if starts.shape[0] <= 2:
+            return EDGE_SCHEMA.empty_table()  # all runs are boundary
+        starts, ends = starts[1:-1], ends[1:-1]
+        lens = ends - starts
+        multi = lens >= 2
+        if not multi.any():
+            return EDGE_SCHEMA.empty_table()
+        ids = batch.column("file_id").to_numpy()
+        mat = fsb_to_matrix(batch.column("simhash"))
+        lo_l, hi_l, d_l = [], [], []
+        # length-2 runs: one vectorized pass
+        m2 = lens == 2
+        if m2.any():
+            s = starts[m2]
+            lo, hi, dd = self.score_pairs_vectorized(
+                (keys[s] >> BAND_BITS).astype(np.int64),
+                ids[s],
+                ids[s + 1],
+                mat[s],
+                mat[s + 1],
+            )
+            if lo.size:
+                lo_l.append(lo)
+                hi_l.append(hi)
+                d_l.append(dd)
+        # longer runs: per-run core (clusters with >2 members per band)
+        for s, e in zip(starts[lens >= 3], ends[lens >= 3]):
+            band_idx = int(keys[s]) >> BAND_BITS
+            lo, hi, dd = self.score_run(band_idx, ids[s:e], mat[s:e])
+            if lo.size:
+                lo_l.append(lo)
+                hi_l.append(hi)
+                d_l.append(dd)
+        if not lo_l:
+            return EDGE_SCHEMA.empty_table()
+        return _edges_table(
+            np.concatenate(lo_l), np.concatenate(hi_l), np.concatenate(d_l)
+        )
+
+
+def boundary_rows(batch: pa.Table) -> pa.Table:
+    """First and last key run of a bkey-sorted block — the rows whose
+    runs may straddle block boundaries (scored by a small groupby)."""
+    n = len(batch)
+    if n == 0:
+        return batch
+    keys = batch.column("bkey").to_numpy()
+    starts, ends = _run_bounds(keys)
+    if starts.shape[0] == 1:
+        return batch  # single run spans the whole block
+    idx = np.concatenate(
+        [np.arange(0, ends[0]), np.arange(starts[-1], n)]
+    )
+    return batch.take(pa.array(idx))
