@@ -80,7 +80,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str) -> dict:
+def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str,
+                  content_scale: int = 1) -> dict:
     """Flagship ER over the self-synthesized corpus (the scaling unit):
     reports wall time and pairs-scored-proxy throughput."""
     import ray
@@ -89,7 +90,9 @@ def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str) -> dict:
     from hexhamming_ray.sources.synth import generate_corpus
     from hexhamming_ray.pipelines.er import run_pipeline
 
-    files_dir = generate_corpus(corpus_dir, n_files=n_files, seed=42)
+    files_dir = generate_corpus(
+        corpus_dir, n_files=n_files, seed=42, content_scale=content_scale
+    )
     t0 = time.monotonic()
     res = run_pipeline(files_dir)
     n_edges = res["edges"].count()
@@ -113,18 +116,22 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--n-files", type=int, default=20000)
     ap.add_argument("--corpus-dir", default="/tmp/hexray_bench_corpus")
+    ap.add_argument("--content-scale", type=int, default=1)
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
     args = ap.parse_args()
 
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     if args.er_run:
-        print(json.dumps(run_er_corpus(args.n_files, num_cpus, args.corpus_dir)))
+        print(json.dumps(run_er_corpus(args.n_files, num_cpus, args.corpus_dir,
+                                       content_scale=args.content_scale)))
         return
 
     if args.scaling:
         results = {}
-        for cpus in (8, 32):
+        for cpus in (args.cpus_lo, args.cpus_hi):
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -136,6 +143,8 @@ def main() -> None:
                     str(args.n_files),
                     "--corpus-dir",
                     args.corpus_dir,
+                    "--content-scale",
+                    str(args.content_scale),
                 ],
                 capture_output=True,
                 text=True,
@@ -143,23 +152,25 @@ def main() -> None:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        t8 = results[8]["wall_sec"]
-        t32 = results[32]["wall_sec"]
-        eff = (t8 / t32) / (32 / 8)
+        lo, hi = args.cpus_lo, args.cpus_hi
+        t_lo = results[lo]["wall_sec"]
+        t_hi = results[hi]["wall_sec"]
+        eff = (t_lo / t_hi) / (hi / lo)
         print(
             json.dumps(
                 {
-                    "metric": "scaling_efficiency_8_to_32_cpus",
+                    "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
                     "value": round(eff, 3),
                     "unit": "ratio",
                     "queries": {
-                        "er_wall_sec_cpus8": t8,
-                        "er_wall_sec_cpus32": t32,
-                        "rows_per_sec_cpus8": results[8]["rows_per_sec"],
-                        "rows_per_sec_cpus32": results[32]["rows_per_sec"],
+                        f"er_wall_sec_cpus{lo}": t_lo,
+                        f"er_wall_sec_cpus{hi}": t_hi,
+                        f"rows_per_sec_cpus{lo}": results[lo]["rows_per_sec"],
+                        f"rows_per_sec_cpus{hi}": results[hi]["rows_per_sec"],
+                        "content_scale": args.content_scale,
                     },
                     "sf": args.n_files,
-                    "num_cpus": 32,
+                    "num_cpus": hi,
                 }
             )
         )

@@ -59,14 +59,19 @@ def _meta(cluster_id: int, clone_idx: int, seed: int) -> tuple[str, str, str, st
     return repo, path, commit, lang
 
 
+CONTENT_SCALE = 1  # bench knob: multiplies per-file token count
+
+
 def _base_tokens(cluster_id: int, seed: int) -> list[str]:
     r = random.Random(f"base|{seed}|{cluster_id}")
     lang = LANGS[cluster_id % len(LANGS)]
     kw = _KEYWORDS[lang]
     # 400+ tokens: keeps the 1-2-edit clone simhash distance within the
     # scoring threshold (measured: 2 edits on 480-token docs -> p100 17
-    # bits; shorter docs overshoot) — FIXTURES.md §B planting rule
-    n = r.randint(400, 900)
+    # bits; shorter docs overshoot) — FIXTURES.md §B planting rule.
+    # CONTENT_SCALE multiplies file size for scaling benchmarks (more
+    # parallel compute per row; longer files only LOWER clone distances)
+    n = r.randint(400, 900) * CONTENT_SCALE
     toks = []
     for _ in range(n):
         if r.random() < 0.25:
@@ -126,18 +131,28 @@ def n_clusters_for(n_files: int) -> int:
     return c
 
 
-def generate_corpus(out_dir: str, n_files: int, seed: int = 42) -> str:
+def generate_corpus(
+    out_dir: str, n_files: int, seed: int = 42, content_scale: int = 1
+) -> str:
     """Write files/ Parquet via a parallel Ray Data pipeline. Idempotent:
     skips generation when the output manifest already matches."""
     import ray
 
-    files_dir = os.path.join(out_dir, "files")
-    marker = os.path.join(out_dir, f"_GENERATED_{n_files}_{seed}")
+    global CONTENT_SCALE
+    CONTENT_SCALE = content_scale
+    # parameter-keyed output dir: re-running with different knobs must
+    # never mix parquet fragments in one directory
+    tag = f"{n_files}_{seed}_{content_scale}"
+    files_dir = os.path.join(out_dir, f"files_{tag}")
+    marker = os.path.join(out_dir, f"_GENERATED_{tag}")
     if os.path.exists(marker):
         return files_dir
     nc = n_clusters_for(n_files)
 
     def expand(batch: dict) -> pa.Table:
+        import hexhamming_ray.sources.synth as _synth
+
+        _synth.CONTENT_SCALE = content_scale
         rows: list[dict] = []
         for cid in batch["id"].tolist():
             rows.extend(make_cluster_rows(int(cid), seed))
@@ -160,11 +175,17 @@ def generate_corpus(out_dir: str, n_files: int, seed: int = 42) -> str:
         .map_batches(expand, batch_format="numpy", batch_size=64)
         .write_parquet(files_dir)
     )
-    labels_path = os.path.join(out_dir, "labeled_pairs.parquet")
-    write_labels(labels_path, n_files, seed)
+    write_labels(labels_path(out_dir, n_files, seed, content_scale), n_files, seed)
     with open(marker, "w") as f:
         f.write("ok")
     return files_dir
+
+
+def labels_path(out_dir: str, n_files: int, seed: int = 42,
+                content_scale: int = 1) -> str:
+    return os.path.join(
+        out_dir, f"labeled_pairs_{n_files}_{seed}_{content_scale}.parquet"
+    )
 
 
 def write_labels(path: str, n_files: int, seed: int = 42) -> None:

@@ -82,9 +82,9 @@ def test_pairwise_f1(pipeline_out):
     from hexhamming_ray.pipelines.evaluate import pairwise_scores
 
     res, _ = pipeline_out
-    scores = pairwise_scores(
-        res["clusters"], os.path.join(CORPUS, "labeled_pairs.parquet")
-    )
+    from hexhamming_ray.sources.synth import labels_path
+
+    scores = pairwise_scores(res["clusters"], labels_path(CORPUS, N_FILES))
     assert scores["n_labeled"] > 200
     assert scores["f1"] >= 0.99, scores
 
