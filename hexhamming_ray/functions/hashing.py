@@ -151,6 +151,18 @@ def _sampled_windows(contents: list[bytes]):
 def minhash_bytes_batch(
     contents: list[bytes], num_perm: int = 64, seed: int = 42
 ) -> np.ndarray:
+    """Sub-batched wrapper over the one-permutation MinHash core (same
+    fixed-scratch rationale as simhash_batch)."""
+    n = len(contents)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for s0, s1 in _chunk_by_bytes(contents, _SUBBATCH_BYTES):
+        out[s0:s1] = _minhash_bytes_core(contents[s0:s1], num_perm, seed)
+    return out
+
+
+def _minhash_bytes_core(
+    contents: list[bytes], num_perm: int = 64, seed: int = 42
+) -> np.ndarray:
     """One-permutation MinHash over byte-8-gram shingles -> (N, num_perm)
     uint64 (num_perm must be a power of two).
 
@@ -197,7 +209,39 @@ def minhash_bytes_batch(
     return sigs
 
 
+def _chunk_by_bytes(contents: list[bytes], limit: int):
+    """Split a document list into runs of cumulative size <= limit (a
+    single oversized document forms its own run). Keeps per-call
+    scratch/temporary arrays at a fixed small size: large fresh
+    allocations page-fault serially across workers in this environment
+    (measured: an 8x-content fingerprint stage stopped scaling with
+    CPUs entirely until sub-batching was added)."""
+    start = 0
+    total = 0
+    for i, c in enumerate(contents):
+        if i > start and total + len(c) > limit:
+            yield start, i
+            start = i
+            total = 0
+        total += len(c)
+    if start < len(contents):
+        yield start, len(contents)
+
+
+_SUBBATCH_BYTES = 1 << 20
+
+
 def simhash_batch(contents: list[bytes]) -> np.ndarray:
+    """256-bit simhash per document -> (N, 32) uint8. Processes in
+    ~1 MB content sub-batches through fixed-size scratch."""
+    n = len(contents)
+    out = np.zeros((n, FP_BYTES), dtype=np.uint8)
+    for s0, s1 in _chunk_by_bytes(contents, _SUBBATCH_BYTES):
+        out[s0:s1] = _simhash_batch_core(contents[s0:s1])
+    return out
+
+
+def _simhash_batch_core(contents: list[bytes]) -> np.ndarray:
     """256-bit simhash per document -> (N, 32) uint8.
 
     Majority vote per bit position over four salted splitmix64 lanes of
