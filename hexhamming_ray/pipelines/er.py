@@ -7,17 +7,18 @@ streaming end-to-end, with optional stage-boundary Parquet checkpoints:
   read_parquet(files)                         columns pruned to 5
     -> map_batches(fingerprint_batch)         sha256 + 256-bit simhash
     -> [checkpoint fingerprints/]
-    -> groupby(sha256)  exact collapse        shuffle 1
     -> map_batches(make_bands)                16 x 16-bit LSH bands
-    -> sort(bkey)                             shuffle 2 (the only
+       (no separate sha256 exact-collapse shuffle: identical contents
+        share a fingerprint and collapse in-band as identity classes)
+    -> sort(bkey)                             shuffle 1 (the only
        candidate shuffle: the run scorer over sorted blocks skips
        singleton keys vectorized and scores key runs with no per-group
        Python; block-edge runs go through a small groupby pass)
     -> map_batches(ScoreRuns)                 scorer actor pool
        + boundary_rows -> groupby(bkey).map_groups(ScoreBlock)
        (canonical-band emission: pairs unique by construction,
-        so there is NO pair-dedup shuffle)
-    -> union dup star edges
+        so there is NO pair-dedup shuffle; exact dups surface as
+        0-distance identity-class star edges owned by band 0)
     -> [checkpoint edges/]
     -> connected_components (sym+sort+local-UF rounds; single-block
        tail emits labels directly for small edge sets)
@@ -34,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from hexhamming_ray.stages.fingerprint import fingerprint_dataset
-from hexhamming_ray.stages.blocking import exact_collapse, make_bands
+from hexhamming_ray.stages.blocking import make_bands
 from hexhamming_ray.stages.scoring import (
     DEFAULT_THRESHOLD,
     EDGE_SCHEMA,
@@ -66,8 +67,16 @@ def build_edges(
         from hexhamming_ray import pool_size
         from hexhamming_ray.stages.scoring import ScoreRuns, boundary_rows
 
-        reps, dup_edges = exact_collapse(fps)
-        banded = reps.map_batches(
+        # No separate exact-dup (sha256) collapse shuffle: identical
+        # contents have identical fingerprints, so they fall into the
+        # scorer's in-band identity classes and come out as 0-distance
+        # star edges owned by band 0 — the same connectivity the
+        # dedicated collapse produced, minus one full shuffle. (Tiny
+        # files carry sha-derived fingerprints, so exact-dup semantics
+        # hold below the shingle width too.) At extreme dup rates a
+        # pre-collapse would shrink banding volume; reintroduce it as a
+        # partial combiner if a corpus measures >2x duplication.
+        banded = fps.select_columns(["file_id", "simhash"]).map_batches(
             make_bands, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
@@ -102,11 +111,10 @@ def build_edges(
                 concurrency=2,
             )
         )
-        # no pair-dedup shuffle: canonical-band emission makes near
-        # edges unique by construction, and dup star edges (same-sha
-        # file -> its representative) cannot collide with near edges
-        # (those connect distinct-sha representatives)
-        return near_interior.union(near_boundary).union(dup_edges)
+        # no pair-dedup shuffle: canonical-band emission makes every
+        # pair (including 0-distance identity-class star edges) unique
+        # by construction
+        return near_interior.union(near_boundary)
 
     edges = ck.stage("edges", _edges)
     return fps, edges

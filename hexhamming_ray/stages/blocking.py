@@ -1,20 +1,21 @@
-"""Blocking stages: exact-dup collapse, LSH banding, hot-key pruning.
+"""Blocking stages: LSH banding (+ the broadcast hot-key filter kept
+for pipelines that want explicit singleton pruning before a groupby).
 
 Scale notes (10^12-file design, SURVEY.md §4.2):
 
-* Exact collapse is ONE hash shuffle on ``sha256``; the wide ``content``
-  column was already dropped by the fingerprint stage, so shuffled rows
-  are ~120 bytes.
 * Banding multiplies rows by ``n_bands`` (default 16 x 16-bit bands over
   the 256-bit simhash). By pigeonhole, any pair with Hamming distance
   < n_bands shares at least one exact band key, so recall is 1.0 for
-  ``dist <= n_bands - 1`` candidates.
-* Singleton band keys (the overwhelming majority) never reach the
-  scorer: a small ``groupby().count()`` pass finds keys with >= 2
-  members, which are broadcast once via ``ray.put`` and applied as a
-  vectorized ``np.isin`` filter inside ``map_batches``. At extreme
-  scale, swap the exact broadcast set for a Bloom filter built the same
-  way — the pipeline shape is unchanged.
+  ``dist <= n_bands - 1`` candidates. The wide ``content`` column was
+  dropped by the fingerprint stage, so banded rows are ~50 bytes.
+* Exact duplicates need no separate sha256 collapse shuffle: identical
+  contents share a fingerprint and collapse inside the scorer's
+  per-band identity classes (0-distance star edges).
+* Singleton band keys are skipped vectorized by the sorted-run scorer
+  (see stages/scoring.py). ``HotKeyFilter`` remains available for
+  pipelines that prune before an explicit groupby: the >=2-member key
+  set is broadcast once via ``ray.put`` and applied as a vectorized
+  ``np.isin`` filter (swap in a Bloom filter at extreme scale).
 """
 
 from __future__ import annotations
@@ -26,66 +27,6 @@ from hexhamming_ray.functions.kernel import fsb_to_matrix
 
 N_BANDS = 16
 BAND_BITS = 16  # 256 / 16
-
-
-def collapse_exact(group: pa.Table) -> pa.Table:
-    """Per-sha256 group -> member rows annotated with the group
-    representative (min file_id). Runs inside groupby('sha256')."""
-    ids = group.column("file_id").to_numpy()
-    rep = int(ids.min())
-    n = len(group)
-    return pa.table(
-        {
-            "file_id": group.column("file_id"),
-            "rep_id": pa.array(np.full(n, rep, dtype=np.int64)),
-            "simhash": group.column("simhash"),
-            "n_tokens": group.column("n_tokens"),
-        }
-    )
-
-
-def exact_collapse(fps_ds):
-    """fingerprints -> (reps_ds, dup_edges_ds).
-
-    ``reps``: one row per distinct content (file_id==rep_id), carrying
-    the simhash. ``dup_edges``: star edges rep->dup with dist 0 (star,
-    not clique: union-find only needs connectivity, so a k-duplicate
-    group contributes k-1 edges instead of k(k-1)/2 — SURVEY.md §2.3
-    set-ops row).
-    """
-    collapsed = (
-        fps_ds.select_columns(["file_id", "sha256", "simhash", "n_tokens"])
-        .groupby("sha256")
-        .map_groups(collapse_exact, batch_format="pyarrow")
-        .materialize()  # consumed twice: reps branch + dup-edges branch
-    )
-    reps = collapsed.map_batches(
-        _keep_reps, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    dup_edges = collapsed.map_batches(
-        _dup_to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return reps, dup_edges
-
-
-def _keep_reps(batch: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    mask = pc.equal(batch.column("file_id"), batch.column("rep_id"))
-    return batch.filter(mask).select(["file_id", "simhash", "n_tokens"])
-
-
-def _dup_to_edges(batch: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    dup = batch.filter(
-        pc.not_equal(batch.column("file_id"), batch.column("rep_id"))
-    )
-    return pa.table(
-        {
-            "id_lo": dup.column("rep_id"),
-            "id_hi": dup.column("file_id"),
-            "dist": pa.array(np.zeros(len(dup), dtype=np.int32)),
-        }
-    )
 
 
 def make_bands(batch: pa.Table, *, n_bands: int = N_BANDS) -> pa.Table:

@@ -8,6 +8,9 @@ so the wide string column never crosses a shuffle boundary (SURVEY.md
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -44,6 +47,16 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     paths = batch.column("path").to_pylist()
     commits = batch.column("commit").to_pylist()
     fps = simhash_batch(raw)
+    # contents shorter than one shingle window get a sha256-derived
+    # fingerprint instead of the all-zero sentinel: exact-duplicate tiny
+    # files then share a fingerprint (and collapse into one identity
+    # class in-band), while DISTINCT tiny files land ~128 bits apart —
+    # without this, every sub-8-byte file would collide on the sentinel
+    for i, b in enumerate(raw):
+        if len(b) < 8:
+            fps[i] = np.frombuffer(
+                hashlib.sha256(b"tiny|" + b).digest(), dtype=np.uint8
+            )
     n_tokens = pc.count_substring_regex(content, r"\S+").cast(pa.int32())
     n_chars = pc.utf8_length(content).cast(pa.int64())
     if "_id" in batch.schema.names:

@@ -313,9 +313,77 @@ def _remap_column(ds, col: str, payload: str, mapping_ds):
     tagged = mapping_ds.map_batches(
         tag_map, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).union(ds.map_batches(tag_data, batch_format="pyarrow", zero_copy_batch=True, batch_size=None))
 
-    return tagged.groupby("k").map_groups(
-        _rewrite_group_factory(col, payload), batch_format="pyarrow"
+    # sorted-run rewrite (same pattern as the run scorer): ONE sort
+    # co-locates each key's mapping row with its data rows; interior
+    # runs are rewritten vectorized per block, the (at most 2 per
+    # block) boundary runs go through a tiny groupby. Replaces a
+    # per-group map_groups whose Python overhead scaled with key count.
+    sorted_t = tagged.sort("k").materialize()
+
+    def rewrite_runs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {col: pa.array([], pa.int64()), payload: pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        k = batch.column("k").to_numpy()
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        if starts.shape[0] <= 2:
+            return empty  # all runs touch a block edge
+        lo, hi = ends[0], starts[-1]  # interior slice
+        if lo >= hi:
+            return empty
+        dst_valid = pc.is_valid(batch.column("dst")).to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").fill_null(0).to_numpy(zero_copy_only=False)
+        is_data = pc.is_valid(batch.column("pl")).to_numpy(zero_copy_only=False)
+        pl = batch.column("pl").fill_null(0).to_numpy(zero_copy_only=False)
+        # run id per row; per-run mapped destination via scatter
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[change] = 1
+        np.cumsum(run_id, out=run_id)
+        run_dst = np.full(starts.shape[0], -1, dtype=np.int64)
+        mrows = np.flatnonzero(dst_valid)
+        run_dst[run_id[mrows]] = dst[mrows]
+        out_k = np.where(run_dst[run_id] >= 0, run_dst[run_id], k)
+        keep = is_data.copy()
+        keep[:lo] = False
+        keep[hi:] = False
+        return pa.table(
+            {
+                col: pa.array(out_k[keep].astype(np.int64)),
+                payload: pa.array(pl[keep].astype(np.int64)),
+            }
+        )
+
+    def boundary(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch
+        k = batch.column("k").to_numpy()
+        change = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        if starts.shape[0] == 1:
+            return batch
+        idx = np.concatenate([np.arange(0, ends[0]), np.arange(starts[-1], n)])
+        return batch.take(pa.array(idx))
+
+    interior = sorted_t.map_batches(
+        rewrite_runs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
+    edge_runs = (
+        sorted_t.map_batches(
+            boundary, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("k")
+        .map_groups(_rewrite_group_factory(col, payload), batch_format="pyarrow")
+    )
+    return interior.union(edge_runs)
 
 
 def _rewrite_group_factory(col: str, payload: str):
