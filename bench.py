@@ -93,6 +93,13 @@ def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str,
     files_dir = generate_corpus(
         corpus_dir, n_files=n_files, seed=42, content_scale=content_scale
     )
+    # warm the OS page cache over the input before timing: otherwise the
+    # first arm of a scaling comparison pays the cold disk read and the
+    # second arm doesn't (observed 2x skew between identical runs)
+    for name in sorted(os.listdir(files_dir)):
+        with open(os.path.join(files_dir, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
     t0 = time.monotonic()
     res = run_pipeline(files_dir)
     n_edges = res["edges"].count()

@@ -52,16 +52,27 @@ def build_edges(
     checkpointer: Checkpointer | None = None,
     scorer_concurrency=None,
 ):
-    """files -> (fingerprints_ds, edges_ds). Edges are deduped canonical
-    pairs (id_lo < id_hi, dist <= threshold inclusive)."""
-    import ray
-
+    """files Dataset -> (fingerprints_ds, edges_ds)."""
     ck = checkpointer or Checkpointer(None)
+    fps = ck.stage("fingerprints", lambda: fingerprint_dataset(files_ds))
+    return build_edges_from_fps(
+        fps,
+        threshold=threshold,
+        checkpointer=ck,
+        scorer_concurrency=scorer_concurrency,
+    )
 
-    def _fps():
-        return fingerprint_dataset(files_ds)
 
-    fps = ck.stage("fingerprints", _fps)
+def build_edges_from_fps(
+    fps,
+    *,
+    threshold: int = DEFAULT_THRESHOLD,
+    checkpointer: Checkpointer | None = None,
+    scorer_concurrency=None,
+):
+    """fingerprints -> (fingerprints_ds, edges_ds). Edges are deduped
+    canonical pairs (id_lo < id_hi, dist <= threshold inclusive)."""
+    ck = checkpointer or Checkpointer(None)
 
     def _edges():
         from hexhamming_ray import pool_size
@@ -174,14 +185,19 @@ def run_pipeline(
 ):
     """End-to-end ER over a files Parquet directory. Returns dict of
     Datasets. With ``out_dir`` set, stage outputs are checkpointed as
-    partitioned Parquet and completed stages are skipped on re-run."""
-    import ray
+    partitioned Parquet and completed stages are skipped on re-run.
 
-    files_ds = ray.data.read_parquet(
-        files_dir, columns=["repo", "path", "commit", "lang", "content"]
-    )
+    The read and the fingerprint stage are FUSED into one task per
+    parquet row group (see fingerprint_from_parquet): the wide content
+    column never enters the object store."""
+    from hexhamming_ray.stages.fingerprint import fingerprint_from_parquet
+
     ck = Checkpointer(out_dir if resume else None)
-    fps, edges = build_edges(files_ds, threshold=threshold, checkpointer=ck)
+    fps, edges = build_edges_from_fps(
+        ck.stage("fingerprints", lambda: fingerprint_from_parquet(files_dir)),
+        threshold=threshold,
+        checkpointer=ck,
+    )
     clusters = build_clusters(fps, edges, checkpointer=ck)
     if out_dir:
         write_pipeline_metrics(out_dir, fps, edges, clusters)

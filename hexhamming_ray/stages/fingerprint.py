@@ -89,3 +89,46 @@ def fingerprint_dataset(files_ds, *, batch_size: int = 256):
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
+    """Fused read+fingerprint source: one Ray task per (file, row-group)
+    unit reads the parquet slice locally and emits only fingerprints.
+
+    ``read_parquet -> map_batches`` ships every content block through
+    the object store between the two operators; at multi-GB corpus
+    sizes that plasma traffic became the dominant NON-scaling cost of
+    the pipeline (measured: the serial fraction of the ER job grew
+    linearly with content size until this fusion). Here the wide
+    ``content`` column lives only inside the task — nothing but ~100-
+    byte fingerprint rows ever enters the object store. Work units are
+    enumerated from parquet footers on the driver (metadata only), so
+    parallelism scales with row groups, not files.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    units = []
+    for path in sorted(_glob.glob(_os.path.join(files_dir, "*.parquet"))):
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            units.append({"path": path, "rg": rg})
+
+    def fp_units(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path, rg in zip(
+            batch.column("path").to_pylist(), batch.column("rg").to_pylist()
+        ):
+            tbl = pq.ParquetFile(path).read_row_group(
+                rg, columns=["repo", "path", "commit", "lang", "content"]
+            )
+            for s in range(0, len(tbl), batch_size):
+                outs.append(fingerprint_batch(tbl.slice(s, batch_size)))
+        return pa.concat_tables(outs) if outs else FINGERPRINT_SCHEMA.empty_table()
+
+    return ray.data.from_items(units).map_batches(
+        fp_units, batch_format="pyarrow", batch_size=1
+    )
