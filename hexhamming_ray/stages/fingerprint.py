@@ -122,11 +122,17 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
         for path, rg in zip(
             batch.column("path").to_pylist(), batch.column("rg").to_pylist()
         ):
-            tbl = pq.ParquetFile(path).read_row_group(
-                rg, columns=["repo", "path", "commit", "lang", "content"]
-            )
-            for s in range(0, len(tbl), batch_size):
-                outs.append(fingerprint_batch(tbl.slice(s, batch_size)))
+            pf = pq.ParquetFile(path)
+            # stream the row group in small record batches instead of
+            # one monolithic read: a multi-10MB fresh read buffer per
+            # task page-faults semi-serially across workers in this
+            # environment (same pathology as the hashing scratch)
+            for rb in pf.iter_batches(
+                batch_size=batch_size,
+                row_groups=[rg],
+                columns=["repo", "path", "commit", "lang", "content"],
+            ):
+                outs.append(fingerprint_batch(pa.Table.from_batches([rb])))
         return pa.concat_tables(outs) if outs else FINGERPRINT_SCHEMA.empty_table()
 
     return ray.data.from_items(units).map_batches(
