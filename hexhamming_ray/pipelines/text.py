@@ -323,10 +323,20 @@ class _ExactJaccard:
     this stage iterates."""
 
     def __init__(self, docs_ref, threshold: float):
-        import ray
-
-        self.shingles = ray.get(docs_ref)  # dict doc_id -> frozenset
+        self.ref = docs_ref
         self.threshold = threshold
+        self._shingles = None
+
+    @property
+    def shingles(self):
+        if self._shingles is None:
+            import ray
+
+            self._shingles = ray.get(self.ref)  # dict doc_id -> frozenset
+        return self._shingles
+
+    def __getstate__(self):
+        return {"ref": self.ref, "threshold": self.threshold, "_shingles": None}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lo = batch.column("id_lo").to_numpy()
@@ -379,11 +389,12 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5):
             shingles[r["doc_id"]] = shingle_set(r["text"])
     docs_ref = ray.put(shingles)
 
+    # instance (not class) -> plain task UDF: this pipeline already has
+    # two actor pools upstream, and a third pool would hold every CPU of
+    # a small cluster and starve the shuffles between them
     return cands.map_batches(
-        _ExactJaccard,
-        fn_constructor_args=(docs_ref, threshold),
+        _ExactJaccard(docs_ref, threshold),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
         batch_size=None,
     )
