@@ -117,6 +117,8 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
         for rg in range(meta.num_row_groups):
             units.append({"path": path, "rg": rg})
 
+    TARGET_BATCH_BYTES = 4 << 20
+
     def fp_units(batch: pa.Table) -> pa.Table:
         outs = []
         for path, rg in zip(
@@ -126,9 +128,14 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
             # stream the row group in small record batches instead of
             # one monolithic read: a multi-10MB fresh read buffer per
             # task page-faults semi-serially across workers in this
-            # environment (same pathology as the hashing scratch)
+            # environment (same pathology as the hashing scratch).
+            # Rows per batch are BYTES-aware (from row-group metadata):
+            # a fixed row count turns into huge buffers on big files.
+            rg_meta = pf.metadata.row_group(rg)
+            avg_row = max(1, rg_meta.total_byte_size // max(1, rg_meta.num_rows))
+            rows = int(min(batch_size, max(16, TARGET_BATCH_BYTES // avg_row)))
             for rb in pf.iter_batches(
-                batch_size=batch_size,
+                batch_size=rows,
                 row_groups=[rg],
                 columns=["repo", "path", "commit", "lang", "content"],
             ):
