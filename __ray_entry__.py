@@ -89,7 +89,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_stats_by_lang": (
-            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, "
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
             "MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars "
             "FROM documents GROUP BY lang"
         ),
@@ -122,21 +123,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_x100, "
-            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
-            "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
-            "  AS sum_disc_price_cents, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "  AS sum_qty_x100, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "  AS sum_price_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            "  AS BIGINT)) AS BIGINT) AS sum_disc_price_cents, "
             "COUNT(*) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "orders_by_status": (
             "SELECT o_orderstatus, COUNT(*) AS n_orders, "
-            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "  AS total_cents "
             "FROM orders GROUP BY o_orderstatus"
         ),
         "top_customers": (
             "SELECT c.c_custkey, c.c_name, "
-            "SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents, "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "  AS total_cents, "
             "COUNT(*) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_custkey, c.c_name "
@@ -144,7 +149,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "customers_per_region": (
             "SELECT r.r_name, COUNT(*) AS n_customers, "
-            "SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS total_acctbal_cents "
+            "CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "  AS total_acctbal_cents "
             "FROM customer c "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "JOIN region r ON n.n_regionkey = r.r_regionkey "
@@ -152,7 +158,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_by_type": (
             "SELECT event_type, COUNT(*) AS n_events, "
-            "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli "
+            "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) "
+            "  AS sum_value_milli "
             "FROM events GROUP BY event_type"
         ),
         "high_value_lineitems": (
@@ -171,11 +178,13 @@ def oracle_sql() -> dict[str, str]:
         "events_per_hour": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
             "COUNT(*) AS n_events, "
-            "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli "
+            "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) "
+            "  AS sum_value_milli "
             "FROM events GROUP BY 1"
         ),
         "user_sessions": (
-            "SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events "
+            "SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, "
+            "COUNT(*) AS n_events "
             "FROM (SELECT user_id, CASE WHEN prev_ts IS NULL OR "
             "ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
             "FROM (SELECT user_id, ts, LAG(ts) OVER "

@@ -36,19 +36,14 @@ def _duck():
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's compare: sort columns by name, sort rows,
+    and do NOT coerce numeric dtypes — an int64 engine column vs a
+    float64 oracle column (DuckDB SUM→HUGEINT) must FAIL here exactly
+    as it fails the driver's value hash."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
-        elif df[c].dtype == bool:
-            df[c] = df[c].astype(int)
-        else:
-            try:
-                df[c] = df[c].astype("int64")
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -80,6 +75,11 @@ def test_query_matches_oracle(ray_session, name):
         f"{name} columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name} rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        assert got[c].dtype.kind == want[c].dtype.kind, (
+            f"{name}.{c} dtype kind {got[c].dtype} != {want[c].dtype} "
+            "(driver value-hash would mismatch)"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
