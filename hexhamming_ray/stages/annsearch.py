@@ -5,10 +5,24 @@
   float64 matmul against it (the per-batch analog of the reference's
   1-vs-N packed scan, python_hexhamming.cc:246-284, lifted to dense
   vectors). Partial top-k per batch, merged by a final small groupby.
-* ``knn_lsh`` — the scale path: random-hyperplane signature buckets
-  (signs -> simhash-style bit keys) shuffle candidates into blocks via
-  groupby; only within-bucket distances are computed. Recall < 1 by
-  construction; multiprobe widens it.
+  Query selection (smallest ``n_queries`` vec_ids) is distributed:
+  ``sort().limit()`` — each block contributes a partial min-k and only
+  ``n_queries`` rows ever reach the driver.
+* ``knn_lsh`` — the scale path: the QUERY bucket keys (tiny:
+  n_queries x n_tables ints) are broadcast, and the corpus scan keeps
+  only rows whose hyperplane-LSH key collides with a query bucket —
+  the shuffle carries candidates, not the corpus. Surviving candidates
+  are scored against the (broadcast, normalized) query matrix in the
+  same stage; a final small groupby(query_id) merges partial top-ks.
+* ``embedding_near_dup_pairs`` — EXACT all-pairs cosine >= threshold,
+  expressed as a block-pair cartesian over the materialized normalized
+  vectors: the driver holds only B block refs and schedules
+  B(B+1)/2 raw Ray tasks, each reading two blocks from the object
+  store (zero-copy Arrow) and emitting the thresholded pairs. No
+  corpus-sized object is ever built on the driver. O(N^2) compute by
+  definition of the operator; the LSH-bucketed candidates path
+  (``knn_lsh``-style bucketing + exact verify) is the approximate
+  alternative when N^2 is unaffordable.
 """
 
 from __future__ import annotations
@@ -35,6 +49,16 @@ def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+def _query_vectors(ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """The ``n_queries`` smallest vec_ids + embeddings, selected
+    DISTRIBUTED (sort -> limit is a partial min-k per block + a tiny
+    merge; only n_queries rows reach the driver)."""
+    rows = ds.sort("vec_id").limit(n_queries).take_all()
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return qids, qmat
+
+
 class _BruteScore:
     """Actor-pool stage: per batch, cosine of all rows vs the broadcast
     query matrix; emits each batch's top-k rows per query (partial
@@ -52,54 +76,27 @@ class _BruteScore:
         ids, mat = _to_matrix(batch)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = self.qn @ mat.T  # (Q, N)
-        out_q, out_n, out_s = [], [], []
         k = min(self.k + 1, sims.shape[1])
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k]
-            for j in top:
-                if ids[j] == self.qids[qi]:
-                    continue  # exclude self-match
-                out_q.append(self.qids[qi])
-                out_n.append(ids[j])
-                out_s.append(row[j])
+        # vectorized partial top-k across all queries at once
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (Q, k)
+        qidx = np.repeat(np.arange(sims.shape[0]), k)
+        nidx = top.reshape(-1)
+        out_q = self.qids[qidx]
+        out_n = ids[nidx]
+        out_s = sims[qidx, nidx]
+        keep = out_q != out_n  # exclude self-match
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(out_q[keep], pa.int64()),
+                "neighbor_id": pa.array(out_n[keep], pa.int64()),
+                "cosine": pa.array(out_s[keep], pa.float64()),
             }
         )
 
 
-def knn_bruteforce(sf_dir: str, *, n_queries: int = 10, k: int = 5):
-    """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids:
-    (query_id, neighbor_id, rank). Deterministic tie-break on
-    (cosine desc, neighbor_id asc)."""
-    import ray
-
-    ds = _emb(sf_dir)
-
-    # queries: the n_queries smallest vec_ids (deterministic, tiny)
-    qrows = sorted(
-        (r for b in ds.iter_batches(batch_format="pyarrow") for r in b.to_pylist()),
-        key=lambda r: r["vec_id"],
-    )[:n_queries]
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    queries_ref = ray.put((qids, qmat))
-
-    partial = ds.map_batches(
-        _BruteScore,
-        fn_constructor_args=(queries_ref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=pool_size(0.5),
-        batch_size=2048,
-    )
-
+def _final_topk_fn(k: int):
     def final_topk(group: pa.Table) -> pa.Table:
-        g = group.to_pandas()
+        g = group.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
         g = g.sort_values(
             ["cosine", "neighbor_id"], ascending=[False, True]
         ).head(k)
@@ -112,167 +109,194 @@ def knn_bruteforce(sf_dir: str, *, n_queries: int = 10, k: int = 5):
             }
         )
 
-    return partial.groupby("query_id").map_groups(
-        final_topk, batch_format="pyarrow"
-    )
+    return final_topk
 
 
-class _HyperplaneBucket:
-    """Random-hyperplane LSH bucketer (seeded, built once per actor)."""
-
-    def __init__(self, dim: int, n_bits: int = 8, n_tables: int = 4, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_tables, n_bits, dim))
-        self.n_tables = n_tables
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _to_matrix(batch)
-        n = len(ids)
-        out_key, out_id, out_vec = [], [], []
-        weights = 1 << np.arange(self.planes.shape[1], dtype=np.int64)
-        for t in range(self.n_tables):
-            signs = (mat @ self.planes[t].T) > 0  # (N, bits)
-            keys = signs.astype(np.int64) @ weights + (t << 32)
-            out_key.append(keys)
-            out_id.append(ids)
-            out_vec.append(mat)
-        return pa.table(
-            {
-                "bucket": pa.array(np.concatenate(out_key)),
-                "vec_id": pa.array(np.concatenate(out_id)),
-                "vec": pa.array(
-                    list(np.concatenate(out_vec, axis=0).astype(np.float32)),
-                    type=pa.list_(pa.float32()),
-                ),
-            }
-        )
-
-
-def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
-            n_bits: int = 8, n_tables: int = 4):
-    """Approximate top-k: hyperplane-LSH bucket groupby; queries are
-    compared only within their buckets. (query_id, neighbor_id, rank)
-    — approximate recall; the scale path for 10^12-row corpora."""
+def knn_bruteforce(sf_dir: str, *, n_queries: int = 10, k: int = 5):
+    """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids:
+    (query_id, neighbor_id, rank). Deterministic tie-break on
+    (cosine desc, neighbor_id asc)."""
     import ray
 
     ds = _emb(sf_dir)
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    queries_ref = ray.put(_query_vectors(ds, n_queries))
 
-    qrows = sorted(
-        (r for b in ds.iter_batches(batch_format="pyarrow") for r in b.to_pylist()),
-        key=lambda r: r["vec_id"],
-    )[:n_queries]
-    qids = set(int(r["vec_id"]) for r in qrows)
-    qids_ref = ray.put(np.array(sorted(qids), dtype=np.int64))
-
-    # two stateful pools are live at once in this pipeline (bucketer ->
-    # sort -> scorer): cap each at a quarter of the CPUs so the shuffle
-    # tasks between them always have workers
-    bucketed = ds.map_batches(
-        _HyperplaneBucket,
-        fn_constructor_args=(dim, n_bits, n_tables),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=pool_size(0.25), batch_size=None)
-
-    class ScoreBucket:
-        def __init__(self):
-            self.qids = ray.get(qids_ref)
-
-        def __call__(self, group: pa.Table) -> pa.Table:
-            ids = group.column("vec_id").to_numpy()
-            qmask = np.isin(ids, self.qids)
-            empty = pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-            if not qmask.any() or len(ids) < 2:
-                return empty
-            vecs = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in group.column("vec").to_pylist()]
-            )
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = vecs[qmask] @ vecs.T
-            out_q, out_n, out_s = [], [], []
-            for qi, qid in enumerate(ids[qmask]):
-                row = sims[qi]
-                for j in np.argsort(-row)[: k + 1]:
-                    if ids[j] == qid:
-                        continue
-                    out_q.append(int(qid))
-                    out_n.append(int(ids[j]))
-                    out_s.append(float(row[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "cosine": pa.array(out_s, pa.float64()),
-                }
-            )
-
-    partial = bucketed.groupby("bucket").map_groups(
-        ScoreBucket, batch_format="pyarrow", concurrency=pool_size(0.25)
-    )
-
-    def final_topk(group: pa.Table) -> pa.Table:
-        g = group.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return pa.table(
-            {
-                "query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
-                "neighbor_id": pa.array(g["neighbor_id"].to_numpy(), pa.int64()),
-                "rank": pa.array(g["rank"].to_numpy(), pa.int64()),
-            }
-        )
-
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
-
-
-def embedding_near_dup_pairs(sf_dir: str, *, threshold: float = 0.45):
-    """All pairs with cosine >= threshold (embedding near-dup dedup):
-    (id_lo, id_hi). Brute-force within-batch vs broadcast full matrix —
-    exact at test scale; the LSH-bucketed variant is the scale path."""
-    import ray
-
-    ds = _emb(sf_dir)
-    ids_all, mats = [], []
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        i, m = _to_matrix(b)
-        ids_all.append(i)
-        mats.append(m)
-    all_ids = np.concatenate(ids_all)
-    all_mat = np.concatenate(mats, axis=0)
-    all_mat = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, all_mat))
-
-    class Score:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, mat = _to_matrix(batch)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ self.mat.T
-            bi, gj = np.nonzero(sims >= threshold)
-            a = ids[bi]
-            b = self.ids[gj]
-            keep = a < b
-            return pa.table(
-                {
-                    "id_lo": pa.array(a[keep], pa.int64()),
-                    "id_hi": pa.array(b[keep], pa.int64()),
-                }
-            )
-
-    return ds.map_batches(
-        Score,
+    partial = ds.map_batches(
+        _BruteScore,
+        fn_constructor_args=(queries_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=pool_size(0.5),
         batch_size=2048,
     )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_fn(k), batch_format="pyarrow"
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def _bucket_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_tables, N) int64 bucket keys; table index folded into the
+    high bits so the key space never collides across tables."""
+    n_tables, n_bits, _ = planes.shape
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    keys = np.empty((n_tables, mat.shape[0]), dtype=np.int64)
+    for t in range(n_tables):
+        signs = (mat @ planes[t].T) > 0  # (N, bits)
+        keys[t] = signs.astype(np.int64) @ weights + (t << 32)
+    return keys
+
+
+class _LshCandidateScore:
+    """Fused stage: hyperplane-bucket each batch, keep only rows whose
+    key collides with a broadcast QUERY bucket (np.isin — the corpus
+    never shuffles), score survivors against the normalized query
+    matrix, emit per-batch partial top-ks."""
+
+    def __init__(self, queries_ref, planes: np.ndarray, k: int):
+        import ray
+
+        self.qids, qmat = ray.get(queries_ref)
+        self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        self.planes = planes
+        self.qkeys = np.unique(_bucket_keys(self.qn, planes).reshape(-1))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(batch)
+        keys = _bucket_keys(mat, self.planes)  # (T, N)
+        hit = np.isin(keys, self.qkeys).any(axis=0)  # (N,)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if not hit.any():
+            return empty
+        ids = ids[hit]
+        cand = mat[hit]
+        cand = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+        sims = self.qn @ cand.T  # (Q, H)
+        k = min(self.k + 1, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qidx = np.repeat(np.arange(sims.shape[0]), k)
+        nidx = top.reshape(-1)
+        out_q = self.qids[qidx]
+        out_n = ids[nidx]
+        out_s = sims[qidx, nidx]
+        keep = out_q != out_n
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[keep], pa.int64()),
+                "neighbor_id": pa.array(out_n[keep], pa.int64()),
+                "cosine": pa.array(out_s[keep], pa.float64()),
+            }
+        )
+
+
+def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
+            n_bits: int = 8, n_tables: int = 16):
+    """Approximate top-k: candidates = rows whose hyperplane-LSH key
+    (any of ``n_tables`` tables) collides with a query bucket; recall
+    < 1 by construction, widened by more tables (multiprobe).
+    (query_id, neighbor_id, rank) — the scale path for 10^12-row
+    corpora: the corpus is scanned once, only candidates are scored,
+    and only per-batch top-ks are shuffled."""
+    import ray
+
+    ds = _emb(sf_dir)
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    planes = _hyperplanes(dim, n_bits, n_tables)
+    queries_ref = ray.put(_query_vectors(ds, n_queries))
+
+    partial = ds.map_batches(
+        _LshCandidateScore,
+        fn_constructor_args=(queries_ref, planes, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=pool_size(0.5),
+        batch_size=2048,
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_fn(k), batch_format="pyarrow"
+    )
+
+
+def embedding_near_dup_pairs(
+    sf_dir: str, *, threshold: float = 0.45, block_rows: int = 4096
+):
+    """All pairs with cosine >= threshold (embedding near-dup dedup):
+    (id_lo, id_hi). Exact, expressed as a BLOCK-PAIR CARTESIAN: the
+    normalized vectors are materialized as ~N/block_rows Arrow blocks
+    in the object store; the driver holds only the block refs and
+    schedules one Ray task per block pair (i <= j), each computing one
+    tile of the cosine matrix. Partitioning assumption: a pair of
+    blocks (2 x block_rows x dim float64) fits in one worker's heap.
+    O(N^2) compute is intrinsic to the exact operator — at corpus
+    scale use the LSH candidate path (knn_lsh bucketing) instead."""
+    import ray
+
+    ds = _emb(sf_dir)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(batch)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "vec": pa.array(list(mat), type=pa.list_(pa.float64())),
+            }
+        )
+
+    norm = (
+        ds.map_batches(
+            normalize, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(target_num_rows_per_block=block_rows)
+        .materialize()
+    )
+    refs = norm.to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def score_tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        def unpack(t):
+            ids = t.column("vec_id").to_numpy()
+            col = t.column("vec")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.values.to_numpy(zero_copy_only=False).reshape(
+                len(ids), -1
+            )
+            return ids, mat
+
+        ia, ma = unpack(ta)
+        ib, mb = unpack(tb)
+        sims = ma @ mb.T
+        bi, bj = np.nonzero(sims >= threshold)
+        a, b = ia[bi], ib[bj]
+        if same:
+            keep = a < b
+        else:
+            keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    tiles = [
+        score_tile.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(tiles)
