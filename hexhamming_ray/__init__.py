@@ -29,6 +29,61 @@ def _tune_malloc() -> None:
 _tune_malloc()
 
 
+def tune_data_context(hash_shuffle: bool = False) -> None:
+    """Tune Ray Data's shuffle backend for this cluster. Called by
+    every pipeline before its root Dataset is created (the DataContext
+    snapshot is captured at root creation; the setting is process-
+    global and sticky, so every root site calls this to pin the
+    strategy it wants).
+
+    ``hash_shuffle=True`` selects the hash-shuffle backend — required
+    for ``Dataset.repartition(keys=[...], sort=True)``, the
+    hash-partition + in-block-sort primitive the candidate-pairing
+    stages use to co-locate band keys WITHOUT a global range sort (no
+    block-straddling runs, so no boundary pass). The default stays on
+    the sort-based backend: measured at sf0.1/32 CPUs, hash aggregation
+    doubled plain groupby/aggregate queries (exact_dedup 3.3->6.8 s,
+    q1 6.3->11.7 s, top_customers 7.8->17.5 s — per-query aggregator
+    actor spin-up dominates), so only pipelines that need keys=
+    repartition opt in.
+
+    The stock hash-shuffle defaults (parallelism 200, up to 64
+    aggregator actors) assume a large cluster; on a small one the
+    aggregator fleet starves every other stage (observed: a 4-CPU
+    groupby waited out the full 300 s aggregator-start timeout). Scale
+    both to the CPU count instead."""
+    try:
+        import ray
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = (
+            ShuffleStrategy.HASH_SHUFFLE
+            if hash_shuffle
+            else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+        )
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized()
+            else 4
+        )
+        ctx.default_hash_shuffle_parallelism = max(2, min(64, cpus))
+        ctx.max_hash_shuffle_aggregators = max(1, min(16, cpus // 2))
+        # Aggregator actors are concat/finalize workers that mostly
+        # wait on inbound partitions; their default CPU reservation
+        # (min(1, CPU/2/partitions) EACH) deadlocks a small cluster
+        # the moment a plan holds several concurrent shuffle/join ops
+        # plus a fixed actor pool (observed: minhash pipeline, 4 CPUs,
+        # 4 shuffle ops x 2 aggregators reserving 8 of 4 CPUs). Make
+        # them near-free so placement never starves the compute pools;
+        # single-node oversubscription during finalize is benign.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.01
+    except Exception:
+        pass
+
+
 def pool_size(frac: float = 0.5, lo: int = 1, hi: int = 64) -> int:
     """Fixed actor-pool size for stateful map_batches/map_groups stages,
     derived from the cluster CPU count at call time. Ray Data's

@@ -16,6 +16,9 @@ import pyarrow.compute as pc
 def _t(sf_dir: str, name: str, columns=None):
     import ray
 
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 

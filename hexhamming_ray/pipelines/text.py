@@ -22,9 +22,12 @@ from hexhamming_ray.functions.hashing import (
 )
 
 
-def _docs(sf_dir: str, columns=None):
+def _docs(sf_dir: str, columns=None, *, hash_shuffle: bool = False):
     import ray
 
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context(hash_shuffle=hash_shuffle)
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=columns
     )
@@ -166,8 +169,12 @@ def simhash_docs(sf_dir: str):
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
-class _MinhashBand:
-    """Actor-pool stage: minhash signatures + LSH band keys per batch.
+NUM_PERM = 64
+LSH_BANDS = 16
+
+
+class _MinhashSig:
+    """Actor-pool stage: (doc_id, sig) minhash signatures per batch.
 
     Signatures are the fully-vectorized byte-8-gram MinHash
     (``minhash_bytes_batch``): the word-shingle variant costs one
@@ -175,108 +182,179 @@ class _MinhashBand:
     at bench scale; the byte-shingle stream reuses the simhash window
     scratch and runs at memory speed."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16):
+    def __init__(self, num_perm: int = NUM_PERM):
         self.num_perm = num_perm
-        self.bands = bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         raw = [t.encode() for t in batch.column("text").to_pylist()]
         sigs = minhash_bytes_batch(raw, num_perm=self.num_perm)
-        keys = band_keys_from_minhash(sigs, self.bands)
-        n = len(raw)
-        ids = batch.column("doc_id").to_numpy()
         return pa.table(
             {
-                "band": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), n)
-                ),
-                "bkey": pa.array(keys.reshape(-1).view(np.int64)),
-                "doc_id": pa.array(np.repeat(ids, self.bands)),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "sig": pa.FixedSizeBinaryArray.from_buffers(
                     pa.binary(self.num_perm * 8),
-                    n * self.bands,
-                    [None, pa.py_buffer(np.repeat(sigs, self.bands, axis=0).tobytes())],
+                    len(raw),
+                    [None, pa.py_buffer(sigs.tobytes())],
                 ),
             }
         )
 
 
-class _JaccardVerify:
-    """Score candidate blocks: estimated jaccard from minhash signature
-    agreement; emit pairs >= threshold."""
+def _sig_matrix(col) -> np.ndarray:
+    """FixedSizeBinary signature column -> (N, num_perm) uint64 view."""
+    from hexhamming_ray.functions.kernel import fsb_to_matrix
 
-    def __init__(self, num_perm: int = 64, threshold: float = 0.5):
-        self.num_perm = num_perm
-        self.threshold = threshold
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        n = len(group)
-        empty = pa.table(
-            {
-                "id_lo": pa.array([], pa.int64()),
-                "id_hi": pa.array([], pa.int64()),
-                "sim_x1000": pa.array([], pa.int64()),
-            }
-        )
-        if n < 2:
-            return empty
-        ids = group.column("doc_id").to_numpy()
-        sigs = np.stack(
-            [
-                np.frombuffer(s, dtype=np.uint64)
-                for s in group.column("sig").to_pylist()
-            ]
-        )
-        # de-dup doc ids within a block (same pair found in many bands
-        # is deduped globally later)
-        uniq_idx = np.unique(ids, return_index=True)[1]
-        ids = ids[uniq_idx]
-        sigs = sigs[uniq_idx]
-        n = len(ids)
-        if n < 2:
-            return empty
-        lo, hi, sim = [], [], []
-        for i in range(n):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(agree >= self.threshold)[0]
-            for j, a in zip(hit, agree[hit]):
-                x, y = ids[i], ids[i + 1 + j]
-                lo.append(min(x, y))
-                hi.append(max(x, y))
-                sim.append(int(round(a * 1000)))
-        return pa.table(
-            {
-                "id_lo": pa.array(lo, pa.int64()),
-                "id_hi": pa.array(hi, pa.int64()),
-                "sim_x1000": pa.array(sim, pa.int64()),
-            }
-        )
+    return fsb_to_matrix(col).view("<u8")
 
 
-def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5):
-    """Near-duplicate candidate pairs via MinHash-LSH banding:
-    shingle -> minhash -> band -> groupby(band key) -> verify
-    (estimated Jaccard >= threshold). (id_lo, id_hi, sim_x1000)."""
-    from ray.data.aggregate import Max
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, sig) -> LSH_BANDS x (bkey, doc_id) rows. The 512-byte
+    signature does NOT ride along: the band shuffle carries 16 bytes
+    per row and signatures are re-joined only for surviving candidate
+    pairs (the candidate set, not the corpus, bounds that join)."""
+    sigs = _sig_matrix(batch.column("sig"))
+    keys = band_keys_from_minhash(sigs, LSH_BANDS)
+    ids = batch.column("doc_id").to_numpy()
+    return pa.table(
+        {
+            "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, LSH_BANDS)),
+        }
+    )
 
-    from hexhamming_ray import pool_size
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    banded = ds.map_batches(
-        _MinhashBand,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=pool_size(0.25),
+def _pairs_from_runs(batch: pa.Table) -> pa.Table:
+    """Candidate pairs from equal-bkey runs of a hash-partitioned,
+    in-block-sorted (bkey) batch. Hash partitioning co-locates every
+    key in exactly one block, so there is no boundary pass. Length-2
+    runs (the vast majority) are emitted in one vectorized pass;
+    longer runs use np.triu_indices per run."""
+    n = len(batch)
+    empty = pa.table(
+        {"id_lo": pa.array([], pa.int64()), "id_hi": pa.array([], pa.int64())}
+    )
+    if n < 2:
+        return empty
+    keys = batch.column("bkey").to_numpy()
+    ids = batch.column("doc_id").to_numpy()
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    lens = ends - starts
+    lo_l, hi_l = [], []
+    m2 = lens == 2
+    if m2.any():
+        s = starts[m2]
+        a, b = ids[s], ids[s + 1]
+        lo_l.append(np.minimum(a, b))
+        hi_l.append(np.maximum(a, b))
+    for s, e in zip(starts[lens >= 3], ends[lens >= 3]):
+        run = np.unique(ids[s:e])
+        ii, jj = np.triu_indices(run.shape[0], k=1)
+        lo_l.append(run[ii])
+        hi_l.append(run[jj])
+    if not lo_l:
+        return empty
+    return pa.table(
+        {
+            "id_lo": pa.array(np.concatenate(lo_l), pa.int64()),
+            "id_hi": pa.array(np.concatenate(hi_l), pa.int64()),
+        }
+    )
+
+
+def _join_col(pairs, table, key: str, out_name: str, value_col: str,
+              num_partitions: int):
+    """pairs JOIN table(doc_id, value_col) ON pairs[key] == doc_id,
+    projecting value_col -> out_name (native hash join; both sides
+    shuffle by the join key only)."""
+    j = pairs.join(
+        table,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=("doc_id",),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names if c != value_col}
+        cols[out_name] = batch.column(value_col)
+        return pa.table(cols)
+
+    return j.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+def minhash_candidates(sigs, *, num_partitions: int = 16):
+    """Deduped candidate pairs (id_lo, id_hi) from LSH banding over a
+    (doc_id, sig) signature Dataset: band -> hash-repartition by bkey
+    (16-byte rows) -> run pairing -> distinct."""
+    banded = sigs.map_batches(
+        _band_rows, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
-    pairs = banded.groupby("bkey").map_groups(
-        _JaccardVerify,
-        fn_constructor_kwargs={"threshold": threshold},
+    cand = banded.repartition(
+        num_blocks=num_partitions, keys=["bkey"], sort=True
+    ).map_batches(_pairs_from_runs, batch_format="pyarrow",
+                  zero_copy_batch=True, batch_size=None)
+    # distinct across bands: hash-partition by pair, unique per block
+    def distinct(batch: pa.Table) -> pa.Table:
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_lo": pa.array(u[:, 0], pa.int64()),
+                "id_hi": pa.array(u[:, 1], pa.int64()),
+            }
+        )
+
+    return cand.repartition(
+        num_blocks=num_partitions, keys=["id_lo", "id_hi"], sort=True
+    ).map_batches(distinct, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+
+
+def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
+                      num_partitions: int = 16):
+    """Near-duplicate pairs via MinHash-LSH banding:
+    signature -> (bkey, doc_id) band shuffle -> run pairing ->
+    distinct -> re-join signatures -> vectorized estimated-Jaccard
+    verify. (id_lo, id_hi, sim_x1000 >= threshold*1000).
+
+    Scale shape: the band shuffle moves 16 bytes/doc/band (not the
+    512-byte signature x 16); signatures are joined back only for the
+    candidate pairs, so both joins are candidate-bounded."""
+    from hexhamming_ray import pool_size
+
+    sigs = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
+        _MinhashSig,
         batch_format="pyarrow",
-        concurrency=pool_size(0.25),
+        zero_copy_batch=True,
+        concurrency=pool_size(0.5),
+        batch_size=None,
+    ).materialize()  # consumed twice: banding + candidate re-join
+    cand = minhash_candidates(sigs, num_partitions=num_partitions)
+    j = _join_col(cand, sigs, "id_lo", "sig_lo", "sig", num_partitions)
+    j = _join_col(j, sigs, "id_hi", "sig_hi", "sig", num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = _sig_matrix(batch.column("sig_lo"))
+        b = _sig_matrix(batch.column("sig_hi"))
+        agree = (a == b).mean(axis=1)
+        keep = agree >= threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+                "sim_x1000": pa.array(
+                    np.rint(agree[keep] * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    out = pairs.groupby(["id_lo", "id_hi"]).aggregate(Max("sim_x1000"))
-    return out.rename_columns(["id_lo", "id_hi", "sim_x1000"])
 
 
 def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
@@ -315,86 +393,101 @@ def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
     return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
-class _ExactJaccard:
-    """Exact token-3-gram Jaccard for candidate pairs. The documents'
-    shingle sets are broadcast once via ``ray.put`` (small side); at
-    10^12-doc scale this becomes a hash join of candidate pairs against
-    the corpus on doc_id — the candidate set, not the corpus, is what
-    this stage iterates."""
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Sorted unique 64-bit hashes of a document's token-3-gram shingle
+    set (blake2b-8: deterministic across workers, unlike built-in
+    ``hash``). Documents with < 3 tokens contribute their joined-token
+    string as the single shingle; empty documents contribute none —
+    matching the round-1 frozenset semantics."""
+    import hashlib
 
-    def __init__(self, docs_ref, threshold: float):
-        self.ref = docs_ref
-        self.threshold = threshold
-        self._shingles = None
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < 3:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    return np.unique(h)
 
-    @property
-    def shingles(self):
-        if self._shingles is None:
-            import ray
 
-            self._shingles = ray.get(self.ref)  # dict doc_id -> frozenset
-        return self._shingles
+def _shingle_table(sf_dir: str):
+    """(doc_id, sh: binary) shingle-hash table; ``sh`` is the sorted
+    unique uint64 hash array serialized as raw little-endian bytes
+    (Acero hash joins don't accept list<> payload columns — a binary
+    blob carries the same data through the join)."""
 
-    def __getstate__(self):
-        return {"ref": self.ref, "threshold": self.threshold, "_shingles": None}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lo = batch.column("id_lo").to_numpy()
-        hi = batch.column("id_hi").to_numpy()
-        out_lo, out_hi, out_j = [], [], []
-        for a, b in zip(lo.tolist(), hi.tolist()):
-            sa = self.shingles.get(a)
-            sb = self.shingles.get(b)
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= self.threshold:
-                out_lo.append(a)
-                out_hi.append(b)
-                out_j.append(int(round(j * 1000)))
+    def f(batch: pa.Table) -> pa.Table:
+        blobs = [
+            _shingle_hashes(t).tobytes()
+            for t in batch.column("text").to_pylist()
+        ]
         return pa.table(
             {
-                "id_lo": pa.array(out_lo, pa.int64()),
-                "id_hi": pa.array(out_hi, pa.int64()),
-                "jaccard_x1000": pa.array(out_j, pa.int64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "sh": pa.array(blobs, pa.large_binary()),
             }
         )
 
+    return _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
-def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5):
+
+def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
+                        num_partitions: int = 16):
     """Near-dup pairs with EXACT token-3-gram Jaccard >= threshold:
     MinHash-LSH proposes candidates (cheap, approximate), then the
     exact set Jaccard verifies — the estimate filters, the exact value
-    decides. (id_lo, id_hi, jaccard_x1000)."""
-    import ray
+    decides. (id_lo, id_hi, jaccard_x1000).
 
-    # candidates from the minhash pipeline at a permissive threshold
-    cands = minhash_dup_pairs(sf_dir, threshold=0.3)
+    Scale shape: the candidate pairs are hash-JOINED back to the
+    per-doc shingle-hash table on doc_id (twice: lo side, hi side) —
+    the candidate set, not the corpus, bounds every post-LSH stage.
+    Nothing corpus-sized ever reaches the driver."""
+    cands = minhash_dup_pairs(sf_dir, threshold=0.3).select_columns(
+        ["id_lo", "id_hi"]
+    )
+    sh = _shingle_table(sf_dir).materialize()
+    j = _join_col(cands, sh, "id_lo", "sh_lo", "sh", num_partitions)
+    j = _join_col(j, sh, "id_hi", "sh_hi", "sh", num_partitions)
 
-    def shingle_set(text: str) -> frozenset:
-        toks = text.split()
-        if len(toks) < 3:
-            return frozenset([" ".join(toks)]) if toks else frozenset()
-        return frozenset(
-            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    def verify(batch: pa.Table) -> pa.Table:
+        lo_sets = [
+            np.frombuffer(s, dtype=np.uint64)
+            for s in batch.column("sh_lo").to_pylist()
+        ]
+        hi_sets = [
+            np.frombuffer(s, dtype=np.uint64)
+            for s in batch.column("sh_hi").to_pylist()
+        ]
+        n = len(lo_sets)
+        jac = np.zeros(n)
+        for i in range(n):  # per-CANDIDATE loop; intersections are numpy
+            sa, sb = lo_sets[i], hi_sets[i]
+            if sa.shape[0] == 0 or sb.shape[0] == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            jac[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+                "jaccard_x1000": pa.array(
+                    np.rint(jac[keep] * 1000).astype(np.int64), pa.int64()
+                ),
+            }
         )
 
-    shingles = {}
-    for b in _docs(sf_dir, ["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for r in b.to_pylist():
-            shingles[r["doc_id"]] = shingle_set(r["text"])
-    docs_ref = ray.put(shingles)
-
-    # instance (not class) -> plain task UDF: this pipeline already has
-    # two actor pools upstream, and a third pool would hold every CPU of
-    # a small cluster and starve the shuffles between them
-    return cands.map_batches(
-        _ExactJaccard(docs_ref, threshold),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
+    return j.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

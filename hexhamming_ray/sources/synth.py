@@ -42,6 +42,16 @@ HUB_SIZE = 150
 EMPTY_EVERY = 513  # every 513th cluster's first clone has empty content
 
 
+
+def _tuned_range(n, **kw):
+    import ray
+
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
+    return ray.data.range(n, **kw)
+
+
 def _cluster_size(cluster_id: int) -> int:
     if cluster_id > 0 and cluster_id % HUB_EVERY == 0:
         return HUB_SIZE
@@ -171,7 +181,7 @@ def generate_corpus(
 
     os.makedirs(files_dir, exist_ok=True)
     (
-        ray.data.range(nc, override_num_blocks=max(8, nc // 64))
+        _tuned_range(nc, override_num_blocks=max(8, nc // 64))
         .map_batches(expand, batch_format="numpy", batch_size=64)
         .write_parquet(files_dir)
     )

@@ -36,6 +36,9 @@ from hexhamming_ray import pool_size
 def _emb(sf_dir: str):
     import ray
 
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -142,6 +142,9 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
                 outs.append(fingerprint_batch(pa.Table.from_batches([rb])))
         return pa.concat_tables(outs) if outs else FINGERPRINT_SCHEMA.empty_table()
 
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
     return ray.data.from_items(units).map_batches(
         fp_units, batch_format="pyarrow", batch_size=1
     )

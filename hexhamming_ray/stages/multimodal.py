@@ -115,6 +115,9 @@ def media_features(n_media: int = 1000):
     extraction. Returns (media_id, kind, feature, n_bytes)."""
     import ray
 
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
     media = ray.data.range(n_media).map_batches(
         synth_media_batch, batch_format="numpy", batch_size=256
     )
