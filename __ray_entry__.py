@@ -44,6 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": T.minhash_dup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "er_clusters_docs": T.er_clusters_docs,
+        # --- oracled dedup/ER/sampling additions (round 2) ---
+        "er_exact_clusters": T.er_exact_clusters,
+        "ngram_jaccard_exact": T.ngram_jaccard_exact,
+        "doc_sample": T.doc_sample,
+        "random_sample_docs": T.random_sample_docs,
         # --- similarity search over embeddings ---
         "knn_bruteforce": A.knn_bruteforce,
         "knn_lsh": A.knn_lsh,
@@ -104,6 +109,40 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
             "COUNT(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "er_exact_clusters": (
+            "SELECT doc_id, CAST(MIN(doc_id) OVER "
+            "(PARTITION BY md5(text)) AS BIGINT) AS cluster_id "
+            "FROM documents"
+        ),
+        "ngram_jaccard_exact": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "sh0 AS ( "
+            "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+            "  WHERE len(t) >= 3 "
+            "  UNION ALL "
+            "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+            "  WHERE len(t) BETWEEN 1 AND 2), "
+            "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+            "df AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= 64), "
+            "keep AS (SELECT shd.doc_id, shd.s FROM shd JOIN df USING (s)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+            "  COUNT(*) AS c FROM keep a JOIN keep b "
+            "  ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT inter.id_lo, inter.id_hi, "
+            "CAST(FLOOR(1000.0 * c / (sa.n + sb.n - c)) AS BIGINT) "
+            "  AS jaccard_x1000 "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.id_lo "
+            "JOIN sizes sb ON sb.doc_id = inter.id_hi "
+            "WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5"
+        ),
+        "doc_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

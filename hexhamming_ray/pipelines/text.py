@@ -393,6 +393,86 @@ def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
     return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def er_exact_clusters(sf_dir: str):
+    """Exact-duplicate clusters via the FULL ER machinery (banding ->
+    scoring -> distributed union-find) with a cryptographic-identity
+    fingerprint: each document's 'simhash' is its sha256 digest, so
+    dist == 0 iff contents are byte-identical and threshold=0 yields
+    exactly the text-equality partition. (doc_id, cluster_id) with
+    cluster_id = MIN(doc_id) of the equality class — SQL-oracle-able
+    (min over a window partitioned by content hash), giving the
+    flagship blocking/scoring/union-find path a value-level oracle."""
+    from hexhamming_ray.pipelines.er import build_clusters, build_edges_from_fps
+
+    def fp(batch: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.sha256(t.encode()).digest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "file_id": batch.column("doc_id").cast(pa.int64()),
+                "simhash": pa.array(digests, pa.binary(32)),
+            }
+        )
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    fps, edges = build_edges_from_fps(fps, threshold=0)
+    clusters = build_clusters(fps, edges)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("file_id").cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+            }
+        )
+
+    return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def doc_sample(sf_dir: str, *, fraction_hex: str = "1999"):
+    """Deterministic hash-based sample (the scalable eval-set builder:
+    membership is a pure function of doc_id, so the same rows are
+    sampled on every run, on any cluster, resumable for free):
+    keep rows where the first 4 hex chars of md5(str(doc_id)) <
+    ``fraction_hex`` (default 0x1999/0x10000 ~ 10%). (doc_id, n_chars)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.fromiter(
+            (
+                hashlib.md5(str(int(i)).encode()).hexdigest()[:4] < fraction_hex
+                for i in ids
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_chars": batch.column("n_chars").filter(pa.array(keep)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def random_sample_docs(sf_dir: str, *, fraction: float = 0.1,
+                       seed: int = 42):
+    """Seeded uniform row sample via the native ``Dataset.random_sample``
+    (SURVEY.md §2.3 sampling row). Row membership depends on block
+    layout, so this is the quick-subset tool; ``doc_sample`` is the
+    reproducible-across-clusters eval-set builder."""
+    return _docs(sf_dir, ["doc_id", "n_chars"]).random_sample(
+        fraction, seed=seed
+    )
+
+
 def _shingle_hashes(text: str) -> np.ndarray:
     """Sorted unique 64-bit hashes of a document's token-3-gram shingle
     set (blake2b-8: deterministic across workers, unlike built-in
@@ -490,4 +570,154 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
 
     return j.map_batches(
         verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
+                        df_cap: int = 64, num_partitions: int = 16):
+    """EXACT all-pairs token-3-gram Jaccard >= threshold over the
+    DF-capped shingle space: shingles occurring in more than ``df_cap``
+    documents are dropped from every set (stop-shingle removal — the
+    standard skew guard: a boilerplate shingle shared by k docs would
+    otherwise emit k^2/2 co-occurrence rows), and Jaccard is computed
+    over the surviving sets. Deterministic and SQL-expressible, so this
+    query carries a full value-level DuckDB oracle, unlike the
+    LSH-candidate variants. (id_lo, id_hi, jaccard_x1000 floored).
+
+    Shape: explode (shingle, doc_id) -> hash-repartition by shingle ->
+    per-run DF filter + pair emission (bounded df_cap^2/2 per shingle)
+    -> pair-count aggregation = intersections -> join per-doc kept-set
+    sizes (lo, hi) -> vectorized Jaccard. All-to-alls: shingle
+    repartition, pair groupby, two candidate-bounded joins."""
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        sets = [_shingle_hashes(t) for t in texts]
+        counts = np.array([s.shape[0] for s in sets], dtype=np.int64)
+        values = (
+            np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                "s": pa.array(values.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            }
+        )
+
+    sh = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def df_filter_and_pairs(batch: pa.Table) -> pa.Table:
+        """One hash-partitioned, in-block-sorted (s) block: drop runs
+        longer than df_cap, emit each run's doc pairs; also emit the
+        per-(doc, kept-shingle) rows as (doc_id, -1) marker? — no:
+        sizes need their own aggregation; emit pairs only here."""
+        n = len(batch)
+        empty = pa.table(
+            {"id_lo": pa.array([], pa.int64()), "id_hi": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        keys = batch.column("s").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        lens = ends - starts
+        lo_l, hi_l = [], []
+        m2 = lens == 2
+        if m2.any():
+            s0 = starts[m2]
+            a, b = ids[s0], ids[s0 + 1]
+            lo_l.append(np.minimum(a, b))
+            hi_l.append(np.maximum(a, b))
+        for s0, e0 in zip(starts[(lens >= 3) & (lens <= df_cap)],
+                          ends[(lens >= 3) & (lens <= df_cap)]):
+            run = np.sort(ids[s0:e0])
+            ii, jj = np.triu_indices(run.shape[0], k=1)
+            lo_l.append(run[ii])
+            hi_l.append(run[jj])
+        if not lo_l:
+            return empty
+        return pa.table(
+            {
+                "id_lo": pa.array(np.concatenate(lo_l), pa.int64()),
+                "id_hi": pa.array(np.concatenate(hi_l), pa.int64()),
+            }
+        )
+
+    def kept_sizes_rows(batch: pa.Table) -> pa.Table:
+        """Per block: (doc_id, n_kept_partial) — shingle rows surviving
+        the DF cap, pre-aggregated per doc inside the block (partial
+        combine before the groupby)."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_partial": pa.array([], pa.int64())}
+            )
+        keys = batch.column("s").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        lens = ends - starts
+        keep_run = lens <= df_cap
+        keep_mask = np.repeat(keep_run, lens)
+        kept_ids = ids[keep_mask]
+        uniq, cnt = np.unique(kept_ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_partial": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    part = sh.repartition(
+        num_blocks=num_partitions, keys=["s"], sort=True
+    ).materialize()  # consumed twice: pair emission + kept sizes
+    pairs = part.map_batches(
+        df_filter_and_pairs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    from ray.data.aggregate import Sum
+
+    inter = (
+        pairs.groupby(["id_lo", "id_hi"])
+        .aggregate(Count())
+        .rename_columns(["id_lo", "id_hi", "inter"])
+    )
+    sizes = (
+        part.map_batches(
+            kept_sizes_rows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("n_partial"))
+        .rename_columns(["doc_id", "n_kept"])
+    )
+    j = _join_col(inter, sizes, "id_lo", "n_lo", "n_kept", num_partitions)
+    j = _join_col(j, sizes, "id_hi", "n_hi", "n_kept", num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("inter").to_numpy().astype(np.float64)
+        na = batch.column("n_lo").to_numpy().astype(np.float64)
+        nb = batch.column("n_hi").to_numpy().astype(np.float64)
+        jac = c / (na + nb - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+                "jaccard_x1000": pa.array(
+                    np.floor(jac[keep] * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

@@ -125,3 +125,46 @@ def test_simhash_separation(ray_session):
     d_diff = hamming_rowwise(fps[0:1], fps[2:3])[0]
     assert d_clone <= 20
     assert d_diff > 40
+
+
+def test_er_exact_clusters_with_planted_dups(ray_session, tmp_path):
+    """er_exact_clusters on a corpus WITH exact duplicates: clusters
+    must equal the text-equality partition with min-doc_id labels.
+    (The driver testdata has no exact dups, where this query is
+    trivially the identity map — this pins the non-trivial path.)"""
+    import pyarrow as pa
+
+    from hexhamming_ray.pipelines.text import er_exact_clusters
+
+    texts, ids = [], []
+    for g in range(20):
+        body = f"document body {g} " + "tok ".join(str(g * 7 + k) for k in range(30))
+        for m in range(g % 4 + 1):  # groups of size 1..4
+            ids.append(len(ids))
+            texts.append(body)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["synth"] * len(ids)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        er_exact_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # local oracle: min doc_id per identical text
+    want = {}
+    first = {}
+    for i, t in zip(ids, texts):
+        first.setdefault(t, i)
+        want[i] = first[t]
+    assert len(got) == len(ids)
+    assert {int(r.doc_id): int(r.cluster_id) for r in got.itertuples()} == want
+    sizes = got.groupby("cluster_id").size()
+    assert (sizes > 1).sum() > 0, "planted duplicate groups must merge"

@@ -88,7 +88,8 @@ ROWS_ONLY = ["simhash_docs", "minhash_dup_pairs", "er_clusters_docs", "knn_lsh"]
 
 @pytest.mark.parametrize(
     "name",
-    ["simhash_docs", "minhash_dup_pairs", "knn_lsh", "ngram_jaccard_pairs", "media_features"],
+    ["simhash_docs", "minhash_dup_pairs", "knn_lsh", "ngram_jaccard_pairs",
+     "media_features", "random_sample_docs"],
 )
 def test_rows_only_queries_run(ray_session, name):
     entry = __import__("__ray_entry__")
@@ -96,3 +97,8 @@ def test_rows_only_queries_run(ray_session, name):
     assert df is not None
     if name == "simhash_docs":
         assert len(df) == 500 and df["simhash_hex"].str.len().eq(64).all()
+    if name == "random_sample_docs":
+        # seeded sample: plausible size and repeatable within a session
+        assert 10 <= len(df) <= 150
+        df2 = _to_pandas(entry.queries()[name](SF_DIR))
+        assert sorted(df.doc_id) == sorted(df2.doc_id)
