@@ -157,8 +157,13 @@ def main() -> None:
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling arm (num_cpus={cpus}) failed rc={proc.returncode}:\n"
+                    f"{proc.stderr[-4000:]}"
+                )
+            results[cpus] = json.loads(lines[-1])
         lo, hi = args.cpus_lo, args.cpus_hi
         t_lo = results[lo]["wall_sec"]
         t_hi = results[hi]["wall_sec"]

@@ -64,10 +64,9 @@ _H01 = np.uint64(0x0101010101010101)
 # ---------------------------------------------------------------------------
 
 
-def _decode_hex(s: str) -> np.ndarray:
-    """Hex string -> int16 nibble array; raises on invalid char."""
-    raw = np.frombuffer(s.encode("latin-1", errors="replace"), dtype=np.uint8)
-    vals = _NIBBLE[raw]
+def _decode_hex_bytes(raw: bytes) -> np.ndarray:
+    """UTF-8 byte string -> int16 nibble array; raises on invalid char."""
+    vals = _NIBBLE[np.frombuffer(raw, dtype=np.uint8)]
     if vals.size and vals.min() < 0:
         raise ValueError("hex string contains invalid char")
     return vals
@@ -77,13 +76,19 @@ def hamming_distance_string(a: str, b: str) -> int:
     """Bitwise Hamming distance of two equal-length hex strings.
 
     Reference: hamming_distance_string_wrapper, python_hexhamming.cc:79-122.
-    """
+    The reference receives the UTF-8 C string (PyArg_ParseTuple "s") and
+    compares strlen of the ENCODED bytes, so non-ASCII inputs length-
+    compare by byte count and then fail per-byte validation — e.g.
+    ('é', 'ab') proceeds past the length check (2 bytes each) and
+    raises 'hex string contains invalid char', not a length error."""
     if not isinstance(a, str) or not isinstance(b, str):
         raise ValueError("error occurred while parsing arguments")
-    if len(a) != len(b):
+    ra = a.encode("utf-8")
+    rb = b.encode("utf-8")
+    if len(ra) != len(rb):
         raise ValueError("strings are NOT the same length")
-    va = _decode_hex(a)
-    vb = _decode_hex(b)
+    va = _decode_hex_bytes(ra)
+    vb = _decode_hex_bytes(rb)
     return int(_LOOKUP4[(va ^ vb).astype(np.uint8)].sum())
 
 
@@ -113,16 +118,18 @@ def check_hexstrings_within_dist(a: str, b: str, max_dist: int) -> bool:
     """
     if not isinstance(a, str) or not isinstance(b, str) or not isinstance(max_dist, int):
         raise ValueError("error occurred while parsing arguments")
-    if len(a) != len(b):
+    ra = a.encode("utf-8")  # reference strlen semantics: byte counts
+    rb = b.encode("utf-8")
+    if len(ra) != len(rb):
         raise ValueError("strings are NOT the same length")
     if max_dist < 0:
         raise ValueError("`max_dist` must be >0")
-    if max_dist > len(a):
+    if max_dist > len(ra):
         return True
-    if a == b:
+    if ra == rb:
         return True
-    va = _decode_hex(a)
-    vb = _decode_hex(b)
+    va = _decode_hex_bytes(ra)
+    vb = _decode_hex_bytes(rb)
     return int(_LOOKUP4[(va ^ vb).astype(np.uint8)].sum()) <= max_dist
 
 
@@ -200,15 +207,65 @@ def available_kernels(width: int) -> list[str]:
 
 def select_kernel(width: int, name: str | None = None):
     """Pick a popcount-rows kernel, mirroring set_algo semantics
-    (python_hexhamming.cc:294-344): explicit name or best available."""
+    (python_hexhamming.cc:294-344): explicit name, else the process
+    default chosen by ``set_algo``, else best available. Raises
+    ValueError with the reference's error texts for unknown /
+    unsupported names (``set_algo`` below is the return-string-contract
+    twin for conformance with python_hexhamming.cc:342, :479)."""
     avail = available_kernels(width)
     if name is None:
-        name = avail[-1]
+        name = _SELECTED if _SELECTED in avail else avail[-1]
     if name not in _KERNELS:
         raise ValueError("Library was built without this algorithm.")
     if name not in avail:
         raise ValueError("CPU doesnt support this feature.")
     return _KERNELS[name]
+
+
+# Reference algo names -> engine kernels. The reference's set_algo
+# sweep uses ['extra', 'native', 'sse41', 'classic']
+# (test/test_hexhamming.py:69-77): 'classic' is the scalar SWAR path
+# (popcnt64__classic) -> swar64; 'extra'/'native' are the SIMD paths,
+# whose engine analog is the vectorized LUT kernel; 'sse41' has no
+# engine analog and reports CPU-unsupported, exercising the sweep's
+# skip branch exactly as a non-SSE4.1 host would.
+_ALGO_ALIASES = {
+    "classic": "swar64",
+    "native": "lut8",
+    "extra": "lut8",
+    "lut8": "lut8",
+    "swar64": "swar64",
+}
+_SELECTED: str | None = None
+
+
+def set_algo(name: str) -> str:
+    """Process-global kernel selection with the reference's RETURN-
+    STRING error contract (python_hexhamming.cc:294-344): returns ``""``
+    on success, ``"CPU doesnt support this feature."`` when the named
+    algorithm exists but this host/width can't run it (formatted with
+    a capability hex in the reference, python_hexhamming.cc:479 — the
+    engine has no CPUID so the suffix is omitted), and ``"Library was
+    built without this algorithm."`` for unknown names
+    (python_hexhamming.cc:342). Never raises.
+
+    Scope: affects the CALLING process only (each Ray worker selects
+    independently); scorer actors pass ``kernel=`` explicitly — the
+    reference's global pointer mutation is not thread-safe
+    (SURVEY.md §4.1), so cross-worker mutation is deliberately not
+    offered."""
+    global _SELECTED
+    if name == "sse41":
+        return "CPU doesnt support this feature."
+    if name not in _ALGO_ALIASES:
+        return "Library was built without this algorithm."
+    kernel = _ALGO_ALIASES[name]
+    from hexhamming_ray.functions.hashing import FP_BYTES
+
+    if kernel not in available_kernels(FP_BYTES):
+        return "CPU doesnt support this feature."
+    _SELECTED = kernel
+    return ""
 
 
 def hamming_rowwise(

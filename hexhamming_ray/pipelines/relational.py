@@ -13,12 +13,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _t(sf_dir: str, name: str, columns=None):
+def _t(sf_dir: str, name: str, columns=None, *, hash_shuffle: bool = False):
     import ray
 
     from hexhamming_ray import tune_data_context
 
-    tune_data_context()
+    tune_data_context(hash_shuffle=hash_shuffle)
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
@@ -294,28 +294,57 @@ def events_per_hour(sf_dir: str):
     return out.rename_columns(["hour_epoch", "n_events", "sum_value_milli"])
 
 
-def user_sessions(sf_dir: str, *, gap_minutes: int = 30):
+def user_sessions(sf_dir: str, *, gap_minutes: int = 30,
+                  num_partitions: int = 16):
     """Sessionization: per-user event streams split at inactivity gaps
-    > ``gap_minutes``. (user_id, n_sessions, n_events). The stateful
-    window is realized as groupby(user).map_groups with a vectorized
-    in-group sort+diff — the partitioning assumption (one user's events
-    co-located) is exactly the groupby shuffle key."""
+    > ``gap_minutes``. (user_id, n_sessions, n_events).
+
+    The stateful window is ONE vectorized pass per hash-partitioned
+    block: ``repartition(keys=[user_id])`` co-locates each user's
+    events in exactly one block (the partitioning assumption), then a
+    single lexsort + diff computes every user's session count with no
+    per-group Python call and no boundary pass — the sorted-run
+    pattern the scorer uses, applied to sessionization."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group.column("ts").cast(pa.int64()).to_numpy())
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
-        uid = group.column("user_id")[0].as_py()
+    def sessions(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid = uid[order]
+        ts = ts[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_user)
+        bounds = np.append(starts, n)
         return pa.table(
             {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_sessions": pa.array(
+                    np.add.reduceat(new_session.astype(np.int64), starts),
+                    pa.int64(),
+                ),
+                "n_events": pa.array(np.diff(bounds), pa.int64()),
             }
         )
 
     return (
-        _t(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        _t(sf_dir, "events", ["user_id", "ts"], hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            sessions, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
     )

@@ -1,0 +1,100 @@
+"""Runnable kernel microbenchmarks mirroring the reference's
+pytest-benchmark shapes (test/test_hexhamming.py:219-311): per-call
+scalar timings for the conformance surface and throughput for the
+batch kernels that BASELINE.md §B quotes.
+
+Run: ``python -m pytest tests/bench_kernel.py -s`` (prints the table)
+or ``python -m tests.bench_kernel``. Kept to ~1 s total so it can live
+in the default suite.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _per_call_ns(fn, *args, reps: int = 20000) -> float:
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn(*args)
+    return (time.perf_counter() - t0) / reps * 1e9
+
+
+def run_table() -> dict[str, float]:
+    from hexhamming_ray.functions.kernel import (
+        AllPairsScorer,
+        check_bytes_arrays_within_dist,
+        check_hexstrings_within_dist,
+        hamming_distance_bytes,
+        hamming_distance_string,
+        hamming_rowwise,
+    )
+
+    rng = np.random.default_rng(42)
+    hex64_a = rng.integers(97, 103, 64, dtype=np.uint8).tobytes().decode()
+    hex64_b = rng.integers(97, 103, 64, dtype=np.uint8).tobytes().decode()
+    hex1000_a = rng.integers(97, 103, 1000, dtype=np.uint8).tobytes().decode()
+    hex1000_b = rng.integers(97, 103, 1000, dtype=np.uint8).tobytes().decode()
+    b32_a = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+    b32_b = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+    packed = rng.integers(0, 256, 32 * 1000, dtype=np.uint8).tobytes()
+
+    out = {
+        # scalar conformance surface (reference shapes, ns/call)
+        "hamming_distance_string_64hex_ns": _per_call_ns(
+            hamming_distance_string, hex64_a, hex64_b
+        ),
+        "hamming_distance_string_1000hex_ns": _per_call_ns(
+            hamming_distance_string, hex1000_a, hex1000_b, reps=2000
+        ),
+        "check_hexstrings_within_dist_ns": _per_call_ns(
+            check_hexstrings_within_dist, hex64_a, hex64_b, 120
+        ),
+        "hamming_distance_bytes_32B_ns": _per_call_ns(
+            hamming_distance_bytes, b32_a, b32_b
+        ),
+        # packed 1-vs-N scan, match at end (worst case, ns/elem)
+        "packed_scan_1000x32B_ns_per_elem": _per_call_ns(
+            check_bytes_arrays_within_dist, packed, packed[-32:], 0, reps=500
+        )
+        / 1000,
+    }
+
+    # batch kernels (the engine hot path): pair-comparisons/s
+    n = 2048
+    mat = rng.integers(0, 256, (n, 32), dtype=np.uint8)
+    a = mat[: n // 2]
+    b = mat[n // 2 :]
+    reps = 50
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        hamming_rowwise(a, b)
+    out["hamming_rowwise_Mcmp_per_s"] = (
+        (n // 2) * reps / (time.perf_counter() - t0) / 1e6
+    )
+    scorer = AllPairsScorer(width=32)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        scorer.pairs_within(mat, 20)
+    out["allpairs_2048_Mpairs_per_s"] = (
+        n * (n - 1) / 2 * 5 / (time.perf_counter() - t0) / 1e6
+    )
+    return out
+
+
+def test_kernel_bench_table(capsys):
+    table = run_table()
+    with capsys.disabled():
+        print("\n--- kernel bench (reference shapes; BASELINE.md §B) ---")
+        for k, v in table.items():
+            print(f"{k:42s} {v:12.1f}")
+    # sanity floors so a catastrophic kernel regression fails the suite
+    assert table["allpairs_2048_Mpairs_per_s"] > 0.5
+    assert table["hamming_rowwise_Mcmp_per_s"] > 0.5
+
+
+if __name__ == "__main__":
+    for k, v in run_table().items():
+        print(f"{k:42s} {v:12.1f}")

@@ -231,3 +231,80 @@ def test_hypothesis_oracle():
         assert K.hamming_distance_string(a, b) == _oracle(a, b)
 
     inner()
+
+
+class TestSetAlgoContract:
+    """Return-string contract of set_algo, mirroring the reference's
+    sweep harness (test/test_hexhamming.py:69-77 skips an algo when
+    set_algo(algo) returns a non-empty string; python_hexhamming.cc:342
+    and :479 define the two error strings; never raises)."""
+
+    def teardown_method(self):
+        from hexhamming_ray.functions import kernel as K
+
+        K._SELECTED = None  # reset process-global selection
+
+    def test_unknown_algo_returns_error_string(self):
+        from hexhamming_ray.functions.kernel import set_algo
+
+        assert set_algo("bogus") == "Library was built without this algorithm."
+
+    def test_unsupported_algo_returns_cpu_string(self):
+        from hexhamming_ray.functions.kernel import set_algo
+
+        assert set_algo("sse41").startswith("CPU doesnt support this feature.")
+
+    def test_sweep_agreement(self):
+        """Every selectable algo yields identical distances (the
+        reference's N-implementations-must-agree design)."""
+        from hexhamming_ray.functions.kernel import (
+            hamming_distance_string,
+            set_algo,
+        )
+
+        cases = [
+            ("abcdef", "000001"),
+            ("f" * 64, "0" * 64),
+            ("DeadBEEF", "deadbeef"),
+            ("", ""),
+        ]
+        results = {}
+        for algo in ("extra", "native", "sse41", "classic"):
+            err = set_algo(algo)
+            if err != "":
+                assert algo == "sse41"  # only sse41 lacks an engine analog
+                continue
+            results[algo] = [hamming_distance_string(a, b) for a, b in cases]
+        assert len(results) >= 2
+        vals = list(results.values())
+        assert all(v == vals[0] for v in vals[1:])
+
+    def test_set_algo_never_raises(self):
+        from hexhamming_ray.functions.kernel import set_algo
+
+        for name in ("", "EXTRA", "classic2", None):
+            try:
+                out = set_algo(name) if name is not None else set_algo("x")
+            except Exception as e:  # pragma: no cover
+                raise AssertionError(f"set_algo raised {e!r}")
+            assert isinstance(out, str)
+
+
+def test_non_ascii_strlen_semantics():
+    """Reference operates on the UTF-8 C string: 'é' is 2 bytes, so
+    ('é', 'ab') passes the length check and fails VALIDATION, while
+    ('é', 'abc') is a length error (ADVICE round 1; python_hexhamming.cc
+    parses with "s" -> UTF-8, length check at :104-107)."""
+    import pytest
+
+    from hexhamming_ray.functions.kernel import (
+        check_hexstrings_within_dist,
+        hamming_distance_string,
+    )
+
+    with pytest.raises(ValueError, match="invalid char"):
+        hamming_distance_string("é", "ab")
+    with pytest.raises(ValueError, match="NOT the same length"):
+        hamming_distance_string("é", "abc")
+    # byte-identity short-circuit still skips validation for non-ASCII
+    assert check_hexstrings_within_dist("éé", "éé", 1) is True
