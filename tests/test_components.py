@@ -59,7 +59,17 @@ def test_media_features_pipeline(ray_session):
         == out2.sort_values("media_id")["n_bytes"].tolist()
     )
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decode="real")._decode(b"x", "image")
+        import pyarrow as _pa
+
+        MediaFeatureExtractor(decode="real")(
+            _pa.table(
+                {
+                    "media_id": _pa.array([0], _pa.int64()),
+                    "kind": _pa.array(["image"]),
+                    "payload": _pa.array([b"x"], _pa.binary()),
+                }
+            )
+        )
 
 
 def test_text_functions():
@@ -172,3 +182,65 @@ def test_connected_components_distributed_loop(ray_session):
         for r in b.to_pylist()
     }
     assert got == unionfind_local(pairs)
+
+
+def test_salted_flood_preserves_connectivity():
+    """A boilerplate flood far bigger than the cap must still come out
+    CONNECTED (salted sub-blocks + representative cross-pass): the
+    windowed fallback this replaces only linked rows within a fixed
+    window, so a flood fragmented into >window slices lost recall.
+    Here every pair is a true match (dist <= threshold), the block is
+    16x the cap, and the emitted edges must span all rows as ONE
+    union-find component while pairs_capped stays honest."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexhamming_ray.stages.scoring import ScoreBlock
+
+    from itertools import combinations
+
+    rng = np.random.default_rng(7)
+    n, cap = 800, 50
+    base = rng.integers(0, 256, 32, dtype=np.uint8)
+    mats = np.tile(base, (n, 1))
+    # DISTINCT <=3-bit perturbations of the last 4 bytes per row
+    # (pairwise distance <= 6 << threshold), bands 0..13 identical ->
+    # every row is a distinct fingerprint and one block owns the flood
+    patterns = [0]
+    for k in (1, 2, 3):
+        patterns.extend(
+            sum(1 << b for b in c) for c in combinations(range(32), k)
+        )
+    assert len(patterns) >= n
+    for i in range(n):
+        mats[i, 28:32] ^= np.frombuffer(
+            int(patterns[i]).to_bytes(4, "little"), dtype=np.uint8
+        )
+    ids = np.arange(n, dtype=np.int64)
+    group = pa.table(
+        {
+            "bkey": pa.array(np.zeros(n, dtype=np.int64)),
+            "file_id": pa.array(ids),
+            "simhash": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(32), n, [None, pa.py_buffer(mats.tobytes())]
+            ),
+        }
+    )
+    sb = ScoreBlock(threshold=16, cap=cap)
+    out = sb(group)
+    assert sb.pairs_capped > 0  # the cap genuinely bound this block
+    # union-find over emitted edges: flood must be one component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in out.to_pylist():
+        a, b = find(int(r["id_lo"])), find(int(r["id_hi"]))
+        if a != b:
+            parent[a] = b
+    roots = {find(i) for i in range(n)}
+    assert len(roots) == 1, f"flood fragmented into {len(roots)} components"
