@@ -81,7 +81,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str,
-                  content_scale: int = 1) -> dict:
+                  content_scale: int = 1, plan: str = "sort") -> dict:
     """Flagship ER over the self-synthesized corpus (the scaling unit):
     reports wall time and pairs-scored-proxy throughput."""
     import ray
@@ -101,7 +101,7 @@ def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str,
             while f.read(1 << 24):
                 pass
     t0 = time.monotonic()
-    res = run_pipeline(files_dir)
+    res = run_pipeline(files_dir, plan=plan)
     n_edges = res["edges"].count()
     n_rows = res["clusters"].count()
     wall = time.monotonic() - t0
@@ -124,6 +124,7 @@ def main() -> None:
     ap.add_argument("--n-files", type=int, default=20000)
     ap.add_argument("--corpus-dir", default="/tmp/hexray_bench_corpus")
     ap.add_argument("--content-scale", type=int, default=1)
+    ap.add_argument("--plan", default="sort", choices=["sort", "hash"])
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
     args = ap.parse_args()
@@ -133,7 +134,8 @@ def main() -> None:
 
     if args.er_run:
         print(json.dumps(run_er_corpus(args.n_files, num_cpus, args.corpus_dir,
-                                       content_scale=args.content_scale)))
+                                       content_scale=args.content_scale,
+                                       plan=args.plan)))
         return
 
     if args.scaling:
@@ -152,6 +154,8 @@ def main() -> None:
                     args.corpus_dir,
                     "--content-scale",
                     str(args.content_scale),
+                    "--plan",
+                    args.plan,
                 ],
                 capture_output=True,
                 text=True,

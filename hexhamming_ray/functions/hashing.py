@@ -35,7 +35,16 @@ def _mix64(z: np.ndarray) -> np.ndarray:
 
 def _rolling_u64(buf: np.ndarray, sc: "_SimhashScratch") -> np.ndarray:
     """Injective uint64 value of every 8-byte window of a uint8 buffer
-    (big-endian packing via 8 shifted ORs through preallocated scratch).
+    (little-endian packing via ONE unaligned strided-view copy into
+    preallocated scratch).
+
+    The previous 8x shift-OR cascade made ~17 full passes over
+    8-bytes-per-byte arrays and capped the whole fingerprint stage at
+    ~39 MB content/s/core on this memory-constrained sandbox; the
+    single unaligned copy measures 840 MB/s/core (21x) and cuts the
+    kernel's bandwidth pressure, which is what throttled multi-worker
+    scaling (BASELINE.md §C). Any injective packing works — the window
+    hash feeds splitmix64 mixing — so LE byte order is as good as BE.
 
     Returns a view of scratch of length ``len(buf) - 7``.
     """
@@ -43,14 +52,11 @@ def _rolling_u64(buf: np.ndarray, sc: "_SimhashScratch") -> np.ndarray:
     if m < 8:
         return np.empty(0, dtype=np.uint64)
     sc.ensure(m)
-    u = sc.u64_a[:m]
-    np.copyto(u, buf, casting="unsafe")
     out = sc.u64_b[: m - 7]
-    tmp = sc.u64_c[: m - 7]
-    np.left_shift(u[:m - 7], np.uint64(56), out=out)
-    for k in range(1, 8):
-        np.left_shift(u[k : m - 7 + k], np.uint64(8 * (7 - k)), out=tmp)
-        np.bitwise_or(out, tmp, out=out)
+    view = np.ndarray(
+        shape=(m - 7,), dtype=np.uint64, buffer=buf.data, strides=(1,)
+    )
+    np.copyto(out, view)
     return out
 
 
@@ -88,9 +94,7 @@ class _SimhashScratch:
     def ensure(self, nbytes: int) -> None:
         if nbytes > self.cap:
             cap = max(nbytes, 1 << 20, self.cap * 2)
-            self.u64_a = np.empty(cap, dtype=np.uint64)
             self.u64_b = np.empty(cap, dtype=np.uint64)
-            self.u64_c = np.empty(cap, dtype=np.uint64)
             self.cap = cap
 
     def ensure_windows(self, nwin: int) -> None:

@@ -10,12 +10,11 @@ streaming end-to-end, with optional stage-boundary Parquet checkpoints:
     -> map_batches(make_bands)                16 x 16-bit LSH bands
        (no separate sha256 exact-collapse shuffle: identical contents
         share a fingerprint and collapse in-band as identity classes)
-    -> sort(bkey)                             shuffle 1 (the only
-       candidate shuffle: the run scorer over sorted blocks skips
-       singleton keys vectorized and scores key runs with no per-group
-       Python; block-edge runs go through a small groupby pass)
-    -> map_batches(ScoreRuns)                 scorer actor pool
-       + boundary_rows -> groupby(bkey).map_groups(ScoreBlock)
+    -> repartition(keys=[bkey], sort=True)    shuffle 1 (the only
+       candidate shuffle: hash partitioning co-locates every band key
+       in one block, sorted in-block, so the run scorer handles ALL
+       runs — no boundary pass, no materialize barrier)
+    -> map_batches(ScoreRuns edge_runs=True)  scorer actor pool
        (canonical-band emission: pairs unique by construction,
         so there is NO pair-dedup shuffle; exact dups surface as
         0-distance identity-class star edges owned by band 0)
@@ -39,7 +38,6 @@ from hexhamming_ray.stages.blocking import make_bands
 from hexhamming_ray.stages.scoring import (
     DEFAULT_THRESHOLD,
     EDGE_SCHEMA,
-    ScoreBlock,
 )
 from hexhamming_ray.state.unionfind import connected_components
 from hexhamming_ray.state.checkpoint import Checkpointer
@@ -69,14 +67,36 @@ def build_edges_from_fps(
     threshold: int = DEFAULT_THRESHOLD,
     checkpointer: Checkpointer | None = None,
     scorer_concurrency=None,
+    plan: str = "sort",
 ):
     """fingerprints -> (fingerprints_ds, edges_ds). Edges are deduped
-    canonical pairs (id_lo < id_hi, dist <= threshold inclusive)."""
+    canonical pairs (id_lo < id_hi, dist <= threshold inclusive).
+
+    Two physical plans for the one candidate shuffle (both produce
+    identical edges — verified 167,044 = 167,044 on the 60k bench
+    corpus):
+
+    * ``plan="sort"`` (default): range sort(bkey) + interior-run scorer
+      + tiny boundary pass for block-straddling runs. The task-based
+      range sort has ~10x lower constant cost than the actor-based hash
+      shuffle at sandbox scale (measured 10.5 s vs 16-17 s for the full
+      edge stage at 60k files x 8).
+    * ``plan="hash"``: one ``repartition(keys=['bkey'], sort=True)``
+      co-locates every key, so the scorer handles ALL runs and the
+      boundary machinery plus the mid-pipeline materialize disappear —
+      3 fewer operators. Wins when per-operator fixed latency dominates
+      (small clusters / huge op graphs); requires the fps ROOT created
+      under ``tune_data_context(hash_shuffle=True)``.
+    """
     ck = checkpointer or Checkpointer(None)
 
     def _edges():
         from hexhamming_ray import pool_size
-        from hexhamming_ray.stages.scoring import ScoreRuns, boundary_rows
+        from hexhamming_ray.stages.scoring import (
+            ScoreBlock,
+            ScoreRuns,
+            boundary_rows,
+        )
 
         # No separate exact-dup (sha256) collapse shuffle: identical
         # contents have identical fingerprints, so they fall into the
@@ -91,6 +111,26 @@ def build_edges_from_fps(
             make_bands, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
+        # no pair-dedup shuffle in either plan: canonical-band emission
+        # makes every pair (including 0-distance identity-class star
+        # edges) unique by construction
+        if plan == "hash":
+            parts = banded.repartition(
+                num_blocks=pool_size(2.0, lo=8, hi=256),
+                keys=["bkey"],
+                sort=True,
+            )
+            return parts.map_batches(
+                ScoreRuns,
+                fn_constructor_kwargs={
+                    "threshold": threshold,
+                    "edge_runs": True,
+                },
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+                concurrency=scorer_concurrency or pool_size(0.5),
+            )
         # ONE sort replaces the count-groupby + broadcast-filter +
         # groupby-map_groups cascade: the run scorer skips singleton
         # band keys with two numpy comparisons and scores interior runs
@@ -105,8 +145,17 @@ def build_edges_from_fps(
             batch_size=None,
             concurrency=scorer_concurrency or pool_size(0.5),
         )
-        # runs straddling block edges: at most 2 per block, merged and
-        # scored by an ordinary (small) groupby
+        # runs straddling block edges: at most 2 per sorted block; the
+        # boundary scorer is a task-based UDF (closure over a pickled
+        # ScoreBlock with a small tile), not an actor pool — a fixed
+        # 2-actor pool here plus the ScoreRuns pool held every CPU of a
+        # 4-CPU cluster and starved the shuffle between them (round-1
+        # ADVICE); boundary groups are tiny so tasks are the right shape
+        boundary_scorer = ScoreBlock(threshold=threshold, tile=256)
+
+        def score_boundary_group(group: pa.Table) -> pa.Table:
+            return boundary_scorer(group)
+
         near_boundary = (
             sorted_b.map_batches(
                 boundary_rows,
@@ -116,15 +165,10 @@ def build_edges_from_fps(
             )
             .groupby("bkey")
             .map_groups(
-                ScoreBlock,
-                fn_constructor_kwargs={"threshold": threshold},
+                score_boundary_group,
                 batch_format="pyarrow",
-                concurrency=2,
             )
         )
-        # no pair-dedup shuffle: canonical-band emission makes every
-        # pair (including 0-distance identity-class star edges) unique
-        # by construction
         return near_interior.union(near_boundary)
 
     edges = ck.stage("edges", _edges)
@@ -182,6 +226,7 @@ def run_pipeline(
     out_dir: str | None = None,
     threshold: int = DEFAULT_THRESHOLD,
     resume: bool = True,
+    plan: str = "sort",
 ):
     """End-to-end ER over a files Parquet directory. Returns dict of
     Datasets. With ``out_dir`` set, stage outputs are checkpointed as
@@ -194,9 +239,15 @@ def run_pipeline(
 
     ck = Checkpointer(out_dir if resume else None)
     fps, edges = build_edges_from_fps(
-        ck.stage("fingerprints", lambda: fingerprint_from_parquet(files_dir)),
+        ck.stage(
+            "fingerprints",
+            lambda: fingerprint_from_parquet(
+                files_dir, hash_shuffle=(plan == "hash")
+            ),
+        ),
         threshold=threshold,
         checkpointer=ck,
+        plan=plan,
     )
     clusters = build_clusters(fps, edges, checkpointer=ck)
     if out_dir:

@@ -21,6 +21,45 @@ from hexhamming_ray.functions.hashing import (
     stable_id_batch,
 )
 
+_WS = np.zeros(256, dtype=bool)
+_WS[[9, 10, 11, 12, 13, 32]] = True  # ASCII \s
+
+
+def _token_counts_u8(content: pa.Array) -> np.ndarray:
+    """Whitespace-delimited token count per string, computed on the
+    string column's ZERO-COPY value buffer (one lookup + one cumsum
+    pass). The Arrow regex kernel this replaces ran at ~50 MB/s/core
+    and was co-dominant in the fused fingerprint task. Bytes >= 0x80
+    (UTF-8 continuations/multibyte) count as non-space — identical to
+    ``\\S+`` on ASCII, diverging only on exotic Unicode spaces, which
+    this internal metadata column tolerates."""
+    n = len(content)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    off = np.frombuffer(content.buffers()[1], dtype=np.int32)[
+        content.offset : content.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(content.buffers()[2], dtype=np.uint8)
+    lo = off[0]
+    tok = ~_WS[data[lo : off[-1]]]
+    if tok.shape[0] == 0:
+        return np.zeros(n, dtype=np.int32)
+    starts = tok.copy()
+    starts[1:] &= ~tok[:-1]
+    cs = np.zeros(tok.shape[0] + 1, dtype=np.int64)
+    np.cumsum(starts, out=cs[1:])
+    cnt = cs[off[1:] - lo] - cs[off[:-1] - lo]
+    # a doc whose first byte is a token byte preceded by a token byte of
+    # the PREVIOUS doc lost its leading run in the transition count
+    first = off[:-1] - lo
+    valid = off[:-1] < off[1:]  # non-empty docs
+    inner = valid & (first > 0)
+    fix = np.zeros(n, dtype=np.int64)
+    fix[inner] = tok[first[inner]] & tok[first[inner] - 1]
+    # the very first doc in the buffer: cumsum counted its leading run
+    return (cnt + fix).astype(np.int32)
+
+
 FINGERPRINT_SCHEMA = pa.schema(
     [
         ("file_id", pa.int64()),
@@ -57,7 +96,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             fps[i] = np.frombuffer(
                 hashlib.sha256(b"tiny|" + b).digest(), dtype=np.uint8
             )
-    n_tokens = pc.count_substring_regex(content, r"\S+").cast(pa.int32())
+    n_tokens = pa.array(_token_counts_u8(content), pa.int32())
     n_chars = pc.utf8_length(content).cast(pa.int64())
     if "_id" in batch.schema.names:
         file_id = batch.column("_id").cast(pa.int64()).combine_chunks()
@@ -91,7 +130,8 @@ def fingerprint_dataset(files_ds, *, batch_size: int = 256):
     )
 
 
-def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
+def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256,
+                             hash_shuffle: bool = False):
     """Fused read+fingerprint source: one Ray task per (file, row-group)
     unit reads the parquet slice locally and emits only fingerprints.
 
@@ -144,7 +184,7 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256):
 
     from hexhamming_ray import tune_data_context
 
-    tune_data_context()
+    tune_data_context(hash_shuffle=hash_shuffle)
     return ray.data.from_items(units).map_batches(
         fp_units, batch_format="pyarrow", batch_size=1
     )

@@ -102,9 +102,26 @@ class _ScoreCore:
         self.cap = cap
         self.window = window  # retained for API compat; salted sub-blocks
         # replaced the sorted-neighbor window fallback (round-2 VERDICT #5)
-        self.scorer = AllPairsScorer(width=width, tile=tile, kernel=kernel)
+        self._scorer_args = (width, tile, kernel)
+        self._scorer: AllPairsScorer | None = None
         self.pairs_scored = 0
         self.pairs_capped = 0
+
+    @property
+    def scorer(self) -> AllPairsScorer:
+        """Lazily built so an INSTANCE used as a task-based UDF pickles
+        without its 32 MB preallocated XOR tile (each task builds its
+        own tile on first call; actor-pool usage builds it once per
+        actor as before)."""
+        if self._scorer is None:
+            width, tile, kernel = self._scorer_args
+            self._scorer = AllPairsScorer(width=width, tile=tile, kernel=kernel)
+        return self._scorer
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_scorer"] = None
+        return state
 
     def score_run(self, band_idx: int, ids: np.ndarray, mat: np.ndarray):
         """One candidate block (>= 2 rows sharing a band key) ->
@@ -246,9 +263,20 @@ def _run_bounds(keys: np.ndarray):
 
 
 class ScoreRuns(_ScoreCore):
-    """Scores every INTERIOR key run of a bkey-sorted block; the first
-    and last runs (which may continue in neighbor blocks) are left to
-    the boundary pass."""
+    """Scores the key runs of a bkey-sorted block.
+
+    Two partitioning modes:
+    * ``edge_runs=False`` (range-sorted input): the first and last runs
+      may continue in neighbor blocks, so they are left to a boundary
+      pass.
+    * ``edge_runs=True`` (HASH-partitioned input,
+      ``repartition(keys=['bkey'], sort=True)``): every key lives in
+      exactly one block, so ALL runs are scored here and no boundary
+      pass exists — one operator fewer in the plan."""
+
+    def __init__(self, *args, edge_runs: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.edge_runs = edge_runs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -256,9 +284,10 @@ class ScoreRuns(_ScoreCore):
             return EDGE_SCHEMA.empty_table()
         keys = batch.column("bkey").to_numpy()
         starts, ends = _run_bounds(keys)
-        if starts.shape[0] <= 2:
-            return EDGE_SCHEMA.empty_table()  # all runs are boundary
-        starts, ends = starts[1:-1], ends[1:-1]
+        if not self.edge_runs:
+            if starts.shape[0] <= 2:
+                return EDGE_SCHEMA.empty_table()  # all runs are boundary
+            starts, ends = starts[1:-1], ends[1:-1]
         lens = ends - starts
         multi = lens >= 2
         if not multi.any():
