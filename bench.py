@@ -127,6 +127,10 @@ def main() -> None:
     ap.add_argument("--plan", default="sort", choices=["sort", "hash"])
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="runs per arm; min is reported (the host VM has "
+                         "large external load swings - min is the "
+                         "noise-robust estimator)")
     args = ap.parse_args()
 
     num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -141,6 +145,8 @@ def main() -> None:
     if args.scaling:
         results = {}
         for cpus in (args.cpus_lo, args.cpus_hi):
+          best = None
+          for _rep in range(args.reps):
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -167,7 +173,10 @@ def main() -> None:
                     f"scaling arm (num_cpus={cpus}) failed rc={proc.returncode}:\n"
                     f"{proc.stderr[-4000:]}"
                 )
-            results[cpus] = json.loads(lines[-1])
+            run = json.loads(lines[-1])
+            if best is None or run["wall_sec"] < best["wall_sec"]:
+                best = run
+          results[cpus] = best
         lo, hi = args.cpus_lo, args.cpus_hi
         t_lo = results[lo]["wall_sec"]
         t_hi = results[hi]["wall_sec"]

@@ -61,6 +61,20 @@ def build_edges(
     )
 
 
+def _runs_scorer_fn(threshold: int, *, edge_runs: bool, tile: int = 1024):
+    """Task-based run scorer: a pickled ScoreRuns instance whose XOR
+    tile lives in a per-process cache — no actor-pool spin-up, no pool
+    sizing, scratch faulted once per worker."""
+    from hexhamming_ray.stages.scoring import ScoreRuns
+
+    scorer = ScoreRuns(threshold=threshold, tile=tile, edge_runs=edge_runs)
+
+    def score_runs(batch: pa.Table) -> pa.Table:
+        return scorer(batch)
+
+    return score_runs
+
+
 def build_edges_from_fps(
     fps,
     *,
@@ -121,15 +135,10 @@ def build_edges_from_fps(
                 sort=True,
             )
             return parts.map_batches(
-                ScoreRuns,
-                fn_constructor_kwargs={
-                    "threshold": threshold,
-                    "edge_runs": True,
-                },
+                _runs_scorer_fn(threshold, edge_runs=True),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 batch_size=None,
-                concurrency=scorer_concurrency or pool_size(0.5),
             )
         # ONE sort replaces the count-groupby + broadcast-filter +
         # groupby-map_groups cascade: the run scorer skips singleton
@@ -137,25 +146,27 @@ def build_edges_from_fps(
         # without per-group Python overhead. Materialized because two
         # passes read it (interior runs + boundary runs).
         sorted_b = banded.sort("bkey").materialize()
+        # TASK-based scorer (pickled instance, per-process tile cache):
+        # an actor pool here costs ~3-5 s of staggered spin-up per run
+        # and needs manual sizing against other pools (ENGINEERING_NOTES
+        # 5/6); tasks reuse the workers the fingerprint stage already
+        # warmed and schedule freely
         near_interior = sorted_b.map_batches(
-            ScoreRuns,
-            fn_constructor_kwargs={"threshold": threshold},
+            _runs_scorer_fn(threshold, edge_runs=False),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
-            concurrency=scorer_concurrency or pool_size(0.5),
         )
-        # runs straddling block edges: at most 2 per sorted block; the
-        # boundary scorer is a task-based UDF (closure over a pickled
-        # ScoreBlock with a small tile), not an actor pool — a fixed
-        # 2-actor pool here plus the ScoreRuns pool held every CPU of a
-        # 4-CPU cluster and starved the shuffle between them (round-1
-        # ADVICE); boundary groups are tiny so tasks are the right shape
-        boundary_scorer = ScoreBlock(threshold=threshold, tile=256)
-
-        def score_boundary_group(group: pa.Table) -> pa.Table:
-            return boundary_scorer(group)
-
+        # Runs straddling block edges: at most 2 runs per sorted block.
+        # The stream is tiny, so instead of a groupby (a 3-stage
+        # all-to-all whose per-partition scheduling cost 14 s of wall on
+        # ~1 s of compute at 200 blocks) it is COALESCED into one block:
+        # range-sorted blocks concatenate in order, so the coalesced
+        # block is still bkey-sorted and a single edge_runs ScoreRuns
+        # task scores every boundary run. Volume bound: 2 runs/block
+        # (flood runs are cap-bounded inside the scorer); if a corpus
+        # ever floods the boundary stream, switch plan="hash", which has
+        # no boundary pass at all.
         near_boundary = (
             sorted_b.map_batches(
                 boundary_rows,
@@ -163,10 +174,12 @@ def build_edges_from_fps(
                 zero_copy_batch=True,
                 batch_size=None,
             )
-            .groupby("bkey")
-            .map_groups(
-                score_boundary_group,
+            .repartition(1)
+            .map_batches(
+                _runs_scorer_fn(threshold, edge_runs=True, tile=256),
                 batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
             )
         )
         return near_interior.union(near_boundary)
@@ -176,15 +189,66 @@ def build_edges_from_fps(
 
 
 def build_clusters(fps, edges, *, checkpointer: Checkpointer | None = None,
-                   num_partitions: int = 32):
+                   num_partitions: int = 32,
+                   broadcast_limit: int = 20_000_000):
     """-> clusters Dataset (file_id, cluster_id); singleton files keep
-    cluster_id == file_id."""
+    cluster_id == file_id.
+
+    The node->cluster label table only contains nodes that appear in an
+    edge — usually a small fraction of the corpus. When it fits under
+    ``broadcast_limit`` rows it is broadcast once via ``ray.put`` (two
+    int64 arrays) and the remap is ONE searchsorted gather per batch;
+    the sort-based tagged-union remap (several operators of fixed
+    latency) remains the fallback for label tables too big to
+    broadcast."""
     ck = checkpointer or Checkpointer(None)
 
     def _clusters():
+        import ray
+
         from hexhamming_ray.state.unionfind import _remap_column
 
-        labels = connected_components(edges)
+        labels = connected_components(edges).materialize()
+
+        if labels.count() <= broadcast_limit:
+            src_l, dst_l = [], []
+            for b in labels.to_arrow_refs():
+                t = ray.get(b)
+                src_l.append(t.column("node").to_numpy())
+                dst_l.append(t.column("cluster_id").to_numpy())
+            src = (
+                np.concatenate(src_l).astype(np.int64)
+                if src_l
+                else np.empty(0, dtype=np.int64)
+            )
+            dst = (
+                np.concatenate(dst_l).astype(np.int64)
+                if dst_l
+                else np.empty(0, dtype=np.int64)
+            )
+            order = np.argsort(src)
+            mapping_ref = ray.put((src[order], dst[order]))
+
+            def remap(batch: pa.Table) -> pa.Table:
+                msrc, mdst = ray.get(mapping_ref)
+                fid = batch.column("file_id").cast(pa.int64()).to_numpy()
+                cid = fid.copy()  # singletons keep their own id
+                if msrc.shape[0]:
+                    pos = np.searchsorted(msrc, fid)
+                    pos = np.minimum(pos, msrc.shape[0] - 1)
+                    hit = msrc[pos] == fid
+                    cid[hit] = mdst[pos[hit]]
+                return pa.table(
+                    {
+                        "file_id": pa.array(fid, pa.int64()),
+                        "cluster_id": pa.array(cid, pa.int64()),
+                    }
+                )
+
+            return fps.select_columns(["file_id"]).map_batches(
+                remap, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
 
         def as_mapping(batch: pa.Table) -> pa.Table:
             return pa.table(

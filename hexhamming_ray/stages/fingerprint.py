@@ -185,6 +185,8 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256,
     from hexhamming_ray import tune_data_context
 
     tune_data_context(hash_shuffle=hash_shuffle)
-    return ray.data.from_items(units).map_batches(
-        fp_units, batch_format="pyarrow", batch_size=1
-    )
+    # one block per unit: from_items defaults to <=200 blocks, which at
+    # 288+ units doubles some tasks and quantizes the stage into waves
+    return ray.data.from_items(
+        units, override_num_blocks=max(1, len(units))
+    ).map_batches(fp_units, batch_format="pyarrow", batch_size=1)

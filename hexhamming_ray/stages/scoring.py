@@ -55,6 +55,8 @@ import pyarrow as pa
 
 from hexhamming_ray.functions.kernel import AllPairsScorer, fsb_to_matrix
 
+_SCORER_CACHE: dict = {}  # per-process (width, tile, kernel) -> AllPairsScorer
+
 EDGE_SCHEMA = pa.schema(
     [("id_lo", pa.int64()), ("id_hi", pa.int64()), ("dist", pa.int32())]
 )
@@ -109,13 +111,19 @@ class _ScoreCore:
 
     @property
     def scorer(self) -> AllPairsScorer:
-        """Lazily built so an INSTANCE used as a task-based UDF pickles
-        without its 32 MB preallocated XOR tile (each task builds its
-        own tile on first call; actor-pool usage builds it once per
-        actor as before)."""
+        """Lazily built AND process-cached by (width, tile, kernel):
+        instances pickle without the preallocated XOR tile, and every
+        task/actor in the same worker process shares one tile — so
+        task-based scoring (no actor-pool spin-up) still pays the
+        scratch page-fault cost once per WORKER, not once per task."""
         if self._scorer is None:
-            width, tile, kernel = self._scorer_args
-            self._scorer = AllPairsScorer(width=width, tile=tile, kernel=kernel)
+            key = self._scorer_args
+            cached = _SCORER_CACHE.get(key)
+            if cached is None:
+                width, tile, kernel = key
+                cached = AllPairsScorer(width=width, tile=tile, kernel=kernel)
+                _SCORER_CACHE[key] = cached
+            self._scorer = cached
         return self._scorer
 
     def __getstate__(self):
