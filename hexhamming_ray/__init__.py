@@ -26,7 +26,27 @@ def _tune_malloc() -> None:
         pass
 
 
+def _tune_arrow_pool() -> None:
+    """Optionally route Arrow allocations through the system allocator
+    (HEXRAY_ARROW_POOL=system). MEASURED WORSE here: at 17 GB of
+    content the fingerprint stage ran 167-193 s under the system pool
+    vs 137-139 s under Arrow's default jemalloc (16 CPUs, warm) — the
+    default stays jemalloc; the knob remains for future environments
+    where malloc heap retention beats jemalloc's decay."""
+    import os
+
+    if os.environ.get("HEXRAY_ARROW_POOL", "jemalloc") != "system":
+        return
+    try:
+        import pyarrow as pa
+
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
+
+
 _tune_malloc()
+_tune_arrow_pool()
 
 
 def tune_data_context(hash_shuffle: bool = False) -> None:

@@ -214,6 +214,8 @@ def build_clusters(fps, edges, *, checkpointer: Checkpointer | None = None,
             src_l, dst_l = [], []
             for b in labels.to_arrow_refs():
                 t = ray.get(b)
+                if t.num_rows == 0:  # empty blocks carry a bare schema
+                    continue
                 src_l.append(t.column("node").to_numpy())
                 dst_l.append(t.column("cluster_id").to_numpy())
             src = (

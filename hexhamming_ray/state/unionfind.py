@@ -179,7 +179,7 @@ def _is_star_forest(edges_ds) -> bool:
 
 
 def connected_components(edges_ds, *, max_rounds: int = 60,
-                         single_block_edges: int = 4_000_000, **_ignored):
+                         single_block_edges: int = 24_000_000, **_ignored):
     """edges (id_lo, id_hi) -> labels Dataset (node, cluster_id) where
     cluster_id is the minimum node id of the component. Only nodes that
     appear in at least one edge are emitted (the caller adds
@@ -211,8 +211,9 @@ def connected_components(edges_ds, *, max_rounds: int = 60,
     # fits comfortably in one block, a single repartition(1) + local UF
     # task produces the exact star forest in one pass — the tree-reduce
     # tail of the distributed loop. At 10^12-file scale the loop below
-    # does the work; the tail only fires when remaining edges are tiny
-    # relative to a worker block (~64 MB).
+    # does the work; the tail fires while remaining edges fit one
+    # worker task (24M edges ~= 384 MB, seconds of numpy UF — far
+    # cheaper than the 3-5 extra sort+dedup rounds the loop would run).
     SINGLE_BLOCK_EDGES = single_block_edges
     # Each round: symmetrize -> sort on the key column -> local UF per
     # block. Symmetrizing first is what makes the sort effective: every
