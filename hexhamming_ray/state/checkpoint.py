@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 
 class Checkpointer:
@@ -52,12 +53,14 @@ class Checkpointer:
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        t0 = time.monotonic()
         ds = build()
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
+        wall = time.monotonic() - t0
         from hexhamming_ray import tune_data_context
 
         tune_data_context()
@@ -65,6 +68,7 @@ class Checkpointer:
         self.manifest[name] = {
             "complete": True,
             "rows": out.count(),
+            "wall_sec": round(wall, 3),
             "partitions": self._partition_lineage(final),
         }
         self._save_manifest()
