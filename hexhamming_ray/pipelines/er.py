@@ -61,13 +61,15 @@ def build_edges(
     )
 
 
-def _runs_scorer_fn(threshold: int, *, edge_runs: bool, tile: int = 1024):
+def _runs_scorer_fn(threshold: int, *, edge_runs: bool, tile: int = 1024,
+                    counter=None):
     """Task-based run scorer: a pickled ScoreRuns instance whose XOR
     tile lives in a per-process cache — no actor-pool spin-up, no pool
     sizing, scratch faulted once per worker."""
     from hexhamming_ray.stages.scoring import ScoreRuns
 
-    scorer = ScoreRuns(threshold=threshold, tile=tile, edge_runs=edge_runs)
+    scorer = ScoreRuns(threshold=threshold, tile=tile, edge_runs=edge_runs,
+                       counter=counter)
 
     def score_runs(batch: pa.Table) -> pa.Table:
         return scorer(batch)
@@ -82,6 +84,7 @@ def build_edges_from_fps(
     checkpointer: Checkpointer | None = None,
     scorer_concurrency=None,
     plan: str = "sort",
+    counter=None,
 ):
     """fingerprints -> (fingerprints_ds, edges_ds). Edges are deduped
     canonical pairs (id_lo < id_hi, dist <= threshold inclusive).
@@ -135,7 +138,7 @@ def build_edges_from_fps(
                 sort=True,
             )
             return parts.map_batches(
-                _runs_scorer_fn(threshold, edge_runs=True),
+                _runs_scorer_fn(threshold, edge_runs=True, counter=counter),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 batch_size=None,
@@ -152,7 +155,7 @@ def build_edges_from_fps(
         # 5/6); tasks reuse the workers the fingerprint stage already
         # warmed and schedule freely
         near_interior = sorted_b.map_batches(
-            _runs_scorer_fn(threshold, edge_runs=False),
+            _runs_scorer_fn(threshold, edge_runs=False, counter=counter),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
@@ -176,7 +179,8 @@ def build_edges_from_fps(
             )
             .repartition(1)
             .map_batches(
-                _runs_scorer_fn(threshold, edge_runs=True, tile=256),
+                _runs_scorer_fn(threshold, edge_runs=True, tile=256,
+                                counter=counter),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 batch_size=None,
@@ -304,6 +308,11 @@ def run_pipeline(
     from hexhamming_ray.stages.fingerprint import fingerprint_from_parquet
 
     ck = Checkpointer(out_dir if resume else None)
+    counter = None
+    if out_dir:
+        from hexhamming_ray.state.metrics import make_pair_counter
+
+        counter = make_pair_counter()
     fps, edges = build_edges_from_fps(
         ck.stage(
             "fingerprints",
@@ -314,14 +323,16 @@ def run_pipeline(
         threshold=threshold,
         checkpointer=ck,
         plan=plan,
+        counter=counter,
     )
     clusters = build_clusters(fps, edges, checkpointer=ck)
     if out_dir:
-        write_pipeline_metrics(out_dir, fps, edges, clusters)
+        write_pipeline_metrics(out_dir, fps, edges, clusters, counter=counter)
     return {"fingerprints": fps, "edges": edges, "clusters": clusters}
 
 
-def write_pipeline_metrics(out_dir: str, fps, edges, clusters) -> None:
+def write_pipeline_metrics(out_dir: str, fps, edges, clusters,
+                           counter=None) -> None:
     """Pair-scoring / clustering metrics to Parquet (north rule:
     per-partition lineage lives in the checkpoint manifest; these are
     the pipeline-level counters). Everything derives from small
@@ -349,4 +360,15 @@ def write_pipeline_metrics(out_dir: str, fps, edges, clusters) -> None:
         {"metric": "n_clusters", "value": float(size_stats["count()"])},
         {"metric": "max_cluster_size", "value": float(size_stats["max(count())"])},
     ]
+    if counter is not None:
+        import ray
+
+        # exact by the time stages materialized: scorer tasks await
+        # their per-batch flush before emitting output (scoring.py
+        # flush_counts). pairs_capped > 0 marks recall loss inside
+        # flooded blocks beyond the salted cross-pass.
+        totals = ray.get(counter.totals.remote())
+        rows.extend(
+            {"metric": k, "value": float(v)} for k, v in sorted(totals.items())
+        )
     pq.write_table(pa.Table.from_pylist(rows), path)

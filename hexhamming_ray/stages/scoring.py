@@ -99,6 +99,7 @@ class _ScoreCore:
         cap: int = DEFAULT_CAP,
         window: int = 128,
         kernel: str | None = None,
+        counter=None,
     ):
         self.threshold = threshold
         self.cap = cap
@@ -108,6 +109,24 @@ class _ScoreCore:
         self._scorer: AllPairsScorer | None = None
         self.pairs_scored = 0
         self.pairs_capped = 0
+        # optional PairCounter actor handle (state/metrics.py); deltas
+        # are flushed per batch so task-based instances still report
+        self.counter = counter
+        self._flushed = (0, 0)
+
+    def flush_counts(self) -> None:
+        """Report the tally delta since the last flush to the counter
+        actor (awaited: the count is durable before the batch output
+        is), then remember the high-water mark."""
+        if self.counter is None:
+            return
+        ds = self.pairs_scored - self._flushed[0]
+        dc = self.pairs_capped - self._flushed[1]
+        if ds or dc:
+            import ray
+
+            ray.get(self.counter.add.remote(ds, dc))
+            self._flushed = (self.pairs_scored, self.pairs_capped)
 
     @property
     def scorer(self) -> AllPairsScorer:
@@ -258,6 +277,7 @@ class ScoreBlock(_ScoreCore):
         ids = group.column("file_id").to_numpy()
         mat = fsb_to_matrix(group.column("simhash"))
         lo, hi, dd = self.score_run(band_idx, ids, mat)
+        self.flush_counts()
         return _edges_table(lo, hi, dd)
 
 
@@ -326,6 +346,7 @@ class ScoreRuns(_ScoreCore):
                 lo_l.append(lo)
                 hi_l.append(hi)
                 d_l.append(dd)
+        self.flush_counts()
         if not lo_l:
             return EDGE_SCHEMA.empty_table()
         return _edges_table(
