@@ -147,8 +147,16 @@ def build_edges_from_fps(
         # groupby-map_groups cascade: the run scorer skips singleton
         # band keys with two numpy comparisons and scores interior runs
         # without per-group Python overhead. Materialized because two
-        # passes read it (interior runs + boundary runs).
-        sorted_b = banded.sort("bkey").materialize()
+        # passes read it (interior runs + boundary runs). Explicit
+        # evenly-spaced boundaries keep the exchange linear in data
+        # (mappers x P objects) instead of quadratic in block count —
+        # see band_boundaries for the measured failure mode.
+        from hexhamming_ray.stages.blocking import band_boundaries
+
+        sorted_b = banded.sort(
+            "bkey",
+            boundaries=band_boundaries(pool_size(2.0, lo=8, hi=256)),
+        ).materialize()
         # TASK-based scorer (pickled instance, per-process tile cache):
         # an actor pool here costs ~3-5 s of staggered spin-up per run
         # and needs manual sizing against other pools (ENGINEERING_NOTES
