@@ -46,6 +46,27 @@ _K1 = np.uint64(0xBF58476D1CE4E5B9)
 _K2 = np.uint64(0x94D049BB133111EB)
 
 
+def _id_boundaries(num_parts: int) -> list[int]:
+    """Evenly spaced ``Dataset.sort`` boundaries over the 63-bit
+    node-id domain. Node ids are sha256-derived (functions/hashing.py
+    stable_id: first 8 bytes masked positive), i.e. uniform over
+    [0, 2^63), so fixed boundaries balance partitions without a sample
+    pass — and, critically, they BOUND the sort's output-partition
+    count. Ray's default range sort uses one output partition per
+    input block (exchange objects = blocks^2), which measured as a
+    driver-bound stall at a few thousand blocks; with P fixed the
+    exchange stays linear in data. P ~ 2 x CPUs."""
+    top = 1 << 63
+    step = top // max(1, num_parts)
+    return [i * step for i in range(1, num_parts)]
+
+
+def _sort_parts() -> int:
+    from hexhamming_ray import pool_size
+
+    return pool_size(2.0, lo=8, hi=256)
+
+
 def _cc_labels_vectorized(ia: np.ndarray, ib: np.ndarray, n: int) -> np.ndarray:
     """Connected-component minimum label per node for an edge list over
     node indices 0..n-1, fully vectorized: min-label propagation with
@@ -238,7 +259,7 @@ def connected_components(edges_ds, *, max_rounds: int = 60,
         edges = (
             edges.map_batches(
                 symmetrize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-            .sort("a")
+            .sort("a", boundaries=_id_boundaries(_sort_parts()))
             .map_batches(
                 _local_star,
                 batch_format="pyarrow",
@@ -319,7 +340,9 @@ def _remap_column(ds, col: str, payload: str, mapping_ds):
     # runs are rewritten vectorized per block, the (at most 2 per
     # block) boundary runs go through a tiny groupby. Replaces a
     # per-group map_groups whose Python overhead scaled with key count.
-    sorted_t = tagged.sort("k").materialize()
+    sorted_t = tagged.sort(
+        "k", boundaries=_id_boundaries(_sort_parts())
+    ).materialize()
 
     def rewrite_runs(batch: pa.Table) -> pa.Table:
         n = len(batch)
