@@ -148,14 +148,19 @@ def build_edges_from_fps(
         # band keys with two numpy comparisons and scores interior runs
         # without per-group Python overhead. Materialized because two
         # passes read it (interior runs + boundary runs). Explicit
-        # evenly-spaced boundaries keep the exchange linear in data
-        # (mappers x P objects) instead of quadratic in block count —
-        # see band_boundaries for the measured failure mode.
-        from hexhamming_ray.stages.blocking import band_boundaries
+        # boundaries keep the exchange linear in data (mappers x P
+        # objects, not blocks^2 — see band_boundaries for the measured
+        # failure mode); SAMPLED quantile boundaries balance partition
+        # row mass against band-key skew, and 4 partitions/CPU smooths
+        # the remaining wave quantization (a 4.6x straggler partition
+        # dominated the 2-wave schedule under even spacing).
+        from hexhamming_ray.stages.blocking import sampled_band_boundaries
 
         sorted_b = banded.sort(
             "bkey",
-            boundaries=band_boundaries(pool_size(2.0, lo=8, hi=256)),
+            boundaries=sampled_band_boundaries(
+                fps, pool_size(4.0, lo=16, hi=512)
+            ),
         ).materialize()
         # TASK-based scorer (pickled instance, per-process tile cache):
         # an actor pool here costs ~3-5 s of staggered spin-up per run

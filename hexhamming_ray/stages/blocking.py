@@ -53,6 +53,67 @@ def band_boundaries(num_parts: int, *, n_bands: int = N_BANDS,
     return list(range(step, top, step))[: num_parts - 1]
 
 
+def sampled_band_boundaries(
+    fps, num_parts: int, *, target_sample: int = 200_000
+) -> list[int]:
+    """Exact band-key quantile boundaries from a deterministic hash
+    sample of the fingerprints table.
+
+    Evenly spaced boundaries (``band_boundaries``) assume uniform band
+    values, but real band-value distributions skew (planted clone
+    clusters, low-entropy content): measured on the 720k-file corpus,
+    even spacing gave partition rows p50=143k / max=660k — a 4.6x
+    straggler that dominated the 2-wave scoring schedule. Sampling
+    ~200k fingerprints (a few MB — the fingerprints table is ~100
+    bytes/row and already materialized), banding them locally, and
+    taking exact quantiles balances partitions by actual row mass.
+
+    The sample predicate is a splitmix-style hash of file_id, so it is
+    deterministic, order-free and retry-stable. Heavy single keys
+    collapse duplicate quantiles; those are deduped (fewer, wider
+    partitions) — an unsplittable key belongs to one range anyway and
+    its in-run flood is the scorer cap's job, not the sort's."""
+    import numpy as np
+
+    n_rows = fps.count()
+    if n_rows <= 0:
+        return band_boundaries(num_parts)
+    rate_shift = 0
+    while (n_rows >> rate_shift) > target_sample and rate_shift < 40:
+        rate_shift += 1
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    thresh = np.uint64((1 << 64) - 1) >> np.uint64(rate_shift)
+
+    def _samp(batch: pa.Table) -> pa.Table:
+        fid = batch.column("file_id").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            keep = (fid * gold) <= thresh
+        return batch.filter(pa.array(keep))
+
+    sample_ds = (
+        fps.select_columns(["file_id", "simhash"])
+        .map_batches(_samp, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .map_batches(make_bands, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .select_columns(["bkey"])
+    )
+    chunks = [
+        b.column("bkey").to_numpy()
+        for b in sample_ds.iter_batches(batch_format="pyarrow")
+    ]
+    keys = (
+        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    )
+    if keys.size == 0:
+        return band_boundaries(num_parts)
+    keys = np.sort(keys)
+    qs = np.quantile(keys, np.linspace(0.0, 1.0, num_parts + 1)[1:-1],
+                     method="nearest").astype(np.int64)
+    out = sorted(set(int(q) for q in qs))
+    return out or band_boundaries(num_parts)
+
+
 def make_bands(batch: pa.Table, *, n_bands: int = N_BANDS) -> pa.Table:
     """(file_id, simhash) batch -> n_bands rows per input row with an
     int64 combined band key ``band_idx * 2^16 + band_value``."""
