@@ -95,6 +95,7 @@ class _SimhashScratch:
         if nbytes > self.cap:
             cap = max(nbytes, 1 << 20, self.cap * 2)
             self.u64_b = np.empty(cap, dtype=np.uint64)
+            self.u64_c = np.empty(cap, dtype=np.uint64)
             self.cap = cap
 
     def ensure_windows(self, nwin: int) -> None:
@@ -133,23 +134,55 @@ def _sampled_windows(contents: list[bytes]):
     if total_win == 0:
         return None
     sc = _scratch()
-    with np.errstate(over="ignore"):
-        h = _rolling_u64(buf, sc)
-        # gather valid (non-boundary-crossing) windows + their doc ids
-        docv = np.repeat(np.arange(n), nwin_doc)
-        seg_off = np.cumsum(nwin_doc) - nwin_doc
-        within = np.arange(total_win) - np.repeat(seg_off, nwin_doc)
-        hv = h[starts[docv] + within]
-        # content-defined sampling; small docs keep every window
-        keep = ((hv * _GOLD) >> _SAMPLE_SHIFT) == 0
-        keep |= nwin_doc[docv] < _SMALL_DOC_WINDOWS
-        hv = hv[keep]
-        docv = docv[keep]
+    hv, docv = _select_windows(buf, lens, starts, nwin_doc, n, sc)
     if hv.shape[0] == 0:
         return None
     seg_starts = np.searchsorted(docv, np.arange(n), side="left")
     seg_ends = np.searchsorted(docv, np.arange(n), side="right")
     return hv, docv, seg_starts, seg_ends
+
+
+def _select_windows(buf, lens, starts, nwin_doc, n, sc):
+    """Sampled (hv, docv) window selection, mask-first.
+
+    Selects exactly the windows the original gather did — sampled ones
+    (``(h * GOLD) >> 62 == 0``) plus every valid window of small docs —
+    but builds the predicate directly on the rolling-hash array and only
+    then derives doc ids for SURVIVORS via searchsorted. The previous
+    formulation materialized doc-id / offset / gather-index int64
+    arrays over the FULL window space (~24 bytes/window before
+    sampling), tripling the kernel's memory traffic; on this
+    bandwidth-throttled host that traffic was what limited multi-worker
+    scaling (BASELINE.md §C)."""
+    with np.errstate(over="ignore"):
+        h = _rolling_u64(buf, sc)
+        nbuf = h.shape[0]
+        if nbuf == 0:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64))
+        t = sc.u64_c[:nbuf]
+        np.multiply(h, _GOLD, out=t)
+        np.right_shift(t, _SAMPLE_SHIFT, out=t)
+        keep = t == 0
+    # windows crossing a document boundary are invalid: for every
+    # interior boundary e, positions e-7..e-1 (tiny docs' windows all
+    # sit within 7 of a boundary, so this also clears them)
+    if n > 1:
+        ends = (starts + lens)[:-1]
+        inv = (ends[:, None] + np.arange(-7, 0)[None, :]).ravel()
+        inv = inv[(inv >= 0) & (inv < nbuf)]
+        keep[inv] = False
+    # small docs keep every valid window (sampling variance would
+    # otherwise dominate their fingerprints)
+    small = np.flatnonzero((nwin_doc > 0) & (nwin_doc < _SMALL_DOC_WINDOWS))
+    for d in small:
+        keep[starts[d] : starts[d] + nwin_doc[d]] = True
+    pos = np.flatnonzero(keep)
+    if pos.shape[0] == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    hv = h[pos]
+    docv = np.searchsorted(starts, pos, side="right") - 1
+    return hv, docv
 
 
 def minhash_bytes_batch(
@@ -268,21 +301,11 @@ def _simhash_batch_core(contents: list[bytes]) -> np.ndarray:
     if total_win == 0:
         return out
     sc = _scratch()
+    hv, docv = _select_windows(buf, lens, starts, nwin_doc, n, sc)
+    m = hv.shape[0]
+    if m == 0:
+        return out
     with np.errstate(over="ignore"):
-        h = _rolling_u64(buf, sc)
-        # gather valid (non-boundary-crossing) windows + their doc ids
-        docv = np.repeat(np.arange(n), nwin_doc)
-        seg_off = np.cumsum(nwin_doc) - nwin_doc
-        within = np.arange(total_win) - np.repeat(seg_off, nwin_doc)
-        hv = h[starts[docv] + within]
-        # content-defined sampling; small docs keep every window
-        keep = ((hv * _GOLD) >> _SAMPLE_SHIFT) == 0
-        keep |= nwin_doc[docv] < _SMALL_DOC_WINDOWS
-        hv = hv[keep]
-        docv = docv[keep]
-        m = hv.shape[0]
-        if m == 0:
-            return out
         sc.ensure_windows(m)
         seg_starts = np.searchsorted(docv, np.arange(n), side="left")
         seg_ends = np.searchsorted(docv, np.arange(n), side="right")
