@@ -73,8 +73,20 @@ def _rolling_u64(buf: np.ndarray, sc: "_SimhashScratch") -> np.ndarray:
 # buffers live in per-process scratch, reused across batches.
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
-_SAMPLE_SHIFT = np.uint64(62)  # keep windows whose (h*GOLD) top 2 bits == 0
-_SMALL_DOC_WINDOWS = 64  # docs with fewer windows use all of them
+# keep windows whose (h*GOLD) top 2 bits == 0 (~1/4). Sampling rate is
+# the single biggest lever on fingerprint cost (every sampled window
+# costs 4 lane mixes + 32 histogram entries) — but 1/8 was MEASURED to
+# break clustering: same-language UNRELATED files (shared keyword/
+# boilerplate shingle mass) sit at simhash distance ~25-40, and the
+# extra sampling variance (x1.41 spread) pushed a heavy tail of them
+# under threshold 20 — 82 hub clusters merged into one 12k-file
+# component on the 60k bench corpus while pairwise F1 stayed 1.0 (the
+# labels' negatives are consecutive-rep pairs, blind to hub-hub
+# merges; test_hub_isolation pins this). Do not raise this shift
+# without re-checking the unrelated-pair distance tail.
+_SAMPLE_SHIFT = np.uint64(62)
+_SAMPLE_THRESH = np.uint64(1) << _SAMPLE_SHIFT
+_SMALL_DOC_WINDOWS = 128  # docs with fewer windows use all of them
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 # (8*256, 64) float32: row p*256+v maps byte value v at byte position p
@@ -162,8 +174,9 @@ def _select_windows(buf, lens, starts, nwin_doc, n, sc):
                     np.empty(0, dtype=np.int64))
         t = sc.u64_c[:nbuf]
         np.multiply(h, _GOLD, out=t)
-        np.right_shift(t, _SAMPLE_SHIFT, out=t)
-        keep = t == 0
+        # fused predicate: (t >> SHIFT) == 0  <=>  t < 2^SHIFT
+        # (saves one full read+write pass over the window array)
+        keep = t < _SAMPLE_THRESH
     # windows crossing a document boundary are invalid: for every
     # interior boundary e, positions e-7..e-1 (tiny docs' windows all
     # sit within 7 of a boundary, so this also clears them)

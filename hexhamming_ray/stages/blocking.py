@@ -68,43 +68,37 @@ def sampled_band_boundaries(
     bytes/row and already materialized), banding them locally, and
     taking exact quantiles balances partitions by actual row mass.
 
-    The sample predicate is a splitmix-style hash of file_id, so it is
-    deterministic, order-free and retry-stable. Heavy single keys
-    collapse duplicate quantiles; those are deduped (fewer, wider
-    partitions) — an unsplittable key belongs to one range anyway and
-    its in-run flood is the scorer cap's job, not the sort's."""
+    The sample is taken DRIVER-SIDE from the already-materialized
+    fingerprints: ``ray.get`` a bounded, evenly spaced subset of block
+    refs (~100-byte rows) and band them locally. The previous
+    formulation ran a separate 3-operator Dataset execution
+    (filter -> make_bands -> iter_batches); its per-operator scheduling
+    latency cost 4-10 s of pure SERIAL time per job — the single
+    largest non-scaling term left in the ER pipeline after read fusion.
+    Fetched bytes stay bounded at any corpus size (<= target_sample
+    rows plus one block of slack); block positions are evenly spaced,
+    so clone clusters (spread uniformly by construction of the band
+    hash) are represented. Heavy single keys collapse duplicate
+    quantiles; those are deduped (fewer, wider partitions) — an
+    unsplittable key belongs to one range anyway and its in-run flood
+    is the scorer cap's job, not the sort's."""
     import numpy as np
+    import ray
 
     n_rows = fps.count()
     if n_rows <= 0:
         return band_boundaries(num_parts)
-    rate_shift = 0
-    while (n_rows >> rate_shift) > target_sample and rate_shift < 40:
-        rate_shift += 1
-    gold = np.uint64(0x9E3779B97F4A7C15)
-    thresh = np.uint64((1 << 64) - 1) >> np.uint64(rate_shift)
-
-    def _samp(batch: pa.Table) -> pa.Table:
-        fid = batch.column("file_id").to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            keep = (fid * gold) <= thresh
-        return batch.filter(pa.array(keep))
-
-    sample_ds = (
-        fps.select_columns(["file_id", "simhash"])
-        .map_batches(_samp, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
-        .map_batches(make_bands, batch_format="pyarrow",
-                     zero_copy_batch=True, batch_size=None)
-        .select_columns(["bkey"])
-    )
-    chunks = [
-        b.column("bkey").to_numpy()
-        for b in sample_ds.iter_batches(batch_format="pyarrow")
-    ]
-    keys = (
-        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
-    )
+    refs = fps.select_columns(["file_id", "simhash"]).to_arrow_refs()
+    if not refs:
+        return band_boundaries(num_parts)
+    rows_per_block = max(1, n_rows // len(refs))
+    want_blocks = min(len(refs), max(8, -(-target_sample // rows_per_block)))
+    idx = np.unique(np.linspace(0, len(refs) - 1, want_blocks).astype(int))
+    tables = [t for t in ray.get([refs[i] for i in idx]) if t.num_rows]
+    if not tables:
+        return band_boundaries(num_parts)
+    sample = pa.concat_tables(tables).combine_chunks()
+    keys = band_key_matrix(sample.column("simhash")).reshape(-1)
     if keys.size == 0:
         return band_boundaries(num_parts)
     keys = np.sort(keys)
@@ -114,10 +108,10 @@ def sampled_band_boundaries(
     return out or band_boundaries(num_parts)
 
 
-def make_bands(batch: pa.Table, *, n_bands: int = N_BANDS) -> pa.Table:
-    """(file_id, simhash) batch -> n_bands rows per input row with an
-    int64 combined band key ``band_idx * 2^16 + band_value``."""
-    mat = fsb_to_matrix(batch.column("simhash"))  # (N, 32) uint8
+def band_key_matrix(simhash_col, *, n_bands: int = N_BANDS) -> np.ndarray:
+    """FixedSizeBinary simhash column -> (N, n_bands) int64 combined
+    band keys ``band_idx * 2^band_bits + band_value``."""
+    mat = fsb_to_matrix(simhash_col)  # (N, 32) uint8
     n = mat.shape[0]
     width = mat.shape[1] * 8 // n_bands  # bits per band
     bytes_per_band = mat.shape[1] // n_bands
@@ -128,6 +122,14 @@ def make_bands(batch: pa.Table, *, n_bands: int = N_BANDS) -> pa.Table:
         for c in range(bytes_per_band):
             val = (val << 8) | seg[:, c]
         keys[:, b] = (np.int64(b) << np.int64(width)) | val
+    return keys
+
+
+def make_bands(batch: pa.Table, *, n_bands: int = N_BANDS) -> pa.Table:
+    """(file_id, simhash) batch -> n_bands rows per input row with an
+    int64 combined band key ``band_idx * 2^16 + band_value``."""
+    keys = band_key_matrix(batch.column("simhash"), n_bands=n_bands)
+    n = keys.shape[0]
     ids = batch.column("file_id").to_numpy()
     out_ids = np.repeat(ids, n_bands)
     out_keys = keys.reshape(-1)

@@ -185,15 +185,18 @@ def fingerprint_from_parquet(files_dir: str, *, batch_size: int = 256,
     from hexhamming_ray import pool_size, tune_data_context
 
     tune_data_context(hash_shuffle=hash_shuffle)
-    # One block per unit up to ~32 tasks/CPU, then units coalesce into
+    # One block per unit up to ~4 tasks/CPU, then units coalesce into
     # multi-row-group tasks. Unbounded 1:1 blocks looked harmless but
     # poisoned the DOWNSTREAM sort: at 3,448 row groups the banding
     # stage inherited 3,448 tiny (~170 KB) blocks and the range
     # exchange went quadratic (see blocking.band_boundaries). Content
     # is streamed inside the task, so a task holding many row groups
     # stays memory-bounded; output blocks are ~100-byte rows either
-    # way. ~32 waves also amortizes per-task scheduling overhead.
-    n_tasks = min(len(units), pool_size(32.0, lo=128, hi=4096))
+    # way. ~4 waves balances row-group content skew against the sort
+    # exchange's mappers x partitions object count (at 32 tasks/CPU
+    # the 288-mapper x 64-partition exchange alone cost seconds of
+    # scheduling; content skew amortizes inside multi-row-group tasks).
+    n_tasks = min(len(units), pool_size(4.0, lo=16, hi=2048))
     return ray.data.from_items(
         units, override_num_blocks=max(1, n_tasks)
     ).map_batches(fp_units, batch_format="pyarrow", batch_size=1)

@@ -127,6 +127,45 @@ def test_simhash_separation(ray_session):
     assert d_diff > 40
 
 
+def test_unrelated_same_lang_margin(ray_session):
+    """UNRELATED same-language files must stay well above the scoring
+    threshold. Pairwise F1 against the labels is blind here: the
+    labels' negatives are consecutive-rep pairs, so merges between
+    same-language hub clusters are invisible to it — measured: raising
+    the simhash window-sampling rate to 1/8 pushed unrelated-pair
+    distances (mean ~25-40 at content_scale 8) under threshold 20 and
+    fused 82 hub clusters into one 12k-file component while F1 stayed
+    1.000. This pins the margin the sampling rate must preserve."""
+    import hexhamming_ray.sources.synth as S
+    from hexhamming_ray.functions.hashing import simhash_batch
+    from hexhamming_ray.functions.kernel import hamming_rowwise
+    from hexhamming_ray.stages.scoring import DEFAULT_THRESHOLD
+
+    old_scale = S.CONTENT_SCALE
+    try:
+        S.CONTENT_SCALE = 8  # longer files SHRINK unrelated distances
+        texts = []
+        for cid in range(0, 60, 5):  # same lang: cid % 5 == 0
+            rows = S.make_cluster_rows(cid, 42)
+            t = rows[0]["content"].encode()
+            if t:
+                texts.append(t)
+        fps = simhash_batch(texts)
+        dmin = 256
+        for i in range(len(fps) - 1):
+            d = hamming_rowwise(
+                np.repeat(fps[i : i + 1], len(fps) - i - 1, axis=0),
+                fps[i + 1 :],
+            )
+            dmin = min(dmin, int(d.min()))
+        assert dmin > DEFAULT_THRESHOLD + 10, (
+            f"unrelated same-lang margin collapsed: min dist {dmin} vs "
+            f"threshold {DEFAULT_THRESHOLD}"
+        )
+    finally:
+        S.CONTENT_SCALE = old_scale
+
+
 def test_er_exact_clusters_with_planted_dups(ray_session, tmp_path):
     """er_exact_clusters on a corpus WITH exact duplicates: clusters
     must equal the text-equality partition with min-doc_id labels.
