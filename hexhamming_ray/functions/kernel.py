@@ -285,9 +285,17 @@ class AllPairsScorer:
     XOR scratch buffer is allocated once and reused across calls — the
     stateful-actor shape: construct once per actor in ``__init__``, call
     per batch.
+
+    Default ``tile=256``: the 2 MB XOR tile (plus the popcount kernel's
+    same-sized temporaries) stays L2/L3-resident — measured 11.6 M
+    pair-cmp/s/core vs 6.5 M at tile=1024 (whose 32 MB working set
+    thrashes cache), and the per-worker first-touch fault cost of the
+    scratch drops 16x, which is what let the distributed score stage
+    scale (16 workers faulting ~100 MB each semi-serialized was the
+    stage's dominant cold cost).
     """
 
-    def __init__(self, width: int, tile: int = 1024, kernel: str | None = None):
+    def __init__(self, width: int, tile: int = 256, kernel: str | None = None):
         self.width = width
         self.tile = tile
         self.kernel_name = kernel or available_kernels(width)[-1]

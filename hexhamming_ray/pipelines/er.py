@@ -61,7 +61,7 @@ def build_edges(
     )
 
 
-def _runs_scorer_fn(threshold: int, *, edge_runs: bool, tile: int = 1024,
+def _runs_scorer_fn(threshold: int, *, edge_runs: bool, tile: int = 256,
                     counter=None):
     """Task-based run scorer: a pickled ScoreRuns instance whose XOR
     tile lives in a per-process cache — no actor-pool spin-up, no pool
@@ -156,33 +156,49 @@ def build_edges_from_fps(
         # dominated the 2-wave schedule under even spacing).
         from hexhamming_ray.stages.blocking import sampled_band_boundaries
 
-        sorted_b = banded.sort(
-            "bkey",
-            boundaries=sampled_band_boundaries(
-                fps, pool_size(4.0, lo=16, hi=512)
-            ),
-        ).materialize()
+        bounds = sampled_band_boundaries(fps, pool_size(4.0, lo=16, hi=512))
+        sorted_b = banded.sort("bkey", boundaries=bounds).materialize()
         # TASK-based scorer (pickled instance, per-process tile cache):
         # an actor pool here costs ~3-5 s of staggered spin-up per run
         # and needs manual sizing against other pools (ENGINEERING_NOTES
         # 5/6); tasks reuse the workers the fingerprint stage already
-        # warmed and schedule freely
+        # warmed and schedule freely.
+        #
+        # With EXPLICIT sort boundaries every partition holds a disjoint
+        # key range (rows with key == boundary all land on one side), so
+        # key runs can never straddle partitions. When the sort emitted
+        # exactly one block per partition (num_blocks == len(bounds)+1 —
+        # the normal case; verified key-disjoint empirically), ONE
+        # edge_runs pass scores every run and the whole boundary
+        # machinery (boundary_rows map + repartition(1) + boundary
+        # scorer + union: 3 extra operators and a serial scoring task
+        # whose row volume GREW with partition count — 33k boundary rows
+        # at 64 partitions vs 300 at 16, because quantile boundaries sit
+        # at heavy keys whose whole runs then landed in the conservative
+        # first/last-run extraction) disappears.
+        if sorted_b.num_blocks() == len(bounds) + 1:
+            return sorted_b.map_batches(
+                _runs_scorer_fn(threshold, edge_runs=True, counter=counter),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+        # Fallback (a partition split into multiple blocks, e.g. far
+        # beyond target_max_block_size): first/last runs of each block
+        # may straddle blocks, so they are left out of the interior pass
+        # and scored by a COALESCED boundary pass — the stream is tiny,
+        # so instead of a groupby (a 3-stage all-to-all whose
+        # per-partition scheduling cost 14 s of wall on ~1 s of compute
+        # at 200 blocks) it is collapsed to one block: range-sorted
+        # blocks concatenate in order, so the coalesced block is still
+        # bkey-sorted and a single edge_runs ScoreRuns task scores every
+        # boundary run.
         near_interior = sorted_b.map_batches(
             _runs_scorer_fn(threshold, edge_runs=False, counter=counter),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
         )
-        # Runs straddling block edges: at most 2 runs per sorted block.
-        # The stream is tiny, so instead of a groupby (a 3-stage
-        # all-to-all whose per-partition scheduling cost 14 s of wall on
-        # ~1 s of compute at 200 blocks) it is COALESCED into one block:
-        # range-sorted blocks concatenate in order, so the coalesced
-        # block is still bkey-sorted and a single edge_runs ScoreRuns
-        # task scores every boundary run. Volume bound: 2 runs/block
-        # (flood runs are cap-bounded inside the scorer); if a corpus
-        # ever floods the boundary stream, switch plan="hash", which has
-        # no boundary pass at all.
         near_boundary = (
             sorted_b.map_batches(
                 boundary_rows,
@@ -192,7 +208,7 @@ def build_edges_from_fps(
             )
             .repartition(1)
             .map_batches(
-                _runs_scorer_fn(threshold, edge_runs=True, tile=256,
+                _runs_scorer_fn(threshold, edge_runs=True,
                                 counter=counter),
                 batch_format="pyarrow",
                 zero_copy_batch=True,

@@ -95,7 +95,7 @@ class _ScoreCore:
         self,
         threshold: int = DEFAULT_THRESHOLD,
         width: int = 32,
-        tile: int = 1024,
+        tile: int = 256,
         cap: int = DEFAULT_CAP,
         window: int = 128,
         kernel: str | None = None,
