@@ -59,6 +59,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    # Warm the worker pool (lazy spawn + package import is a
+    # fresh-ray.init artifact, not a pipeline cost — see --scaling).
+    def _touch(batch):
+        import hexhamming_ray  # noqa: F401
+
+        return batch
+
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _touch, batch_format="pyarrow"
+    ).materialize()
     queries = _headline_queries()
     times: dict[str, float] = {}
     rows: dict[str, int] = {}

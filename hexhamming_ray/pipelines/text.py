@@ -284,6 +284,18 @@ def _join_col(pairs, table, key: str, out_name: str, value_col: str,
     return j.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
+def _default_partitions() -> int:
+    """Exchange partition count when the caller doesn't pass one:
+    ~cluster CPUs / 4, floor 8. Each hash-shuffle exchange spins
+    `num_partitions` aggregator actors; on a small cluster the spin-up
+    is a fixed cost per exchange, so fewer/larger partitions win until
+    per-partition data no longer fits a worker heap. Callers running at
+    corpus scale pass an explicit count sized to the data instead."""
+    from hexhamming_ray import pool_size
+
+    return pool_size(0.25, lo=8, hi=64)
+
+
 def minhash_candidates(sigs, *, num_partitions: int = 16):
     """Deduped candidate pairs (id_lo, id_hi) from LSH banding over a
     (doc_id, sig) signature Dataset: band -> hash-repartition by bkey
@@ -315,7 +327,7 @@ def minhash_candidates(sigs, *, num_partitions: int = 16):
 
 
 def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
-                      num_partitions: int = 16):
+                      num_partitions: int | None = None):
     """Near-duplicate pairs via MinHash-LSH banding:
     signature -> (bkey, doc_id) band shuffle -> run pairing ->
     distinct -> re-join signatures -> vectorized estimated-Jaccard
@@ -323,9 +335,20 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
 
     Scale shape: the band shuffle moves 16 bytes/doc/band (not the
     512-byte signature x 16); signatures are joined back only for the
-    candidate pairs, so both joins are candidate-bounded."""
+    candidate pairs, so both joins are candidate-bounded.
+
+    Execution shape: each all-to-all stage (band repartition, pair
+    distinct, the two hash joins) is materialized before the next
+    starts. Fused, the streaming executor spins EVERY exchange's
+    aggregator pool concurrently (2 joins + 2 keyed repartitions +
+    the signature actor pool > cluster CPUs) and the pools starve
+    each other — measured 78 s fused vs 13 s staged at sf0.1/32 CPUs
+    (ENGINEERING_NOTES item 27). The intermediates are candidate-
+    bounded (16-byte pair rows; pair+sig rows), object-store-resident
+    and spillable — the corpus itself is never materialized."""
     from hexhamming_ray import pool_size
 
+    num_partitions = num_partitions or _default_partitions()
     sigs = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
         _MinhashSig,
         batch_format="pyarrow",
@@ -333,8 +356,9 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
         concurrency=pool_size(0.5),
         batch_size=None,
     ).materialize()  # consumed twice: banding + candidate re-join
-    cand = minhash_candidates(sigs, num_partitions=num_partitions)
-    j = _join_col(cand, sigs, "id_lo", "sig_lo", "sig", num_partitions)
+    cand = minhash_candidates(sigs, num_partitions=num_partitions).materialize()
+    j = _join_col(cand, sigs, "id_lo", "sig_lo", "sig",
+                  num_partitions).materialize()
     j = _join_col(j, sigs, "id_hi", "sig_hi", "sig", num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -523,7 +547,7 @@ def _shingle_table(sf_dir: str):
 
 
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
-                        num_partitions: int = 16):
+                        num_partitions: int | None = None):
     """Near-dup pairs with EXACT token-3-gram Jaccard >= threshold:
     MinHash-LSH proposes candidates (cheap, approximate), then the
     exact set Jaccard verifies — the estimate filters, the exact value
@@ -532,12 +556,16 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     Scale shape: the candidate pairs are hash-JOINED back to the
     per-doc shingle-hash table on doc_id (twice: lo side, hi side) —
     the candidate set, not the corpus, bounds every post-LSH stage.
-    Nothing corpus-sized ever reaches the driver."""
+    Nothing corpus-sized ever reaches the driver. Exchanges are
+    staged (materialized) for the same pool-starvation reason as
+    ``minhash_dup_pairs``."""
+    num_partitions = num_partitions or _default_partitions()
     cands = minhash_dup_pairs(sf_dir, threshold=0.3).select_columns(
         ["id_lo", "id_hi"]
-    )
+    ).materialize()
     sh = _shingle_table(sf_dir).materialize()
-    j = _join_col(cands, sh, "id_lo", "sh_lo", "sh", num_partitions)
+    j = _join_col(cands, sh, "id_lo", "sh_lo", "sh",
+                  num_partitions).materialize()
     j = _join_col(j, sh, "id_hi", "sh_hi", "sh", num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -251,11 +251,11 @@ def embedding_near_dup_pairs(
     def normalize(batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), pa.float64()), mat.shape[1]
+        )
         return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "vec": pa.array(list(mat), type=pa.list_(pa.float64())),
-            }
+            {"vec_id": pa.array(ids, pa.int64()), "vec": vec}
         )
 
     norm = (
