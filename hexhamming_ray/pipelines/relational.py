@@ -98,9 +98,18 @@ def orders_by_status(sf_dir: str):
 
 
 def top_customers(sf_dir: str):
-    """Top 10 customers by total order value: native hash join
-    orders x customer, grouped sum, sort desc, limit.
-    (c_custkey, c_name, total_cents, n_orders)."""
+    """Top 10 customers by total order value:
+    (c_custkey, c_name, total_cents, n_orders).
+
+    Join-after-top-k: the grouped sum + distributed sort + limit(10)
+    run over orders alone, and only THEN are the 10 names fetched via a
+    predicate-pushdown parquet read of customer (`filter=isin(10
+    keys)` — row groups that can't match never leave storage). The
+    earlier shape hash-joined the full customer table before the
+    limit: one whole all-to-all exchange to decorate rows that were
+    about to be discarded."""
+    import pyarrow.dataset as pads
+    import ray
     from ray.data.aggregate import Count, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -117,30 +126,29 @@ def top_customers(sf_dir: str):
         orders.groupby("o_custkey")
         .aggregate(Sum("cents"), Count())
         .rename_columns(["o_custkey", "total_cents", "n_orders"])
+        .materialize()  # stage boundary: don't fuse two all-to-alls
     )
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = per_cust.join(
-        cust,
-        join_type="inner",
-        num_partitions=8,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
-                "c_name": batch.column("c_name"),
-                "total_cents": batch.column("total_cents"),
-                "n_orders": batch.column("n_orders"),
-            }
-        )
-
-    return (
-        joined.map_batches(project, batch_format="pyarrow", batch_size=None)
-        .sort(["total_cents", "c_custkey"], descending=[True, False])
+    top = (
+        per_cust.sort(["total_cents", "o_custkey"], descending=[True, False])
         .limit(10)
+        .take_all()  # exactly 10 rows reach the driver
+    )
+    keys = [int(r["o_custkey"]) for r in top]
+    names = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(keys),
+    ).take_all()
+    name_by_key = {int(r["c_custkey"]): r["c_name"] for r in names}
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([name_by_key[k] for k in keys], pa.string()),
+            "total_cents": pa.array(
+                [int(r["total_cents"]) for r in top], pa.int64()
+            ),
+            "n_orders": pa.array([int(r["n_orders"]) for r in top], pa.int64()),
+        }
     )
 
 
