@@ -153,20 +153,26 @@ def top_customers(sf_dir: str):
 
 
 class _NationRegionLookup:
-    """Broadcast-join stage: the small side (nation x region) is read
-    once per actor from the object store (ray.put ref), applied as a
-    vectorized gather — never re-shipped per batch and never shuffled
-    (SURVEY.md §4.2: broadcast small sides instead of shuffle joins)."""
+    """Broadcast-join UDF: the small side (nation x region) is ray.put
+    ONCE on the driver; each task reads it zero-copy from the local
+    object store on first use and applies a vectorized gather — never
+    re-shipped per batch and never shuffled (SURVEY.md §4.2: broadcast
+    small sides instead of shuffle joins). Passed to map_batches as an
+    INSTANCE, so it runs in the task pool on already-warm workers — an
+    actor pool spawns fresh processes, a fixed cost a stateless gather
+    doesn't earn (the broadcast table rebuild is ~microseconds)."""
 
     def __init__(self, lookup_ref):
-        import ray
-
-        nk, rname = ray.get(lookup_ref)
-        self.max_nk = int(nk.max())
-        self.table = np.empty(self.max_nk + 1, dtype=object)
-        self.table[nk] = rname
+        self.lookup_ref = lookup_ref
+        self.table = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.table is None:
+            import ray
+
+            nk, rname = ray.get(self.lookup_ref)
+            self.table = np.empty(int(nk.max()) + 1, dtype=object)
+            self.table[nk] = rname
         nk = batch.column("c_nationkey").to_numpy()
         return pa.table(
             {
@@ -196,11 +202,10 @@ def customers_per_region(sf_dir: str):
     )
     cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     tagged = cust.map_batches(
-        _NationRegionLookup,
-        fn_constructor_args=(lookup_ref,),
+        _NationRegionLookup(lookup_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2, batch_size=None)
+        batch_size=None)
     out = tagged.groupby("r_name").aggregate(Count(), Sum("c_acctbal_cents"))
     return out.rename_columns(["r_name", "n_customers", "total_acctbal_cents"])
 

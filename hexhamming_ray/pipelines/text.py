@@ -174,7 +174,9 @@ LSH_BANDS = 16
 
 
 class _MinhashSig:
-    """Actor-pool stage: (doc_id, sig) minhash signatures per batch.
+    """Task-pool UDF (passed as an instance — it holds no per-worker
+    state, so an actor pool would only add process spawn cost):
+    (doc_id, sig) minhash signatures per batch.
 
     Signatures are the fully-vectorized byte-8-gram MinHash
     (``minhash_bytes_batch``): the word-shingle variant costs one
@@ -346,14 +348,11 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
     (ENGINEERING_NOTES item 27). The intermediates are candidate-
     bounded (16-byte pair rows; pair+sig rows), object-store-resident
     and spillable — the corpus itself is never materialized."""
-    from hexhamming_ray import pool_size
-
     num_partitions = num_partitions or _default_partitions()
     sigs = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
-        _MinhashSig,
+        _MinhashSig(),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_size(0.5),
         batch_size=None,
     ).materialize()  # consumed twice: banding + candidate re-join
     cand = minhash_candidates(sigs, num_partitions=num_partitions).materialize()

@@ -30,8 +30,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from hexhamming_ray import pool_size
-
 
 def _emb(sf_dir: str):
     import ray
@@ -63,19 +61,27 @@ def _query_vectors(ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class _BruteScore:
-    """Actor-pool stage: per batch, cosine of all rows vs the broadcast
+    """Task-pool UDF (instance — the broadcast query matrix is ray.put
+    once and read zero-copy per task on first use; an actor pool would
+    only add process spawn cost): per batch, cosine of all rows vs the
     query matrix; emits each batch's top-k rows per query (partial
     top-k: the global merge only sees n_batches * k rows per query)."""
 
     def __init__(self, queries_ref, k: int):
+        self.queries_ref = queries_ref
+        self.k = k
+        self.qids = None
+        self.qn = None
+
+    def _load(self):
         import ray
 
-        self.qids, qmat = ray.get(queries_ref)
-        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        self.qn = qn
-        self.k = k
+        self.qids, qmat = ray.get(self.queries_ref)
+        self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qn is None:
+            self._load()
         ids, mat = _to_matrix(batch)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = self.qn @ mat.T  # (Q, N)
@@ -125,11 +131,9 @@ def knn_bruteforce(sf_dir: str, *, n_queries: int = 10, k: int = 5):
     queries_ref = ray.put(_query_vectors(ds, n_queries))
 
     partial = ds.map_batches(
-        _BruteScore,
-        fn_constructor_args=(queries_ref, k),
+        _BruteScore(queries_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_size(0.5),
         batch_size=2048,
     )
     return partial.groupby("query_id").map_groups(
@@ -155,21 +159,30 @@ def _bucket_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class _LshCandidateScore:
-    """Fused stage: hyperplane-bucket each batch, keep only rows whose
-    key collides with a broadcast QUERY bucket (np.isin — the corpus
-    never shuffles), score survivors against the normalized query
-    matrix, emit per-batch partial top-ks."""
+    """Fused task-pool UDF (instance — see _BruteScore): hyperplane-
+    bucket each batch, keep only rows whose key collides with a
+    broadcast QUERY bucket (np.isin — the corpus never shuffles), score
+    survivors against the normalized query matrix, emit per-batch
+    partial top-ks."""
 
     def __init__(self, queries_ref, planes: np.ndarray, k: int):
+        self.queries_ref = queries_ref
+        self.planes = planes
+        self.k = k
+        self.qids = None
+        self.qn = None
+        self.qkeys = None
+
+    def _load(self):
         import ray
 
-        self.qids, qmat = ray.get(queries_ref)
+        self.qids, qmat = ray.get(self.queries_ref)
         self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        self.planes = planes
-        self.qkeys = np.unique(_bucket_keys(self.qn, planes).reshape(-1))
-        self.k = k
+        self.qkeys = np.unique(_bucket_keys(self.qn, self.planes).reshape(-1))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.qn is None:
+            self._load()
         ids, mat = _to_matrix(batch)
         keys = _bucket_keys(mat, self.planes)  # (T, N)
         hit = np.isin(keys, self.qkeys).any(axis=0)  # (N,)
@@ -220,11 +233,9 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
     queries_ref = ray.put(_query_vectors(ds, n_queries))
 
     partial = ds.map_batches(
-        _LshCandidateScore,
-        fn_constructor_args=(queries_ref, planes, k),
+        _LshCandidateScore(queries_ref, planes, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=pool_size(0.5),
         batch_size=2048,
     )
     return partial.groupby("query_id").map_groups(
