@@ -138,3 +138,24 @@ def pool_size(frac: float = 0.5, lo: int = 1, hi: int = 64) -> int:
     except Exception:
         cpus = 4
     return max(lo, min(hi, int(cpus * frac)))
+
+def read_num_blocks(*paths: str, target_block_bytes: int = 64 << 20) -> int:
+    """Data-size-aware block count for ``read_parquet``: one block per
+    ~64 MB of file, floor CPUs/2. Ray's default targets ~2x-CPUs blocks
+    regardless of size, so a 20 MB table is split into 64 sub-MB blocks
+    — and every downstream sort-based groupby/sort makes one shuffle
+    partition PER INPUT BLOCK (ENGINEERING_NOTES 26), turning a tiny
+    aggregate into a 64x64 exchange (measured 2-4x slower at sf0.1).
+    Growing the count with file bytes keeps the same call scale-safe:
+    at 100 TB this yields ~1.6 M map tasks, and wide stages at that
+    scale pin their partitioning explicitly (boundaries= / hash
+    repartition) rather than inheriting it from the read."""
+    import os
+
+    total = 0
+    for p in paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return max(pool_size(0.5, lo=2, hi=1 << 30), total // target_block_bytes + 1)

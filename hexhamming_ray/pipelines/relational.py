@@ -16,10 +16,13 @@ import pyarrow.compute as pc
 def _t(sf_dir: str, name: str, columns=None, *, hash_shuffle: bool = False):
     import ray
 
-    from hexhamming_ray import tune_data_context
+    from hexhamming_ray import read_num_blocks, tune_data_context
 
     tune_data_context(hash_shuffle=hash_shuffle)
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=read_num_blocks(path)
+    )
 
 
 def _cents(col) -> pa.Array:

@@ -25,11 +25,12 @@ from hexhamming_ray.functions.hashing import (
 def _docs(sf_dir: str, columns=None, *, hash_shuffle: bool = False):
     import ray
 
-    from hexhamming_ray import tune_data_context
+    from hexhamming_ray import read_num_blocks, tune_data_context
 
     tune_data_context(hash_shuffle=hash_shuffle)
+    path = f"{sf_dir}/documents.parquet"
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=columns
+        path, columns=columns, override_num_blocks=read_num_blocks(path)
     )
 
 

@@ -34,10 +34,13 @@ import pyarrow as pa
 def _emb(sf_dir: str):
     import ray
 
-    from hexhamming_ray import tune_data_context
+    from hexhamming_ray import read_num_blocks, tune_data_context
 
     tune_data_context()
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(
+        path, override_num_blocks=read_num_blocks(path)
+    )
 
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
