@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": T.ngram_jaccard_exact,
         "doc_sample": T.doc_sample,
         "random_sample_docs": T.random_sample_docs,
+        "union_distinct_docs": T.union_distinct_docs,
         # --- similarity search over embeddings ---
         "knn_bruteforce": A.knn_bruteforce,
         "knn_lsh": A.knn_lsh,
@@ -64,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_top_price": R.parts_top_price,
         "events_per_hour": R.events_per_hour,
         "user_sessions": R.user_sessions,
+        "q3_top_orders": R.q3_top_orders,
+        "order_count_histogram": R.order_count_histogram,
+        "top_event_per_user": R.top_event_per_user,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -229,5 +233,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, ts, LAG(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)) "
             "GROUP BY user_id"
+        ),
+        "q3_top_orders": (
+            "SELECT l.l_orderkey, "
+            "CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_epoch, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) "
+            "  * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 2 "
+            "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
+        ),
+        "order_count_histogram": (
+            "SELECT n_orders, COUNT(*) AS n_customers FROM "
+            "(SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+            " GROUP BY o_custkey) GROUP BY n_orders"
+        ),
+        "top_event_per_user": (
+            "SELECT user_id, event_id, value_milli FROM "
+            "(SELECT user_id, event_id, "
+            " CAST(ROUND(value * 1000) AS BIGINT) AS value_milli, "
+            " ROW_NUMBER() OVER (PARTITION BY user_id "
+            "  ORDER BY CAST(ROUND(value * 1000) AS BIGINT) DESC, event_id) "
+            "  AS rn FROM events) WHERE rn = 1"
+        ),
+        "union_distinct_docs": (
+            "SELECT DISTINCT doc_id FROM "
+            "(SELECT doc_id FROM documents WHERE n_chars > 400 "
+            " UNION ALL "
+            " SELECT doc_id FROM documents WHERE lang = 'de')"
         ),
     }

@@ -25,6 +25,23 @@ def _t(sf_dir: str, name: str, columns=None, *, hash_shuffle: bool = False):
     )
 
 
+def _t_filtered(sf_dir: str, name: str, columns, filter_expr):
+    """Pruned + predicate-pushdown read: only ``columns`` of the row
+    groups that can satisfy ``filter_expr`` leave storage."""
+    import ray
+
+    from hexhamming_ray import read_num_blocks, tune_data_context
+
+    tune_data_context()
+    path = f"{sf_dir}/{name}.parquet"
+    return ray.data.read_parquet(
+        path,
+        columns=columns,
+        filter=filter_expr,
+        override_num_blocks=read_num_blocks(path),
+    )
+
+
 def _cents(col) -> pa.Array:
     return pc.round(
         pc.multiply(col, 100), ndigits=0, round_mode="half_towards_infinity"
@@ -361,6 +378,172 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 30,
         .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
         .map_batches(
             sessions, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
+                  cutoff: str = "1998-06-01", num_partitions: int = 8):
+    """TPC-H Q3-style shipping priority: top 10 undelivered orders by
+    revenue for one market segment.
+    (l_orderkey, o_orderdate_epoch, revenue_cents).
+
+    Shape: both join inputs are pruned AT THE READ (predicate pushdown:
+    segment on customer, date cutoffs on orders/lineitem — non-matching
+    row groups never leave storage), then two native hash joins staged
+    so their aggregator pools never overlap, a grouped sum, and a
+    distributed sort + limit(10)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+
+    cust = _t_filtered(
+        sf_dir, "customer", ["c_custkey"],
+        pads.field("c_mktsegment") == segment,
+    )
+    orders = _t_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        pads.field("o_orderdate") < cut,
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            batch.column("o_orderdate").cast(pa.int64()), 1_000_000
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderdate_epoch": epoch,
+            }
+        )
+
+    orders = orders.map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    j1 = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_orderdate_epoch"]).materialize()
+
+    li = _t_filtered(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+        pads.field("l_shipdate") > cut,
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li = li.map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    j2 = li.join(
+        j1,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).materialize()
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        j2.groupby(["l_orderkey", "o_orderdate_epoch"])
+        .aggregate(Sum("rev_cents"))
+        .rename_columns(["l_orderkey", "o_orderdate_epoch", "revenue_cents"])
+        .materialize()
+    )
+    return agg.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def order_count_histogram(sf_dir: str):
+    """Distribution of per-customer order counts: (n_orders,
+    n_customers). Chained aggregation — the second groupby's input is
+    the first's (already tiny) output, so the re-aggregation exchange
+    is near-free at any scale."""
+    from ray.data.aggregate import Count
+
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count())
+        .rename_columns(["o_custkey", "n_orders"])
+        .materialize()  # stage boundary between the two exchanges
+    )
+    return (
+        per_cust.groupby("n_orders")
+        .aggregate(Count())
+        .rename_columns(["n_orders", "n_customers"])
+    )
+
+
+def top_event_per_user(sf_dir: str, *, num_partitions: int = 16):
+    """Per-user argmax event: the single highest-value event per user,
+    ties broken by event_id ascending. (user_id, event_id, value_milli).
+
+    Same sorted-run shape as ``user_sessions``: hash-repartition by
+    user co-locates each user's rows in one block, one vectorized
+    lexsort + run-head selection per block — no per-group Python."""
+
+    def top1(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "value_milli": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        vm = (
+            pc.round(
+                pc.multiply(batch.column("value"), 1000),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        order = np.lexsort((eid, -vm, uid))
+        uid, eid, vm = uid[order], eid[order], vm[order]
+        heads = np.empty(n, dtype=bool)
+        heads[0] = True
+        heads[1:] = uid[1:] != uid[:-1]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[heads], pa.int64()),
+                "event_id": pa.array(eid[heads], pa.int64()),
+                "value_milli": pa.array(vm[heads], pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "event_id", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            top1, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
     )

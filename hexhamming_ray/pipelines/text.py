@@ -749,3 +749,28 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
     return j.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def union_distinct_docs(sf_dir: str, *, min_chars: int = 400,
+                        lang: str = "de"):
+    """Set-op surface: doc_ids of long documents UNION doc_ids of one
+    language, deduplicated. (doc_id,).
+
+    ``Dataset.union`` concatenates lazily (no data movement); the
+    distinct is one hash aggregate over the already-projected 8-byte
+    id column."""
+    from ray.data.aggregate import Count
+
+    long_docs = _docs(sf_dir, ["doc_id", "n_chars"]).filter(
+        expr=f"n_chars > {min_chars}"
+    ).select_columns(["doc_id"])
+    lang_docs = _docs(sf_dir, ["doc_id", "lang"]).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["doc_id"])
+
+    return (
+        long_docs.union(lang_docs)
+        .groupby("doc_id")
+        .aggregate(Count())
+        .select_columns(["doc_id"])
+    )
