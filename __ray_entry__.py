@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": A.knn_bruteforce,
         "knn_lsh": A.knn_lsh,
         "embedding_near_dup_pairs": A.embedding_near_dup_pairs,
+        "embedding_near_dup_lsh": A.embedding_near_dup_lsh,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,

@@ -244,3 +244,27 @@ def test_salted_flood_preserves_connectivity():
             parent[a] = b
     roots = {find(i) for i in range(n)}
     assert len(roots) == 1, f"flood fragmented into {len(roots)} components"
+
+
+def test_embedding_near_dup_lsh_vs_exact(ray_session):
+    """The LSH-bucketed near-dup path must emit a SUBSET of the exact
+    block-pair-cartesian pairs (precision 1.0 — every candidate is
+    exactly verified) and, at the default (n_bits, n_tables), recover
+    every exact pair on the test corpus (recall 1.0)."""
+    from hexhamming_ray.stages.annsearch import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["id_lo"], r["id_hi"])
+        for r in embedding_near_dup_pairs(sf).take_all()
+    }
+    approx = {
+        (r["id_lo"], r["id_hi"])
+        for r in embedding_near_dup_lsh(sf).take_all()
+    }
+    assert approx <= exact, f"false positives: {sorted(approx - exact)[:5]}"
+    missed = exact - approx
+    assert not missed, f"recall < 1 at defaults: missed {sorted(missed)[:5]}"
