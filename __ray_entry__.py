@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": R.q3_top_orders,
         "order_count_histogram": R.order_count_histogram,
         "top_event_per_user": R.top_event_per_user,
+        "asof_view_clicks": R.asof_view_clicks,
+        "rolling_user_window": R.rolling_user_window,
+        "order_price_quantiles": R.order_price_quantiles,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -267,5 +270,39 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id FROM documents WHERE n_chars > 400 "
             " UNION ALL "
             " SELECT doc_id FROM documents WHERE lang = 'de')"
+        ),
+        # as-of join: tie order pinned to (ts, event_id) so the window
+        # formulation is deterministic (ASOF JOIN leaves equal-ts
+        # tie-break unspecified)
+        "asof_view_clicks": (
+            "SELECT event_id AS click_event_id, user_id, view_event_id, "
+            "CAST(date_diff('microsecond', view_ts, ts) AS BIGINT) AS lag_us "
+            "FROM ("
+            " SELECT event_id, user_id, ts, event_type, "
+            "  last_value(CASE WHEN event_type = 'view' THEN event_id END "
+            "             IGNORE NULLS) OVER w AS view_event_id, "
+            "  last_value(CASE WHEN event_type = 'view' THEN ts END "
+            "             IGNORE NULLS) OVER w AS view_ts "
+            " FROM events WHERE event_type IN ('view', 'click') "
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ") WHERE event_type = 'click' AND view_event_id IS NOT NULL"
+        ),
+        "rolling_user_window": (
+            "SELECT event_id, user_id, "
+            "CAST(COUNT(*) OVER w AS BIGINT) AS n_events_w, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            " AS sum_cents_w "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+        ),
+        "order_price_quantiles": (
+            "SELECT o_orderstatus, "
+            "CAST(median(cents) AS DOUBLE) AS median_cents, "
+            "CAST(quantile_cont(cents, 0.9) AS DOUBLE) AS p90_cents "
+            "FROM (SELECT o_orderstatus, "
+            "      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+            "      FROM orders) GROUP BY o_orderstatus"
         ),
     }

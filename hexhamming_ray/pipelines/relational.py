@@ -25,14 +25,15 @@ def _t(sf_dir: str, name: str, columns=None, *, hash_shuffle: bool = False):
     )
 
 
-def _t_filtered(sf_dir: str, name: str, columns, filter_expr):
+def _t_filtered(sf_dir: str, name: str, columns, filter_expr, *,
+                hash_shuffle: bool = False):
     """Pruned + predicate-pushdown read: only ``columns`` of the row
     groups that can satisfy ``filter_expr`` leave storage."""
     import ray
 
     from hexhamming_ray import read_num_blocks, tune_data_context
 
-    tune_data_context()
+    tune_data_context(hash_shuffle=hash_shuffle)
     path = f"{sf_dir}/{name}.parquet"
     return ray.data.read_parquet(
         path,
@@ -544,6 +545,206 @@ def top_event_per_user(sf_dir: str, *, num_partitions: int = 16):
         .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
         .map_batches(
             top1, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def asof_view_clicks(sf_dir: str, *, num_partitions: int = 16):
+    """As-of join WITHIN the events stream: for every 'click', the most
+    recent 'view' by the same user at or before it in (ts, event_id)
+    order -> (click_event_id, user_id, view_event_id, lag_us). Clicks
+    with no preceding view are dropped (inner as-of).
+
+    Ray Data has no as-of join; the composition is hash-repartition by
+    user_id (each user's events land in ONE block — the partitioning
+    assumption) + one vectorized carry-forward pass per block: lexsort
+    by (user, ts, event_id), propagate the index of the last view with
+    ``np.maximum.accumulate``, mask carries that crossed a user
+    boundary. No per-row or per-group Python.
+
+    Tie semantics are pinned to total (ts, event_id) order so the
+    DuckDB oracle (last_value IGNORE NULLS over the same ordering) is
+    deterministic — ASOF JOIN's equal-ts tie-break is unspecified."""
+
+    def asof(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "click_event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "view_event_id": pa.array([], pa.int64()),
+                "lag_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        is_view = pc.equal(batch.column("event_type"), "view").to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_view = (
+            uid[order], ts[order], eid[order], is_view[order]
+        )
+        idx = np.arange(n, dtype=np.int64)
+        carried = np.maximum.accumulate(np.where(is_view, idx, -1))
+        valid = (~is_view) & (carried >= 0)
+        # a carried view from an earlier user has a smaller index but a
+        # DIFFERENT uid (blocks are sorted by user) — mask it out
+        valid[valid] &= uid[carried[valid]] == uid[valid]
+        if not valid.any():
+            return empty
+        c = carried[valid]
+        return pa.table(
+            {
+                "click_event_id": pa.array(eid[valid], pa.int64()),
+                "user_id": pa.array(uid[valid], pa.int64()),
+                "view_event_id": pa.array(eid[c], pa.int64()),
+                "lag_us": pa.array(ts[valid] - ts[c], pa.int64()),
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    return (
+        _t_filtered(
+            sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+            pads.field("event_type").isin(["view", "click"]),
+            hash_shuffle=True,
+        )
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            asof, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def rolling_user_window(sf_dir: str, *, window_minutes: int = 60,
+                        num_partitions: int = 16):
+    """Trailing time-window aggregate per event: count and cent-sum of
+    the same user's events in the preceding ``window_minutes``
+    (inclusive frame, equal-ts peers included — exactly SQL
+    ``RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW``) ->
+    (event_id, user_id, n_events_w, sum_cents_w).
+
+    One vectorized pass per hash-partitioned block: lexsort by
+    (user, ts), lift each user's run onto a disjoint segment of one
+    monotone axis (ts + run_id x stride, stride > block ts-span +
+    window so windows can never cross users), then two searchsorteds
+    + a prefix-sum difference give every row's frame — no per-group
+    Python, no per-row loop."""
+    window_us = window_minutes * 60 * 1_000_000
+
+    def roll(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events_w": pa.array([], pa.int64()),
+                    "sum_cents_w": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        cents = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        run_id = np.cumsum(new_user) - 1
+        ts0 = ts - ts.min()
+        stride = np.int64(ts0.max()) + window_us + 2
+        axis = ts0 + run_id * stride
+        left = np.searchsorted(axis, axis - window_us, side="left")
+        right = np.searchsorted(axis, axis, side="right")
+        prefix = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "n_events_w": pa.array(right - left, pa.int64()),
+                "sum_cents_w": pa.array(
+                    prefix[right] - prefix[left], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            roll, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def order_price_quantiles(sf_dir: str, *, num_partitions: int = 4):
+    """EXACT grouped quantiles: per order status, the interpolated
+    median and p90 of o_totalprice in cents ->
+    (o_orderstatus, median_cents, p90_cents) as DOUBLE (SQL
+    quantile_cont semantics: linear interpolation at (n-1)q).
+
+    Distributed shape: hash-repartition by the group key (every group
+    lands whole in one block — fine for low-cardinality keys like
+    status; high-cardinality grouped quantiles reuse the same plan,
+    with skewed groups the known caveat), then ONE lexsort per block
+    and interpolated picks at run offsets — the per-group work is pure
+    numpy indexing, no Python loop over groups."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "median_cents": pa.array([], pa.float64()),
+                    "p90_cents": pa.array([], pa.float64()),
+                }
+            )
+        status = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        cents = _cents(batch.column("o_totalprice")).to_numpy()
+        keys, codes = np.unique(status, return_inverse=True)
+        order = np.lexsort((cents, codes))
+        codes_s = codes[order]
+        cents_s = cents[order].astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        sizes = ends - starts
+
+        def interp(q: float) -> np.ndarray:
+            pos = (sizes - 1) * q
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            lo_v = cents_s[starts + lo]
+            hi_v = cents_s[starts + np.minimum(lo + 1, sizes - 1)]
+            return lo_v + frac * (hi_v - lo_v)
+
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(keys[codes_s[starts]]),
+                "median_cents": pa.array(interp(0.5), pa.float64()),
+                "p90_cents": pa.array(interp(0.9), pa.float64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"],
+           hash_shuffle=True)
+        .repartition(
+            num_blocks=num_partitions, keys=["o_orderstatus"], sort=True
+        )
+        .map_batches(
+            quant, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         )
     )
