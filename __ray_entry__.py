@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_view_clicks": R.asof_view_clicks,
         "rolling_user_window": R.rolling_user_window,
         "order_price_quantiles": R.order_price_quantiles,
+        "customers_no_f_orders": R.customers_no_f_orders,
+        "customers_with_high_orders": R.customers_with_high_orders,
+        "supplier_balance_by_nation": R.supplier_balance_by_nation,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -271,6 +274,30 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL "
             " SELECT doc_id FROM documents WHERE lang = 'de')"
         ),
+        # langid: marker-word argmax with sorted-language tie-break,
+        # CJK-ratio override, 'und' when no signal — mirrors
+        # functions/text.py langid_batch exactly
+        "langid_docs": (
+            "WITH s AS (SELECT doc_id, "
+            " len(regexp_extract_all(text, '[一-鿿]')) AS cjk, "
+            " length(text) AS n_chars, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(der|die|das|und|ist|mit)\\b')) AS s_de, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(the|and|of|to|is|with)\\b')) AS s_en, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(el|la|de|que|los|con)\\b')) AS s_es, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(le|la|les|des|est|une)\\b')) AS s_fr "
+            " FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN cjk * 10 > greatest(n_chars, 1) THEN 'zh' "
+            " WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+            " WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de' "
+            " WHEN s_en >= greatest(s_es, s_fr) THEN 'en' "
+            " WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang "
+            "FROM s"
+        ),
         # as-of join: tie order pinned to (ts, event_id) so the window
         # formulation is deterministic (ASOF JOIN leaves equal-ts
         # tie-break unspecified)
@@ -304,5 +331,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT o_orderstatus, "
             "      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
             "      FROM orders) GROUP BY o_orderstatus"
+        ),
+        "customers_no_f_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            " WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
+        ),
+        "customers_with_high_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            " WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+        ),
+        "supplier_balance_by_nation": (
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            " AS total_bal_cents "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name"
         ),
     }

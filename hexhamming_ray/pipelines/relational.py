@@ -748,3 +748,90 @@ def order_price_quantiles(sf_dir: str, *, num_partitions: int = 4):
             batch_size=None,
         )
     )
+
+
+def customers_no_f_orders(sf_dir: str, *, num_partitions: int = 8):
+    """ANTI join: customers with no 'F'-status order ->
+    (c_custkey, c_name). Native hash left_anti join — the probe side
+    is pre-filtered AND pre-projected to the bare join key at the
+    read, so the shuffle moves 8 bytes/row on the right side."""
+    import pyarrow.dataset as pads
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"],
+              hash_shuffle=True)
+    f_orders = _t_filtered(
+        sf_dir, "orders", ["o_custkey"],
+        pads.field("o_orderstatus") == "F", hash_shuffle=True,
+    )
+    return cust.join(
+        f_orders, join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+
+def customers_with_high_orders(sf_dir: str, *, min_price: float = 400_000.0,
+                               num_partitions: int = 8):
+    """SEMI join: customers having at least one order above
+    ``min_price`` -> (c_custkey, c_mktsegment). Native hash left_semi
+    join with the same key-only probe side as the anti join."""
+    import pyarrow.dataset as pads
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+              hash_shuffle=True)
+    big = _t_filtered(
+        sf_dir, "orders", ["o_custkey"],
+        pads.field("o_totalprice") > min_price, hash_shuffle=True,
+    )
+    return cust.join(
+        big, join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    """Supplier account balances rolled up to nation name ->
+    (n_name, n_suppliers, total_bal_cents). The 25-row nation table is
+    a driver-side broadcast lookup (ray.put once), applied vectorized
+    inside map_batches — no shuffle join for a small dimension."""
+    import ray
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _t(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    max_key = max(nat) + 1
+    names = np.array([nat.get(i, "") for i in range(max_key)], dtype=object)
+    names_ref = ray.put(names)
+
+    def tag(batch: pa.Table, *, _ref=names_ref) -> pa.Table:
+        lut = ray.get(_ref)
+        nk = batch.column("s_nationkey").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "n_name": pa.array(lut[nk], pa.string()),
+                "bal_cents": _cents(batch.column("s_acctbal")),
+            }
+        )
+
+    ds = _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = ds.groupby("n_name").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("bal_cents"),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "n_suppliers": batch.column("count()").cast(pa.int64()),
+                "total_bal_cents": batch.column("sum(bal_cents)").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
