@@ -352,7 +352,8 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 30,
                 }
             )
         uid = batch.column("user_id").cast(pa.int64()).to_numpy()
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        ts = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
         order = np.lexsort((ts, uid))
         uid = uid[order]
         ts = ts[order]
@@ -580,7 +581,8 @@ def asof_view_clicks(sf_dir: str, *, num_partitions: int = 16):
         if n == 0:
             return empty
         uid = batch.column("user_id").cast(pa.int64()).to_numpy()
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        ts = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
         eid = batch.column("event_id").cast(pa.int64()).to_numpy()
         is_view = pc.equal(batch.column("event_type"), "view").to_numpy(
             zero_copy_only=False
@@ -651,7 +653,8 @@ def rolling_user_window(sf_dir: str, *, window_minutes: int = 60,
                 }
             )
         uid = batch.column("user_id").cast(pa.int64()).to_numpy()
-        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        ts = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
         eid = batch.column("event_id").cast(pa.int64()).to_numpy()
         cents = _cents(batch.column("value")).to_numpy()
         order = np.lexsort((ts, uid))

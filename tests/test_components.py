@@ -268,3 +268,54 @@ def test_embedding_near_dup_lsh_vs_exact(ray_session):
     assert approx <= exact, f"false positives: {sorted(approx - exact)[:5]}"
     missed = exact - approx
     assert not missed, f"recall < 1 at defaults: missed {sorted(missed)[:5]}"
+
+
+def test_rolling_and_asof_tie_semantics(ray_session, tmp_path):
+    """Equal timestamps are the corner the vectorized window/as-of
+    passes must get right: RANGE frames include ALL equal-ts peers
+    (even 'later' rows), and the as-of match order is pinned to
+    (ts, event_id). Build a tiny events table full of exact ties and
+    compare against DuckDB running the shipped oracle SQL."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: three events at the SAME ts, then one 30 min later,
+    # then one 2 h later (outside the window of the first cluster)
+    for i, (mins, etype, val) in enumerate(
+        [(0, "view", 1.0), (0, "click", 2.0), (0, "view", 3.0),
+         (30, "click", 4.0), (150, "click", 5.0)]
+    ):
+        rows.append((i, base + pd.Timedelta(minutes=mins), 1, etype, val))
+    # user 2: a click with NO preceding view, then view+click tie
+    for i, (mins, etype, val) in enumerate(
+        [(0, "click", 1.5), (10, "view", 2.5), (10, "click", 3.5)], start=10
+    ):
+        rows.append((i, base + pd.Timedelta(minutes=mins), 2, etype, val))
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    df["props"] = "{}"
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    sqls = E.oracle_sql()
+    qs = E.queries()
+
+    def norm(d):
+        d = d[sorted(d.columns)]
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    for name in ("rolling_user_window", "asof_view_clicks"):
+        got = norm(qs[name](sf).to_pandas())
+        want = norm(con.sql(sqls[name]).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
