@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "knn_bruteforce": A.knn_bruteforce,
         "knn_lsh": A.knn_lsh,
+        "knn_ivf": A.knn_ivf,
         "embedding_near_dup_pairs": A.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": A.embedding_near_dup_lsh,
         # --- relational operator surface (SQL-oracled) ---

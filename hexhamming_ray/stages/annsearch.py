@@ -499,3 +499,147 @@ def embedding_near_dup_lsh(
         verify, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def _spherical_kmeans(mat: np.ndarray, nlist: int, *, iters: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means over a (already normalized)
+    sample: cosine assignment, mean + renormalize update, empty cells
+    reseeded from the lowest-similarity points."""
+    rng = np.random.default_rng(seed)
+    n = mat.shape[0]
+    cent = mat[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T  # (n, nlist)
+        assign = np.argmax(sims, axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, mat)
+        counts = np.bincount(assign, minlength=cent.shape[0])
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(sims[np.arange(n), assign])[: empty.sum()]
+            new[empty] = mat[worst]
+            counts[empty] = 1
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new / norms
+    return cent
+
+
+class _IvfScore:
+    """Fused task-pool UDF: assign each corpus row to its nearest
+    broadcast centroid, keep only rows in a probed cell, score the
+    survivors against the normalized query matrix, emit per-batch
+    partial top-ks. The corpus never shuffles; the scan fraction is
+    ~nprobe/nlist for balanced cells."""
+
+    def __init__(self, state_ref, k: int):
+        self.state_ref = state_ref
+        self.k = k
+        self.loaded = False
+
+    def _load(self):
+        import ray
+
+        (self.qids, qmat, self.cent, self.probed) = ray.get(self.state_ref)
+        self.qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        self.loaded = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.loaded:
+            self._load()
+        ids, mat = _to_matrix(batch)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cells = np.argmax(mat @ self.cent.T, axis=1)
+        keep = self.probed[cells]
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if not keep.any():
+            return empty
+        ids, mat = ids[keep], mat[keep]
+        sims = self.qn @ mat.T  # (Q, N)
+        k = min(self.k + 1, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qidx = np.repeat(np.arange(sims.shape[0]), k)
+        nidx = top.reshape(-1)
+        out_q = self.qids[qidx]
+        out_n = ids[nidx]
+        out_s = sims[qidx, nidx]
+        ok = out_q != out_n
+        return pa.table(
+            {
+                "query_id": pa.array(out_q[ok], pa.int64()),
+                "neighbor_id": pa.array(out_n[ok], pa.int64()),
+                "cosine": pa.array(out_s[ok], pa.float64()),
+            }
+        )
+
+
+def knn_ivf(sf_dir: str, *, n_queries: int = 10, k: int = 5,
+            nlist: int = 16, nprobe: int = 4, train_size: int = 4096):
+    """Approximate top-k cosine neighbors via an IVF coarse quantizer:
+    (query_id, neighbor_id, rank) — same output contract as
+    knn_bruteforce; with nprobe == nlist the result is exactly the
+    brute-force answer (tested).
+
+    Scale shape: centroids are trained ON THE DRIVER over a
+    deterministic hash sample (vec_id stride, capped at
+    ``train_size`` rows — the only corpus data that ever reaches the
+    driver), then (centroids, queries, probed-cell mask) broadcast via
+    ray.put once; the corpus streams through one fused
+    assign/filter/score map_batches with per-batch partial top-k.
+    No shuffle, no index build stage — the 'inverted lists' are
+    implicit (every batch prunes itself to probed cells), which trades
+    re-assigning each batch per query set for zero data movement: the
+    right trade when queries are few and the corpus is huge."""
+    import ray
+
+    ds = _emb(sf_dir)
+
+    # deterministic sample for training (stride over vec_id)
+    total = ds.count()
+    stride = max(1, total // train_size)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        keep = (ids % stride) == 0
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").filter(pa.array(keep)),
+                "embedding": batch.column("embedding").filter(pa.array(keep)),
+            }
+        )
+
+    train_rows = ds.map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()
+    tmat = np.array([r["embedding"] for r in train_rows], dtype=np.float64)
+    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    cent = _spherical_kmeans(tmat, nlist)
+
+    qids, qmat = _query_vectors(ds, n_queries)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qsims = qn @ cent.T  # (Q, nlist)
+    nprobe_eff = min(nprobe, cent.shape[0])
+    probe_cells = np.argpartition(-qsims, nprobe_eff - 1, axis=1)[
+        :, :nprobe_eff
+    ]
+    probed = np.zeros(cent.shape[0], dtype=bool)
+    probed[np.unique(probe_cells)] = True
+
+    state_ref = ray.put((qids, qmat, cent, probed))
+    partial = ds.map_batches(
+        _IvfScore(state_ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_fn(k), batch_format="pyarrow"
+    )

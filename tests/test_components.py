@@ -319,3 +319,28 @@ def test_rolling_and_asof_tie_semantics(ray_session, tmp_path):
         got = norm(qs[name](sf).to_pandas())
         want = norm(con.sql(sqls[name]).df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_knn_ivf_vs_bruteforce(ray_session):
+    """IVF with nprobe == nlist scans every cell and must equal the
+    brute-force answer EXACTLY; at the pruned defaults recall@5 must
+    stay high on the test corpus."""
+    from hexhamming_ray.stages.annsearch import knn_bruteforce, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(sf).take_all()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(sf, nlist=16, nprobe=16).take_all()
+    }
+    assert full == brute, "nprobe==nlist must reproduce brute force"
+
+    pruned = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(sf).take_all()
+    }
+    recall = len(pruned & brute) / len(brute)
+    assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
