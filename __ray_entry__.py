@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_f_orders": R.customers_no_f_orders,
         "customers_with_high_orders": R.customers_with_high_orders,
         "supplier_balance_by_nation": R.supplier_balance_by_nation,
+        "event_props_k": R.event_props_k,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -349,5 +350,11 @@ def oracle_sql() -> dict[str, str]:
             " AS total_bal_cents "
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "GROUP BY n_name"
+        ),
+        "event_props_k": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), "
+            " 0)) AS BIGINT) AS sum_k "
+            "FROM events GROUP BY event_type"
         ),
     }

@@ -838,3 +838,31 @@ def supplier_balance_by_nation(sf_dir: str):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
+def event_props_k(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column and aggregate per event type ->
+    (event_type, n_events, sum_k). The extraction is one vectorized
+    regex over the Arrow column (pc.extract_regex) — props never
+    leaves Arrow memory and no per-row json.loads runs."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch.column("props"), r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": k.fill_null(0),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "props"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = ds.groupby("event_type").aggregate(Count(), Sum("k"))
+    return agg.rename_columns(["event_type", "n_events", "sum_k"])

@@ -602,7 +602,8 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
 
 
 def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
-                        df_cap: int = 64, num_partitions: int = 16):
+                        df_cap: int = 64,
+                        num_partitions: int | None = None):
     """EXACT all-pairs token-3-gram Jaccard >= threshold over the
     DF-capped shingle space: shingles occurring in more than ``df_cap``
     documents are dropped from every set (stop-shingle removal — the
@@ -616,8 +617,10 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
     per-run DF filter + pair emission (bounded df_cap^2/2 per shingle)
     -> pair-count aggregation = intersections -> join per-doc kept-set
     sizes (lo, hi) -> vectorized Jaccard. All-to-alls: shingle
-    repartition, pair groupby, two candidate-bounded joins."""
-    from ray.data.aggregate import Count
+    repartition, pair + size keyed repartitions (reduceat finalizers,
+    partial-combined inside the emitting block), two candidate-bounded
+    joins."""
+    num_partitions = num_partitions or _default_partitions()
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -640,12 +643,16 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
 
     def df_filter_and_pairs(batch: pa.Table) -> pa.Table:
         """One hash-partitioned, in-block-sorted (s) block: drop runs
-        longer than df_cap, emit each run's doc pairs; also emit the
-        per-(doc, kept-shingle) rows as (doc_id, -1) marker? — no:
-        sizes need their own aggregation; emit pairs only here."""
+        longer than df_cap, emit each run's doc pairs PRE-COUNTED
+        (partial combine: the block's duplicate pairs collapse to one
+        (id_lo, id_hi, c) row before the exchange)."""
         n = len(batch)
         empty = pa.table(
-            {"id_lo": pa.array([], pa.int64()), "id_hi": pa.array([], pa.int64())}
+            {
+                "id_lo": pa.array([], pa.int64()),
+                "id_hi": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
         )
         if n == 0:
             return empty
@@ -670,10 +677,15 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
             hi_l.append(run[jj])
         if not lo_l:
             return empty
+        pair = np.stack(
+            [np.concatenate(lo_l), np.concatenate(hi_l)], axis=1
+        )
+        uniq, cnt = np.unique(pair, axis=0, return_counts=True)
         return pa.table(
             {
-                "id_lo": pa.array(np.concatenate(lo_l), pa.int64()),
-                "id_hi": pa.array(np.concatenate(hi_l), pa.int64()),
+                "id_lo": pa.array(uniq[:, 0], pa.int64()),
+                "id_hi": pa.array(uniq[:, 1], pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -711,21 +723,51 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         df_filter_and_pairs, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
-    from ray.data.aggregate import Sum
 
-    inter = (
-        pairs.groupby(["id_lo", "id_hi"])
-        .aggregate(Count())
-        .rename_columns(["id_lo", "id_hi", "inter"])
+    def _sum_runs(key_cols, val_col, out_col):
+        """Keyed-repartition finalizer: one vectorized reduceat per
+        sorted block (replaces a full groupby aggregate — same
+        exchange, no aggregator-per-group machinery)."""
+
+        def agg(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table(
+                    {**{k: pa.array([], pa.int64()) for k in key_cols},
+                     out_col: pa.array([], pa.int64())}
+                )
+            keys = [batch.column(k).to_numpy() for k in key_cols]
+            order = np.lexsort(tuple(reversed(keys)))
+            keys = [k[order] for k in keys]
+            vals = batch.column(val_col).to_numpy()[order]
+            new = np.zeros(n, dtype=bool)
+            new[0] = True
+            for k in keys:
+                new[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(new)
+            return pa.table(
+                {**{kc: pa.array(k[starts], pa.int64())
+                    for kc, k in zip(key_cols, keys)},
+                 out_col: pa.array(
+                     np.add.reduceat(vals, starts), pa.int64())}
+            )
+
+        return agg
+
+    inter = pairs.repartition(
+        num_blocks=num_partitions, keys=["id_lo", "id_hi"], sort=True
+    ).map_batches(
+        _sum_runs(["id_lo", "id_hi"], "c", "inter"),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
-    sizes = (
-        part.map_batches(
-            kept_sizes_rows, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
-        )
-        .groupby("doc_id")
-        .aggregate(Sum("n_partial"))
-        .rename_columns(["doc_id", "n_kept"])
+    sizes = part.map_batches(
+        kept_sizes_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).repartition(
+        num_blocks=num_partitions, keys=["doc_id"], sort=True
+    ).map_batches(
+        _sum_runs(["doc_id"], "n_partial", "n_kept"),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
     j = _join_col(inter, sizes, "id_lo", "n_lo", "n_kept", num_partitions)
     j = _join_col(j, sizes, "id_hi", "n_hi", "n_kept", num_partitions)
