@@ -49,11 +49,73 @@ def _cents(col) -> pa.Array:
     ).cast(pa.int64())  # DuckDB ROUND(double) = half away from zero
 
 
+def _combine_runs(key_cols, val_cols, count_col=None):
+    """Vectorized per-block grouped sum: one lexsort by ``key_cols``
+    then reduceat per int64 ``val_cols``; ``count_col`` (first combine
+    stage only) emits run lengths. No per-group Python."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            cols = {k: batch.column(k) for k in key_cols}
+            for vc in val_cols:
+                cols[vc] = pa.array([], pa.int64())
+            if count_col:
+                cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        keys = [
+            batch.column(k).to_numpy(zero_copy_only=False) for k in key_cols
+        ]
+        order = np.lexsort(tuple(reversed(keys)))
+        keys = [k[order] for k in keys]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for k in keys:
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        cols = {kc: pa.array(k[starts]) for kc, k in zip(key_cols, keys)}
+        for vc in val_cols:
+            v = batch.column(vc).to_numpy()[order]
+            cols[vc] = pa.array(np.add.reduceat(v, starts), pa.int64())
+        if count_col:
+            cols[count_col] = pa.array(
+                np.diff(np.r_[starts, n]), pa.int64()
+            )
+        return pa.table(cols)
+
+    return f
+
+
+def _grouped_sums(ds, key_cols, val_cols, count_col, *,
+                  num_partitions: int = 8, coalesce: bool = False):
+    """Distributed grouped sum+count as partial-combine -> ONE exchange
+    -> run finalize (the SURVEY §4.2 pre-aggregation pattern; measured
+    2-3x faster than Dataset.groupby().aggregate() at sf0.1, whose
+    aggregator machinery dominates small exchanges). ``coalesce=True``
+    skips the keyed shuffle entirely for tiny key spaces: every block
+    is already reduced to <=|keys| rows, so one plain concat block
+    finishes the job."""
+    part = ds.map_batches(
+        _combine_runs(key_cols, val_cols, count_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    if coalesce:
+        part = part.repartition(num_blocks=1)
+    else:
+        part = part.repartition(
+            num_blocks=num_partitions, keys=key_cols, sort=True
+        )
+    return part.map_batches(
+        _combine_runs(key_cols, val_cols + [count_col]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-style grouped aggregation over lineitem (integer units).
     (l_returnflag, l_linestatus, sum_qty_x100, sum_price_cents,
-    sum_disc_price_cents, n_rows)."""
-    from ray.data.aggregate import Count, Sum
+    sum_disc_price_cents, n_rows). 6 groups: partial-combine + coalesce
+    (no shuffle at all — see _grouped_sums)."""
 
     def prep(batch: pa.Table) -> pa.Table:
         qty = pc.round(
@@ -85,8 +147,10 @@ def q1_pricing_summary(sf_dir: str):
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_x100"), Sum("price_cents"), Sum("disc_price_cents"), Count()
+    out = _grouped_sums(
+        ds, ["l_returnflag", "l_linestatus"],
+        ["qty_x100", "price_cents", "disc_price_cents"], "n_rows",
+        coalesce=True,
     )
     return out.rename_columns(
         [
@@ -101,8 +165,8 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def orders_by_status(sf_dir: str):
-    """(o_orderstatus, n_orders, total_cents)."""
-    from ray.data.aggregate import Count, Sum
+    """(o_orderstatus, n_orders, total_cents). 3 groups:
+    partial-combine + coalesce, no shuffle."""
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -114,8 +178,19 @@ def orders_by_status(sf_dir: str):
 
     ds = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    out = ds.groupby("o_orderstatus").aggregate(Count(), Sum("cents"))
-    return out.rename_columns(["o_orderstatus", "n_orders", "total_cents"])
+    out = _grouped_sums(ds, ["o_orderstatus"], ["cents"], "n_orders",
+                        coalesce=True)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "n_orders": batch.column("n_orders"),
+                "total_cents": batch.column("cents"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 def top_customers(sf_dir: str):
@@ -131,7 +206,6 @@ def top_customers(sf_dir: str):
     about to be discarded."""
     import pyarrow.dataset as pads
     import ray
-    from ray.data.aggregate import Count, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -141,11 +215,11 @@ def top_customers(sf_dir: str):
             }
         )
 
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                hash_shuffle=True).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     per_cust = (
-        orders.groupby("o_custkey")
-        .aggregate(Sum("cents"), Count())
+        _grouped_sums(orders, ["o_custkey"], ["cents"], "n_orders")
         .rename_columns(["o_custkey", "total_cents", "n_orders"])
         .materialize()  # stage boundary: don't fuse two all-to-alls
     )
