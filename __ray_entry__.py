@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_high_orders": R.customers_with_high_orders,
         "supplier_balance_by_nation": R.supplier_balance_by_nation,
         "event_props_k": R.event_props_k,
+        "parts_price_bands": R.parts_price_bands,
+        "event_rank_in_user": R.event_rank_in_user,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -356,5 +358,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), "
             " 0)) AS BIGINT) AS sum_k "
             "FROM events GROUP BY event_type"
+        ),
+        # range join: band boundaries in cents, [lo, hi) buckets
+        "parts_price_bands": (
+            "SELECT p_partkey, CASE "
+            " WHEN cents < 50000 THEN 'budget' "
+            " WHEN cents < 100000 THEN 'mid' "
+            " WHEN cents < 150000 THEN 'premium' "
+            " ELSE 'luxury' END AS band_name, cents AS price_cents "
+            "FROM (SELECT p_partkey, "
+            " CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents "
+            " FROM part)"
+        ),
+        "event_rank_in_user": (
+            "SELECT event_id, user_id, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY user_id "
+            "ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id"
+            ") AS BIGINT) AS rnk FROM events"
         ),
     }

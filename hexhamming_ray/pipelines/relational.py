@@ -940,3 +940,79 @@ def event_props_k(sf_dir: str):
     )
     agg = ds.groupby("event_type").aggregate(Count(), Sum("k"))
     return agg.rename_columns(["event_type", "n_events", "sum_k"])
+
+
+def parts_price_bands(sf_dir: str):
+    """RANGE JOIN: band each part by which [lo, hi) retail-price bucket
+    it falls in -> (p_partkey, band, n_chars? no — p_retailprice_cents).
+    Output: (p_partkey, band_name, price_cents).
+
+    Ray Data has no range/interval join; for a small band dimension the
+    right plan is broadcast + vectorized np.searchsorted per batch —
+    the banding table never shuffles and the fact table never leaves
+    its blocks (the same broadcast-small-side rule as the nation
+    lookup). Bands: [0,500), [500,1000), [1000,1500), [1500,inf) in
+    dollars, i.e. cents boundaries x100."""
+    bounds = np.array([50_000, 100_000, 150_000], dtype=np.int64)
+    names = np.array(["budget", "mid", "premium", "luxury"], dtype=object)
+
+    def band(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("p_retailprice")).to_numpy()
+        idx = np.searchsorted(bounds, cents, side="right")
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey").cast(pa.int64()),
+                "band_name": pa.array(names[idx], pa.string()),
+                "price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        band, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def event_rank_in_user(sf_dir: str, *, num_partitions: int = 16):
+    """Windowed rank: every event's 1-based rank within its user by
+    (value desc, event_id asc) -> (event_id, user_id, rnk). The full
+    ROW_NUMBER surface (top_event_per_user is its argmax special
+    case): hash-repartition by user + ONE lexsort per block + a
+    cumcount-since-run-start vector — no per-group Python."""
+
+    def rank(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        vm = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, -vm, uid))
+        uid, eid = uid[order], eid[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = idx[new][np.cumsum(new) - 1]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "rnk": pa.array(idx - run_start + 1, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            rank, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
