@@ -739,6 +739,14 @@ def rolling_user_window(sf_dir: str, *, window_minutes: int = 60,
         run_id = np.cumsum(new_user) - 1
         ts0 = ts - ts.min()
         stride = np.int64(ts0.max()) + window_us + 2
+        # axis-lift overflow bound: n_runs * stride must fit int64.
+        # A block would need ~1M users x a multi-year ts span to trip
+        # this; callers then raise num_partitions (smaller blocks).
+        if int(run_id[-1] + 1) * int(stride) > np.iinfo(np.int64).max:
+            raise ValueError(
+                "rolling_user_window: block user-count x ts-span "
+                "overflows the run-lifted axis; raise num_partitions"
+            )
         axis = ts0 + run_id * stride
         left = np.searchsorted(axis, axis - window_us, side="left")
         right = np.searchsorted(axis, axis, side="right")
