@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": T.doc_fingerprints,
         "exact_dedup": T.exact_dedup,
         "langid_docs": T.langid_docs,
+        "clean_docs": T.clean_docs,
         # --- near-dup / ER (rows-only: not SQL-expressible) ---
         "simhash_docs": T.simhash_docs,
         "minhash_dup_pairs": T.minhash_dup_pairs,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_k": R.event_props_k,
         "parts_price_bands": R.parts_price_bands,
         "event_rank_in_user": R.event_rank_in_user,
+        "lineitem_priority_counts": R.lineitem_priority_counts,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -375,5 +377,24 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id "
             "ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id"
             ") AS BIGINT) AS rnk FROM events"
+        ),
+        # normalization stage: lower -> collapse \s+ runs -> strip
+        "clean_docs": (
+            "WITH c AS (SELECT doc_id, "
+            " trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') "
+            " AS clean_text FROM documents) "
+            "SELECT doc_id, clean_text, "
+            "CAST(length(clean_text) AS BIGINT) AS clean_chars FROM c"
+        ),
+        # TPC-H Q12-style conditional aggregate
+        "lineitem_priority_counts": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            " THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "GROUP BY l_returnflag"
         ),
     }

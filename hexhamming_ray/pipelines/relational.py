@@ -550,6 +550,71 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
     ).limit(10)
 
 
+def lineitem_priority_counts(sf_dir: str, *, cutoff: str = "1997-01-01",
+                             num_partitions: int = 8):
+    """TPC-H Q12-style conditional aggregate: per return flag, how many
+    recent lineitems belong to high-priority orders (1-URGENT / 2-HIGH)
+    vs the rest. (l_returnflag, high_line_count, low_line_count).
+
+    Shape: both join inputs pruned AT THE READ (shipdate cutoff on
+    lineitem; orders projected to key + a precomputed 0/1 ``is_high`` so
+    the CASE branches never cross the exchange as strings), ONE native
+    hash join on the order key, then partial-combined grouped sums over
+    the 3-row flag space (coalesce — zero post-join shuffle)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+
+    li = _t_filtered(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+        pads.field("l_shipdate") >= cut,
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "is_high": hi.cast(pa.int64()),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    j = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).select_columns(["l_returnflag", "is_high"])
+    agg = _grouped_sums(j, ["l_returnflag"], ["is_high"], "n_lines",
+                        coalesce=True)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        hi = batch.column("is_high")
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "high_line_count": hi,
+                "low_line_count": pc.subtract(
+                    batch.column("n_lines"), hi
+                ).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def order_count_histogram(sf_dir: str):
     """Distribution of per-customer order counts: (n_orders,
     n_customers). Chained aggregation — the second groupby's input is

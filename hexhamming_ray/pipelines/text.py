@@ -76,6 +76,30 @@ def quality_scores(sf_dir: str):
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def clean_docs(sf_dir: str):
+    """(doc_id, clean_text, clean_chars) — the canonical text
+    normalization stage of a training-data pipeline: Unicode lowercase,
+    collapse whitespace runs to one space, strip. All three steps are
+    single Arrow kernels (utf8_lower / replace_substring_regex /
+    utf8_trim) over the zero-copy batch — no per-row Python, no
+    shuffle; at corpus scale this runs at read bandwidth."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column("text"))
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": t,
+                "clean_chars": pc.utf8_length(t).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def doc_stats_by_lang(sf_dir: str):
     """(lang, n_docs, total_chars, max_chars, min_chars)."""
     from ray.data.aggregate import Count, Max, Min, Sum
