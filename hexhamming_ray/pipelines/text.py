@@ -323,10 +323,15 @@ def _default_partitions() -> int:
     return pool_size(0.25, lo=8, hi=64)
 
 
-def minhash_candidates(sigs, *, num_partitions: int = 16):
-    """Deduped candidate pairs (id_lo, id_hi) from LSH banding over a
+def minhash_candidates(sigs, *, num_partitions: int = 16,
+                       distinct: bool = True):
+    """Candidate pairs (id_lo, id_hi) from LSH banding over a
     (doc_id, sig) signature Dataset: band -> hash-repartition by bkey
-    (16-byte rows) -> run pairing -> distinct."""
+    (16-byte rows) -> run pairing. ``distinct=True`` adds the
+    cross-band dedup exchange (hash-partition by pair, unique per
+    block); ``distinct=False`` returns the raw per-band pairs for
+    callers that dedup elsewhere (e.g. the broadcast verify, which
+    dedups the driver-bounded pair table in one np.unique)."""
     banded = sigs.map_batches(
         _band_rows, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
@@ -335,8 +340,16 @@ def minhash_candidates(sigs, *, num_partitions: int = 16):
         num_blocks=num_partitions, keys=["bkey"], sort=True
     ).map_batches(_pairs_from_runs, batch_format="pyarrow",
                   zero_copy_batch=True, batch_size=None)
-    # distinct across bands: hash-partition by pair, unique per block
-    def distinct(batch: pa.Table) -> pa.Table:
+    if not distinct:
+        return cand
+    return _distinct_pairs(cand, num_partitions)
+
+
+def _distinct_pairs(cand, num_partitions: int):
+    """Cross-band pair dedup: hash-partition by pair, unique per
+    block (hash partitioning co-locates every duplicate)."""
+
+    def _distinct(batch: pa.Table) -> pa.Table:
         lo = batch.column("id_lo").to_numpy()
         hi = batch.column("id_hi").to_numpy()
         u = np.unique(np.stack([lo, hi], axis=1), axis=0)
@@ -349,8 +362,96 @@ def minhash_candidates(sigs, *, num_partitions: int = 16):
 
     return cand.repartition(
         num_blocks=num_partitions, keys=["id_lo", "id_hi"], sort=True
-    ).map_batches(distinct, batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(_distinct, batch_format="pyarrow", zero_copy_batch=True,
                   batch_size=None)
+
+
+# Pair-count ceiling for the broadcast verify regime: 250k pairs is
+# ~4 MB of pair rows on the driver and <= 500k candidate signatures
+# (~260 MB) in ONE ray.put — comfortably object-store-resident. Above
+# the cap the shuffle path (distinct exchange + two candidate-bounded
+# hash joins) handles any scale.
+BROADCAST_PAIR_CAP = 250_000
+
+
+def _verify_pairs_broadcast(raw_pairs, sigs, threshold: float):
+    """Small-candidate-regime verify (the broadcast-small-side rule
+    applied to the signature re-join): the raw per-band pair table is
+    driver-bounded (caller checked ``count() <= BROADCAST_PAIR_CAP``;
+    16-byte rows), so cross-band dedup is one ``np.unique`` on the
+    driver; the candidate signatures are gathered via a distributed
+    semi-filter of the materialized signature table (candidate-bounded
+    — the corpus never reaches the driver), broadcast once with
+    ``ray.put``, and ONE vectorized map_batches verifies. Deletes all
+    three post-band exchanges (pair distinct + two hash joins) that
+    the scale path needs."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(raw_pairs.to_arrow_refs()))
+    if len(tbl) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_lo": pa.array([], pa.int64()),
+                    "id_hi": pa.array([], pa.int64()),
+                    "sim_x1000": pa.array([], pa.int64()),
+                }
+            )
+        )
+    pairs = np.unique(
+        np.stack(
+            [tbl.column("id_lo").to_numpy(), tbl.column("id_hi").to_numpy()],
+            axis=1,
+        ),
+        axis=0,
+    )
+    ids_ref = ray.put(np.unique(pairs))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        m = pc.is_in(
+            batch.column("doc_id"), value_set=pa.array(want, pa.int64())
+        )
+        return batch.filter(m)
+
+    cand_sigs = sigs.map_batches(
+        semi, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    st = pa.concat_tables(ray.get(cand_sigs.to_arrow_refs()))
+    sid = st.column("doc_id").to_numpy()
+    order = np.argsort(sid)
+    lut_ref = ray.put((sid[order], _sig_matrix(st.column("sig"))[order].copy()))
+
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_lo": pa.array(pairs[:, 0], pa.int64()),
+                "id_hi": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sid_, mat_ = ray.get(lut_ref)
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        agree = (
+            mat_[np.searchsorted(sid_, lo)] == mat_[np.searchsorted(sid_, hi)]
+        ).mean(axis=1)
+        keep = agree >= threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+                "sim_x1000": pa.array(
+                    np.rint(agree[keep] * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return pairs_ds.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
@@ -372,7 +473,14 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
     each other — measured 78 s fused vs 13 s staged at sf0.1/32 CPUs
     (ENGINEERING_NOTES item 27). The intermediates are candidate-
     bounded (16-byte pair rows; pair+sig rows), object-store-resident
-    and spillable — the corpus itself is never materialized."""
+    and spillable — the corpus itself is never materialized.
+
+    Join strategy is SIZE-SWITCHED on the measured candidate count
+    (the broadcast-join-vs-shuffle-join rule every distributed engine
+    applies): under ``BROADCAST_PAIR_CAP`` raw pairs, the dedup + both
+    signature re-joins collapse into one broadcast lookup
+    (``_verify_pairs_broadcast``); above it, the exchange path below
+    runs at any scale."""
     num_partitions = num_partitions or _default_partitions()
     sigs = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
         _MinhashSig(),
@@ -380,7 +488,13 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
         zero_copy_batch=True,
         batch_size=None,
     ).materialize()  # consumed twice: banding + candidate re-join
-    cand = minhash_candidates(sigs, num_partitions=num_partitions).materialize()
+    raw = minhash_candidates(
+        sigs, num_partitions=num_partitions, distinct=False
+    ).materialize()
+    if raw.count() <= BROADCAST_PAIR_CAP:
+        return _verify_pairs_broadcast(raw, sigs, threshold)
+
+    cand = _distinct_pairs(raw, num_partitions).materialize()
     j = _join_col(cand, sigs, "id_lo", "sig_lo", "sig",
                   num_partitions).materialize()
     j = _join_col(j, sigs, "id_hi", "sig_hi", "sig", num_partitions)
@@ -570,6 +684,100 @@ def _shingle_table(sf_dir: str):
     )
 
 
+# Lower cap than BROADCAST_PAIR_CAP: the broadcast payload here is
+# per-doc shingle-hash blobs (~8 KB for a 1k-shingle doc), so 20k
+# pairs bounds the one-shot ray.put at ~40k docs x blob (~320 MB worst
+# case). Above the cap the join path is candidate-bounded at any scale.
+NGRAM_BROADCAST_CAP = 20_000
+
+
+def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
+    """Small-candidate-regime exact-Jaccard verify: the candidate pair
+    table is driver-bounded (caller checked the cap), so only the
+    candidate DOCUMENTS are shingled — a semi-filter by broadcast id
+    set runs at the read, the corpus-wide shingle pass never happens —
+    and their blobs are gathered (candidate-bounded), broadcast once,
+    and looked up in ONE verify map over the pairs. Zero all-to-all
+    exchanges after LSH."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
+    if len(tbl) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_lo": pa.array([], pa.int64()),
+                    "id_hi": pa.array([], pa.int64()),
+                    "jaccard_x1000": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo = tbl.column("id_lo").to_numpy()
+    hi = tbl.column("id_hi").to_numpy()
+    ids_ref = ray.put(np.unique(np.concatenate([lo, hi])))
+
+    def shingle_cand(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        m = pc.is_in(
+            batch.column("doc_id").cast(pa.int64()),
+            value_set=pa.array(want, pa.int64()),
+        )
+        batch = batch.filter(m)
+        blobs = [
+            _shingle_hashes(t).tobytes()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "sh": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shingle_cand, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    st = pa.concat_tables(ray.get(sh.to_arrow_refs()))
+    lut_ref = ray.put(
+        dict(zip(st.column("doc_id").to_pylist(), st.column("sh").to_pylist()))
+    )
+
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {"id_lo": pa.array(lo, pa.int64()), "id_hi": pa.array(hi, pa.int64())}
+        )
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        blo = batch.column("id_lo").to_numpy()
+        bhi = batch.column("id_hi").to_numpy()
+        n = len(blo)
+        jac = np.zeros(n)
+        for i in range(n):  # per-CANDIDATE loop; intersections are numpy
+            sa = np.frombuffer(lut[blo[i]], dtype=np.uint64)
+            sb = np.frombuffer(lut[bhi[i]], dtype=np.uint64)
+            if sa.shape[0] == 0 or sb.shape[0] == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            jac[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+                "jaccard_x1000": pa.array(
+                    np.rint(jac[keep] * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return pairs_ds.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
                         num_partitions: int | None = None):
     """Near-dup pairs with EXACT token-3-gram Jaccard >= threshold:
@@ -582,11 +790,19 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     the candidate set, not the corpus, bounds every post-LSH stage.
     Nothing corpus-sized ever reaches the driver. Exchanges are
     staged (materialized) for the same pool-starvation reason as
-    ``minhash_dup_pairs``."""
+    ``minhash_dup_pairs``.
+
+    Size-switched (like ``minhash_dup_pairs``): under
+    ``NGRAM_BROADCAST_CAP`` candidate pairs, only the CANDIDATE
+    documents are shingled (semi-filter at the read by broadcast id
+    set — the corpus-wide shingle pass and both join exchanges
+    disappear) and one broadcast-lookup map verifies."""
     num_partitions = num_partitions or _default_partitions()
     cands = minhash_dup_pairs(sf_dir, threshold=0.3).select_columns(
         ["id_lo", "id_hi"]
     ).materialize()
+    if cands.count() <= NGRAM_BROADCAST_CAP:
+        return _ngram_verify_broadcast(sf_dir, cands, threshold)
     sh = _shingle_table(sf_dir).materialize()
     j = _join_col(cands, sh, "id_lo", "sh_lo", "sh",
                   num_partitions).materialize()

@@ -102,3 +102,33 @@ def test_rows_only_queries_run(ray_session, name):
         assert 10 <= len(df) <= 150
         df2 = _to_pandas(entry.queries()[name](SF_DIR))
         assert sorted(df.doc_id) == sorted(df2.doc_id)
+
+
+@pytest.mark.parametrize("fn_name,cap_name", [
+    ("minhash_dup_pairs", "BROADCAST_PAIR_CAP"),
+    ("ngram_jaccard_pairs", "NGRAM_BROADCAST_CAP"),
+])
+def test_near_dup_join_strategies_agree(ray_session, fn_name, cap_name):
+    """The size-switched join strategies (broadcast lookup vs shuffle
+    joins) must produce IDENTICAL pairs; defaults take the broadcast
+    path at test scale, so force the shuffle path via the cap and
+    diff."""
+    from hexhamming_ray.pipelines import text as T
+
+    fn = getattr(T, fn_name)
+
+    def run():
+        return (
+            fn(SF_DIR).to_pandas()
+            .sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+        )
+
+    broadcast = run()
+    old = getattr(T, cap_name)
+    try:
+        setattr(T, cap_name, -1)  # force the shuffle/join path
+        shuffle = run()
+    finally:
+        setattr(T, cap_name, old)
+    pd.testing.assert_frame_equal(broadcast, shuffle)
+    assert len(broadcast) > 0  # the corpus plants real near-dups
