@@ -218,14 +218,30 @@ def top_customers(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"],
                 hash_shuffle=True).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    per_cust = (
-        _grouped_sums(orders, ["o_custkey"], ["cents"], "n_orders")
-        .rename_columns(["o_custkey", "total_cents", "n_orders"])
-        .materialize()  # stage boundary: don't fuse two all-to-alls
-    )
+    per_cust = _grouped_sums(
+        orders, ["o_custkey"], ["cents"], "n_orders"
+    ).rename_columns(["o_custkey", "total_cents", "n_orders"])
+
+    def local_top10(batch: pa.Table) -> pa.Table:
+        # partial top-k: _grouped_sums hash-partitions keys, so each
+        # block's top 10 is a superset filter; exact after the merge
+        if len(batch) <= 10:
+            return batch
+        cents = batch.column("total_cents").to_numpy()
+        keys = batch.column("o_custkey").to_numpy()
+        order = np.lexsort((keys, -cents))[:10]
+        return batch.take(pa.array(order))
+
     top = (
-        per_cust.sort(["total_cents", "o_custkey"], descending=[True, False])
-        .limit(10)
+        per_cust.map_batches(
+            local_top10, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)  # <= 10 rows x n_blocks
+        .map_batches(
+            local_top10, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
         .take_all()  # exactly 10 rows reach the driver
     )
     keys = [int(r["o_custkey"]) for r in top]
