@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": T.doc_sample,
         "random_sample_docs": T.random_sample_docs,
         "union_distinct_docs": T.union_distinct_docs,
+        "docs_intersect": T.docs_intersect,
+        "docs_except": T.docs_except,
         # --- similarity search over embeddings ---
         "knn_bruteforce": A.knn_bruteforce,
         "knn_lsh": A.knn_lsh,
@@ -81,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_price_bands": R.parts_price_bands,
         "event_rank_in_user": R.event_rank_in_user,
         "lineitem_priority_counts": R.lineitem_priority_counts,
+        "event_gaps": R.event_gaps,
+        "part_supplier_distinct": R.part_supplier_distinct,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -385,6 +389,31 @@ def oracle_sql() -> dict[str, str]:
             " AS clean_text FROM documents) "
             "SELECT doc_id, clean_text, "
             "CAST(length(clean_text) AS BIGINT) AS clean_chars FROM c"
+        ),
+        # LAG window: gap to the same user's previous event
+        "event_gaps": (
+            "SELECT event_id, user_id, gap_us FROM ("
+            " SELECT event_id, user_id, "
+            " epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+            " FROM events) WHERE gap_us IS NOT NULL"
+        ),
+        # DISTINCT aggregate
+        "part_supplier_distinct": (
+            "SELECT l_partkey, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+            "FROM lineitem GROUP BY l_partkey"
+        ),
+        # set semantics: INTERSECT / EXCEPT
+        "docs_intersect": (
+            "SELECT doc_id FROM documents WHERE n_chars > 400 "
+            "INTERSECT "
+            "SELECT doc_id FROM documents WHERE lang = 'en'"
+        ),
+        "docs_except": (
+            "SELECT doc_id FROM documents WHERE n_chars > 400 "
+            "EXCEPT "
+            "SELECT doc_id FROM documents WHERE lang = 'en'"
         ),
         # TPC-H Q12-style conditional aggregate
         "lineitem_priority_counts": (

@@ -706,6 +706,117 @@ def top_event_per_user(sf_dir: str, *, num_partitions: int = 16):
     )
 
 
+def event_gaps(sf_dir: str, *, num_partitions: int = 16):
+    """LAG window: per event, microseconds since the SAME user's
+    previous event in (ts, event_id) order; first event per user is
+    dropped (its lag is NULL). (event_id, user_id, gap_us).
+
+    Same partitioning shape as the other windowed operators:
+    hash-repartition by user_id (each user's stream lands in one
+    block), one lexsort + shifted diff per block — no per-group
+    Python, one exchange total."""
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy()
+        )
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
+        same = uid[1:] == uid[:-1]  # row i+1 has a same-user predecessor
+        return pa.table(
+            {
+                "event_id": pa.array(eid[1:][same], pa.int64()),
+                "user_id": pa.array(uid[1:][same], pa.int64()),
+                "gap_us": pa.array((ts[1:] - ts[:-1])[same], pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            gaps, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def part_supplier_distinct(sf_dir: str, *, num_partitions: int = 8):
+    """DISTINCT aggregate: suppliers per part —
+    (l_partkey, n_suppliers) with n_suppliers = COUNT(DISTINCT
+    l_suppkey).
+
+    Shape: per-block partial distinct (np.unique on the (part, supp)
+    pairs BEFORE the exchange — the distinct analog of the
+    partial-combine rule, collapsing duplicate pairs at the source),
+    ONE hash exchange on l_partkey, then per-block global unique +
+    run-length count. No groupby aggregator machinery."""
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy()
+        sk = batch.column("l_suppkey").to_numpy()
+        u = np.unique(np.stack([pk, sk], axis=1), axis=0)
+        return pa.table(
+            {
+                "l_partkey": pa.array(u[:, 0], pa.int64()),
+                "l_suppkey": pa.array(u[:, 1], pa.int64()),
+            }
+        )
+
+    def count_distinct(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                }
+            )
+        pk = batch.column("l_partkey").to_numpy()
+        sk = batch.column("l_suppkey").to_numpy()
+        u = np.unique(np.stack([pk, sk], axis=1), axis=0)
+        heads = np.empty(len(u), dtype=bool)
+        heads[0] = True
+        heads[1:] = u[1:, 0] != u[:-1, 0]
+        starts = np.flatnonzero(heads)
+        return pa.table(
+            {
+                "l_partkey": pa.array(u[starts, 0], pa.int64()),
+                "n_suppliers": pa.array(
+                    np.diff(np.r_[starts, len(u)]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+           hash_shuffle=True)
+        .map_batches(
+            partial_distinct, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=num_partitions, keys=["l_partkey"], sort=True)
+        .map_batches(
+            count_distinct, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
 def asof_view_clicks(sf_dir: str, *, num_partitions: int = 16):
     """As-of join WITHIN the events stream: for every 'click', the most
     recent 'view' by the same user at or before it in (ts, event_id)

@@ -1056,3 +1056,86 @@ def union_distinct_docs(sf_dir: str, *, min_chars: int = 400,
         .aggregate(Count())
         .select_columns(["doc_id"])
     )
+
+
+def _set_op(ds_a, ds_b, op: str, key: str, num_partitions: int):
+    """Distributed INTERSECT / EXCEPT (set semantics) on one key
+    column: tagged lazy union (side 0 = a, side 1 = b) -> per-block
+    partial distinct on (key, side) -> ONE hash exchange on the key ->
+    per-block resolve (both sides of any key are co-located, so
+    membership tests are run-local numpy). The same one-exchange shape
+    as the distinct aggregate; works for arbitrary input Datasets, not
+    just filters of one table."""
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy()
+            u = np.unique(k)  # partial distinct before the exchange
+            return pa.table(
+                {
+                    key: pa.array(u, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(u), side, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    tagged = ds_a.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        ds_b.map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({key: pa.array([], pa.int64())})
+        k = batch.column(key).to_numpy()
+        s = batch.column("side").to_numpy()
+        in_a = np.unique(k[s == 0])
+        in_b = np.unique(k[s == 1])
+        if op == "intersect":
+            out = in_a[np.isin(in_a, in_b, assume_unique=True)]
+        else:  # except
+            out = in_a[~np.isin(in_a, in_b, assume_unique=True)]
+        return pa.table({key: pa.array(out, pa.int64())})
+
+    return tagged.repartition(
+        num_blocks=num_partitions, keys=[key], sort=True
+    ).map_batches(
+        resolve, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def docs_intersect(sf_dir: str, *, min_chars: int = 400, lang: str = "en",
+                   num_partitions: int | None = None):
+    """INTERSECT: doc_ids of long documents ∩ doc_ids of one language
+    (set semantics). (doc_id,)."""
+    num_partitions = num_partitions or _default_partitions()
+    a = _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True).filter(
+        expr=f"n_chars > {min_chars}"
+    ).select_columns(["doc_id"])
+    b = _docs(sf_dir, ["doc_id", "lang"]).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["doc_id"])
+    return _set_op(a, b, "intersect", "doc_id", num_partitions)
+
+
+def docs_except(sf_dir: str, *, min_chars: int = 400, lang: str = "en",
+                num_partitions: int | None = None):
+    """EXCEPT: doc_ids of long documents ∖ doc_ids of one language
+    (set semantics). (doc_id,)."""
+    num_partitions = num_partitions or _default_partitions()
+    a = _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True).filter(
+        expr=f"n_chars > {min_chars}"
+    ).select_columns(["doc_id"])
+    b = _docs(sf_dir, ["doc_id", "lang"]).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["doc_id"])
+    return _set_op(a, b, "except", "doc_id", num_partitions)
