@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rank_in_user": R.event_rank_in_user,
         "lineitem_priority_counts": R.lineitem_priority_counts,
         "event_gaps": R.event_gaps,
+        "orders_rollup": R.orders_rollup,
         "part_supplier_distinct": R.part_supplier_distinct,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
@@ -389,6 +390,14 @@ def oracle_sql() -> dict[str, str]:
             " AS clean_text FROM documents) "
             "SELECT doc_id, clean_text, "
             "CAST(length(clean_text) AS BIGINT) AS clean_chars FROM c"
+        ),
+        # multi-level aggregation
+        "orders_rollup": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
         ),
         # LAG window: gap to the same user's previous event
         "event_gaps": (

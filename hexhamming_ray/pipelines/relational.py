@@ -706,6 +706,72 @@ def top_event_per_user(sf_dir: str, *, num_partitions: int = 16):
     )
 
 
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): all three
+    aggregation levels — (status, priority), (status, NULL),
+    (NULL, NULL) — in one result. (o_orderstatus, o_orderpriority,
+    n_orders, total_cents).
+
+    Shape: the fine-grain partial-combine runs distributed (15 groups,
+    coalesced — no exchange); the two super-aggregate levels are
+    derived from those 15 rows in the same single-block finalize, so
+    ROLLUP costs exactly what the plain GROUP BY costs."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    fine = _grouped_sums(
+        _t(sf_dir, "orders",
+           ["o_orderstatus", "o_orderpriority", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_orderstatus", "o_orderpriority"], ["cents"], "n_orders",
+        coalesce=True,
+    )
+
+    def add_super_levels(batch: pa.Table) -> pa.Table:
+        status = batch.column("o_orderstatus").to_pylist()
+        prio = batch.column("o_orderpriority").to_pylist()
+        cents = batch.column("cents").to_numpy()
+        n = batch.column("n_orders").to_numpy()
+        # level 1: per status
+        by_status: dict[str, list[int]] = {}
+        for i, s in enumerate(status):
+            by_status.setdefault(s, []).append(i)
+        for s in sorted(by_status):
+            idx = by_status[s]
+            status.append(s)
+            prio.append(None)
+            cents = np.r_[cents, cents[idx].sum()]
+            n = np.r_[n, n[idx].sum()]
+        # level 0: grand total (over the fine rows only)
+        k = len(batch)
+        status.append(None)
+        prio.append(None)
+        cents = np.r_[cents, cents[:k].sum()]
+        n = np.r_[n, n[:k].sum()]
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(status, pa.string()),
+                "o_orderpriority": pa.array(prio, pa.string()),
+                "n_orders": pa.array(n, pa.int64()),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return fine.map_batches(
+        add_super_levels, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def event_gaps(sf_dir: str, *, num_partitions: int = 16):
     """LAG window: per event, microseconds since the SAME user's
     previous event in (ts, event_id) order; first event per user is
