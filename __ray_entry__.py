@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": T.exact_dedup,
         "langid_docs": T.langid_docs,
         "clean_docs": T.clean_docs,
+        "prepare_corpus": T.prepare_corpus,
         # --- near-dup / ER (rows-only: not SQL-expressible) ---
         "simhash_docs": T.simhash_docs,
         "minhash_dup_pairs": T.minhash_dup_pairs,
@@ -390,6 +391,22 @@ def oracle_sql() -> dict[str, str]:
             " AS clean_text FROM documents) "
             "SELECT doc_id, clean_text, "
             "CAST(length(clean_text) AS BIGINT) AS clean_chars FROM c"
+        ),
+        # end-to-end corpus preparation: quality filter -> exact dedup
+        # (min doc_id per content hash among survivors) -> normalize
+        "prepare_corpus": (
+            "WITH q AS (SELECT doc_id, lang, text, "
+            " trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') "
+            "  AS clean_text, "
+            " CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "  AS n_tokens "
+            " FROM documents "
+            " WHERE len(regexp_extract_all(text, '\\S+')) >= 5 "
+            "  AND len(regexp_extract_all(text, '[^\\w\\s]')) * 5 "
+            "      <= length(text) + 1), "
+            "kept AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)) "
+            "SELECT q.doc_id, q.lang, q.clean_text, q.n_tokens "
+            "FROM q JOIN kept USING (doc_id)"
         ),
         # multi-level aggregation
         "orders_rollup": (

@@ -156,6 +156,71 @@ def exact_dedup(sf_dir: str):
     return out.rename_columns(["h", "keep_id", "n_dups"])
 
 
+def prepare_corpus(sf_dir: str, *, num_partitions: int | None = None):
+    """The canonical training-data preparation flow composed as ONE
+    streaming pipeline: quality filter -> exact dedup (keep the min
+    doc_id per content hash among quality survivors) -> Unicode
+    normalization -> token count. (doc_id, lang, clean_text, n_tokens).
+
+    Shape: one fused map computes quality signals, filters, hashes and
+    normalizes (all Arrow kernels except the per-row md5 — crypto is
+    inherently per-value); ONE keyed exchange on the content hash
+    co-locates duplicate groups; a vectorized run-head pass keeps each
+    group's first. Nothing materializes; the exchange carries only
+    survivors."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = T.quality_features(batch.column("text"))
+        batch = batch.append_column("n_tokens", q["n_tokens"])
+        batch = batch.filter(q["quality_ok"])
+        txt = batch.column("text")
+        clean = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(txt), pattern=r"\s+", replacement=" "
+            ),
+            characters=" ",
+        )
+        h = [
+            hashlib.md5(t.encode()).hexdigest() for t in txt.to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(h, pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang"),
+                "clean_text": clean,
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+            }
+        )
+
+    def keep_first(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = ["doc_id", "lang", "clean_text", "n_tokens"]
+        if n == 0:
+            return batch.select(cols)
+        h = np.asarray(batch.column("h").to_pylist())
+        ids = batch.column("doc_id").to_numpy()
+        order = np.lexsort((ids, h))
+        heads = np.empty(n, dtype=bool)
+        heads[0] = True
+        heads[1:] = h[order][1:] != h[order][:-1]
+        return batch.take(pa.array(order[heads])).select(cols)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"], hash_shuffle=True)
+        .map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=num_partitions, keys=["h"], sort=True)
+        .map_batches(
+            keep_first, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
 def langid_docs(sf_dir: str):
     """(doc_id, pred_lang) — marker-word / CJK-ratio language ID."""
 
