@@ -132,3 +132,71 @@ def test_near_dup_join_strategies_agree(ray_session, fn_name, cap_name):
         setattr(T, cap_name, old)
     pd.testing.assert_frame_equal(broadcast, shuffle)
     assert len(broadcast) > 0  # the corpus plants real near-dups
+
+
+EVENT_QUERIES = [
+    "event_gaps", "asof_view_clicks", "rolling_user_window",
+    "user_sessions", "top_event_per_user", "event_rank_in_user",
+    "events_per_hour", "events_by_type", "event_props_k",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(tmp_path_factory):
+    """A synthetic events table built to stress the window/stream
+    operators' edge cases the driver testdata can't: equal timestamps
+    within a user (RANGE-frame peers, LAG/rank tie-breaks), ts
+    collisions across users, single-event users, duplicate values,
+    clicks with no preceding view, and a user whose events all share
+    one timestamp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    user = rng.integers(0, 40, n)
+    user[:5] = np.arange(1000, 1005)  # single-event users
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 3_600_000_000 * 3, n)
+    ts[user == 3] = base + 42  # one user: ALL events at one instant
+    ts[100:200] = ts[100]      # a cross-user timestamp collision block
+    val = np.round(rng.uniform(0, 10, n), 2)
+    val[user == 5] = 7.5       # duplicate values -> rank tie-breaks
+    types = np.array(["view", "click", "purchase", "error", "signup"])
+    et = types[rng.integers(0, 5, n)]
+    et[user == 9] = "click"    # clicks with NO preceding view
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n)],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("adv_events")
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_queries_on_adversarial_stream(
+    ray_session, adversarial_events_dir, name
+):
+    entry = __import__("__ray_entry__")
+    got = _norm(_to_pandas(entry.queries()[name](adversarial_events_dir)))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adversarial_events_dir}/events.parquet')"
+    )
+    want = _norm(con.sql(entry.oracle_sql()[name]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
