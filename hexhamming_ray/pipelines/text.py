@@ -1170,11 +1170,19 @@ def _set_op(ds_a, ds_b, op: str, key: str, num_partitions: int):
             out = in_a[~np.isin(in_a, in_b, assume_unique=True)]
         return pa.table({key: pa.array(out, pa.int64())})
 
-    return tagged.repartition(
+    import ray
+
+    out = tagged.repartition(
         num_blocks=num_partitions, keys=[key], sort=True
     ).map_batches(
         resolve, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
+    )
+    # 0-row seed block: an all-empty input otherwise yields a dataset
+    # with NO blocks and therefore no schema (breaks downstream
+    # consumers and the driver's column compare)
+    return out.union(
+        ray.data.from_arrow(pa.table({key: pa.array([], pa.int64())}))
     )
 
 

@@ -54,7 +54,12 @@ def _to_pandas(res) -> pd.DataFrame:
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if len(df) == 0 and not len(df.columns):
+        # Ray quirk: to_pandas() drops the schema at 0 rows even though
+        # Dataset.schema() carries it — reconstruct the empty frame
+        df = pd.DataFrame({name: [] for name in res.schema().names})
+    return df
 
 
 SQL_QUERIES = sorted(
@@ -194,6 +199,84 @@ def test_event_queries_on_adversarial_stream(
     con.sql(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{adversarial_events_dir}/events.parquet')"
+    )
+    want = _norm(con.sql(entry.oracle_sql()[name]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+DOC_QUERIES = [
+    "token_counts", "quality_scores", "clean_docs", "prepare_corpus",
+    "doc_stats_by_lang", "top_docs_by_len", "doc_fingerprints",
+    "exact_dedup", "langid_docs", "doc_sample", "union_distinct_docs",
+    "docs_intersect", "docs_except", "ngram_jaccard_exact",
+    "er_exact_clusters",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_docs_dir(tmp_path_factory):
+    """A synthetic documents table stressing the text operators' edge
+    cases: empty text, whitespace-only text, sub-3-token docs (the
+    shingle fallback), exact-duplicate groups of size 2 and 5, unicode
+    (accents + CJK), tab/newline runs, and punctuation floods."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "the", "and", "der", "und", "le", "la", "el", "que"]
+    texts = [
+        "",                       # empty
+        "   \t\n  ",              # whitespace-only
+        "one",                    # 1 token
+        "two tokens",             # 2 tokens (shingle fallback)
+        "Crème BRÛLÉE über straße",  # unicode lower/accents
+        "这是一个中文文档内容测试样本",        # CJK (langid override)
+        "!!! ??? ;;; ### $$$ %%%",   # punctuation flood
+        "a\tb\nc\r\nd  e   f",       # mixed whitespace runs
+    ]
+    for i in range(292):
+        k = int(rng.integers(3, 40))
+        texts.append(" ".join(rng.choice(words, k)))
+    # plant exact-duplicate groups (sizes 5 and 2)
+    for i in range(4):
+        texts[50 + i] = texts[40]
+    texts[120] = texts[110]
+    n = len(texts)
+    langs = np.array(["en", "de", "fr", "es", "zh"])[
+        rng.integers(0, 5, n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["synth"] * n, pa.string()),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("adv_docs")
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_queries_on_adversarial_corpus(
+    ray_session, adversarial_docs_dir, name
+):
+    entry = __import__("__ray_entry__")
+    got = _norm(_to_pandas(entry.queries()[name](adversarial_docs_dir)))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_docs_dir}/documents.parquet')"
     )
     want = _norm(con.sql(entry.oracle_sql()[name]).df())
     con.close()
