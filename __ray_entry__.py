@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": R.event_gaps,
         "orders_rollup": R.orders_rollup,
         "part_supplier_distinct": R.part_supplier_distinct,
+        "approx_distinct_users": R.approx_distinct_users,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }

@@ -706,6 +706,114 @@ def top_event_per_user(sf_dir: str, *, num_partitions: int = 16):
     )
 
 
+def _hll_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """HyperLogLog decompose: (register index from the top p bits,
+    rank = 1 + leading-zero count of the remaining 64-p bits)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining bits, left-aligned
+    # leading zeros via float64 exponent trick is lossy; use a
+    # vectorized binary search over bit positions instead
+    rank = np.ones(len(h), dtype=np.int64)
+    mask = w == 0
+    rank[mask] = 64 - p + 1
+    nz = ~mask
+    v = w[nz]
+    r = np.zeros(v.shape[0], dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        step = v < (np.uint64(1) << np.uint64(64 - shift))
+        r[step] += shift
+        v[step] <<= np.uint64(shift)
+    rank[nz] = r + 1
+    np.minimum(rank, 64 - p + 1, out=rank)
+    return idx, rank
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def approx_distinct_users(sf_dir: str, *, p: int = 12):
+    """Sketch aggregate (SURVEY §2.3 aggregations row): approximate
+    COUNT(DISTINCT user_id) per event_type via HyperLogLog —
+    (event_type, approx_users). Registers are MERGEABLE (elementwise
+    max), so each block emits one 2^p-byte sketch per key (partial
+    combine), the coalesce concatenates ~n_blocks x n_keys tiny rows,
+    and one finalize merges + estimates. At any corpus size the
+    exchange carries sketches, never rows — the entire point of the
+    sketch class. Standard error ~1.04/sqrt(2^p) = 1.6% at p=12;
+    accuracy pinned vs the exact count in tests."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist())
+        uid = batch.column("user_id").to_numpy()
+        keys, inv = np.unique(et, return_inverse=True)
+        regs = np.zeros((len(keys), m), dtype=np.uint8)
+        idx, rank = _hll_rho(_splitmix64(uid), p)
+        np.maximum.at(regs, (inv, idx), rank.astype(np.uint8))
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "sketch": pa.array([r.tobytes() for r in regs], pa.binary()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "approx_users": pa.array([], pa.int64()),
+                }
+            )
+        et = np.asarray(batch.column("event_type").to_pylist())
+        sk = np.stack(
+            [
+                np.frombuffer(b, dtype=np.uint8)
+                for b in batch.column("sketch").to_pylist()
+            ]
+        )
+        keys, inv = np.unique(et, return_inverse=True)
+        merged = np.zeros((len(keys), m), dtype=np.uint8)
+        np.maximum.at(merged, inv, sk)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0, -merged.astype(np.float64)).sum(
+            axis=1
+        )
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1))
+        est = np.where(small, lin, est)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "approx_users": pa.array(
+                    np.rint(est).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)  # sketches only: n_blocks x n_keys rows
+        .map_batches(
+            finalize, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
 def orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): all three
     aggregation levels — (status, priority), (status, NULL),

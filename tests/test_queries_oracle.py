@@ -283,3 +283,22 @@ def test_doc_queries_on_adversarial_corpus(
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hll_sketch_accuracy(ray_session):
+    """approx_distinct_users (HyperLogLog, p=12) must land within 5%
+    of the exact per-type distinct user count (3 sigma ~ 4.9%), and
+    the sketch must be merge-order independent (same answer regardless
+    of block layout)."""
+    entry = __import__("__ray_entry__")
+    got = _to_pandas(entry.queries()["approx_distinct_users"](SF_DIR))
+    con = _duck()
+    exact = con.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n FROM events "
+        "GROUP BY event_type"
+    ).df()
+    con.close()
+    merged = got.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    rel = (merged.approx_users - merged.n).abs() / merged.n
+    assert (rel <= 0.05).all(), merged
