@@ -845,6 +845,17 @@ def orders_rollup(sf_dir: str):
     )
 
     def add_super_levels(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # SQL ROLLUP on empty input still yields the () grouping
+            # set: one grand-total row with COUNT=0, SUM=NULL
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([None], pa.string()),
+                    "o_orderpriority": pa.array([None], pa.string()),
+                    "n_orders": pa.array([0], pa.int64()),
+                    "total_cents": pa.array([None], pa.int64()),
+                }
+            )
         status = batch.column("o_orderstatus").to_pylist()
         prio = batch.column("o_orderpriority").to_pylist()
         cents = batch.column("cents").to_numpy()

@@ -76,18 +76,33 @@ def quality_scores(sf_dir: str):
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _normalize_text(col):
+    """The engine's canonical normalization: Unicode lowercase,
+    collapse whitespace runs to one space, strip. Three Arrow kernels,
+    no per-row Python. Mirrored by the oracle SQL expression
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')`` —
+    change BOTH together (clean_docs + prepare_corpus use this; their
+    oracles embed the SQL form)."""
+    t = pc.utf8_lower(col)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim(t, characters=" ")
+
+
+def _md5_hex(texts: list[str]) -> list[str]:
+    """Per-row md5 hex of UTF-8 text (crypto is inherently per-value;
+    matches DuckDB md5(varchar)). Shared by exact_dedup /
+    prepare_corpus / doc fingerprinting."""
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
 def clean_docs(sf_dir: str):
     """(doc_id, clean_text, clean_chars) — the canonical text
-    normalization stage of a training-data pipeline: Unicode lowercase,
-    collapse whitespace runs to one space, strip. All three steps are
-    single Arrow kernels (utf8_lower / replace_substring_regex /
-    utf8_trim) over the zero-copy batch — no per-row Python, no
-    shuffle; at corpus scale this runs at read bandwidth."""
+    normalization stage of a training-data pipeline (see
+    ``_normalize_text``); no shuffle, at corpus scale this runs at
+    read bandwidth."""
 
     def f(batch: pa.Table) -> pa.Table:
-        t = pc.utf8_lower(batch.column("text"))
-        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-        t = pc.utf8_trim(t, characters=" ")
+        t = _normalize_text(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -144,8 +159,7 @@ def exact_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        h = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        h = _md5_hex(batch.column("text").to_pylist())
         return pa.table(
             {"h": pa.array(h, type=pa.string()), "doc_id": batch.column("doc_id")}
         )
@@ -175,15 +189,8 @@ def prepare_corpus(sf_dir: str, *, num_partitions: int | None = None):
         batch = batch.append_column("n_tokens", q["n_tokens"])
         batch = batch.filter(q["quality_ok"])
         txt = batch.column("text")
-        clean = pc.utf8_trim(
-            pc.replace_substring_regex(
-                pc.utf8_lower(txt), pattern=r"\s+", replacement=" "
-            ),
-            characters=" ",
-        )
-        h = [
-            hashlib.md5(t.encode()).hexdigest() for t in txt.to_pylist()
-        ]
+        clean = _normalize_text(txt)
+        h = _md5_hex(txt.to_pylist())
         return pa.table(
             {
                 "h": pa.array(h, pa.string()),
@@ -439,6 +446,67 @@ def _distinct_pairs(cand, num_partitions: int):
 BROADCAST_PAIR_CAP = 250_000
 
 
+class _BroadcastSemiFilter:
+    """Task-pool UDF instance: keep rows whose ``id_col`` is in the
+    broadcast id set. The Arrow value_set is built lazily ONCE per
+    instance deserialization (the _BruteScore / _NationRegionLookup
+    pattern) — ray.get of the numpy ids is zero-copy from the local
+    object store."""
+
+    def __init__(self, ids_ref, id_col: str):
+        self.ids_ref = ids_ref
+        self.id_col = id_col
+        self._vs = None
+
+    def _value_set(self):
+        if self._vs is None:
+            import ray
+
+            self._vs = pa.array(ray.get(self.ids_ref), pa.int64())
+        return self._vs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = pc.is_in(
+            batch.column(self.id_col).cast(pa.int64()),
+            value_set=self._value_set(),
+        )
+        return batch.filter(m)
+
+
+class _SigPairVerify:
+    """Task-pool UDF instance: estimated-Jaccard verify of (id_lo,
+    id_hi) pairs against a broadcast (sorted ids, signature matrix)
+    lookup — both numpy, so ray.get is zero-copy; cached per
+    instance."""
+
+    def __init__(self, lut_ref, threshold: float):
+        self.lut_ref = lut_ref
+        self.threshold = threshold
+        self._lut = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lut is None:
+            import ray
+
+            self._lut = ray.get(self.lut_ref)
+        sid_, mat_ = self._lut
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        agree = (
+            mat_[np.searchsorted(sid_, lo)] == mat_[np.searchsorted(sid_, hi)]
+        ).mean(axis=1)
+        keep = agree >= self.threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+                "sim_x1000": pa.array(
+                    np.rint(agree[keep] * 1000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
 def _verify_pairs_broadcast(raw_pairs, sigs, threshold: float):
     """Small-candidate-regime verify (the broadcast-small-side rule
     applied to the signature re-join): the raw per-band pair table is
@@ -472,15 +540,9 @@ def _verify_pairs_broadcast(raw_pairs, sigs, threshold: float):
     )
     ids_ref = ray.put(np.unique(pairs))
 
-    def semi(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        m = pc.is_in(
-            batch.column("doc_id"), value_set=pa.array(want, pa.int64())
-        )
-        return batch.filter(m)
-
     cand_sigs = sigs.map_batches(
-        semi, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        _BroadcastSemiFilter(ids_ref, "doc_id"), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
     ).materialize()
     st = pa.concat_tables(ray.get(cand_sigs.to_arrow_refs()))
     sid = st.column("doc_id").to_numpy()
@@ -495,27 +557,9 @@ def _verify_pairs_broadcast(raw_pairs, sigs, threshold: float):
             }
         )
     )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        sid_, mat_ = ray.get(lut_ref)
-        lo = batch.column("id_lo").to_numpy()
-        hi = batch.column("id_hi").to_numpy()
-        agree = (
-            mat_[np.searchsorted(sid_, lo)] == mat_[np.searchsorted(sid_, hi)]
-        ).mean(axis=1)
-        keep = agree >= threshold
-        return pa.table(
-            {
-                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
-                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
-                "sim_x1000": pa.array(
-                    np.rint(agree[keep] * 1000).astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
     return pairs_ds.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        _SigPairVerify(lut_ref, threshold), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
     )
 
 
@@ -782,12 +826,8 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
     ids_ref = ray.put(np.unique(np.concatenate([lo, hi])))
 
     def shingle_cand(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        m = pc.is_in(
-            batch.column("doc_id").cast(pa.int64()),
-            value_set=pa.array(want, pa.int64()),
-        )
-        batch = batch.filter(m)
+        # semi-filter + shingle fused so non-candidate text is dropped
+        # before the (expensive) blake2b shingling
         blobs = [
             _shingle_hashes(t).tobytes()
             for t in batch.column("text").to_pylist()
@@ -799,35 +839,79 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
             }
         )
 
-    sh = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        shingle_cand, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).materialize()
-    st = pa.concat_tables(ray.get(sh.to_arrow_refs()))
-    lut_ref = ray.put(
-        dict(zip(st.column("doc_id").to_pylist(), st.column("sh").to_pylist()))
+    sh = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _BroadcastSemiFilter(ids_ref, "doc_id"), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        .map_batches(
+            shingle_cand, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .materialize()
     )
+    st = pa.concat_tables(ray.get(sh.to_arrow_refs()))
+    # flat-array lut (sorted ids, element offsets, one concatenated
+    # uint64 shingle stream): every piece is numpy, so workers ray.get
+    # it ZERO-COPY — a dict of bytes would deserialize per task
+    sid = st.column("doc_id").to_numpy()
+    order = np.argsort(sid)
+    sets = [
+        np.frombuffer(b, dtype=np.uint64)
+        for b in st.column("sh").to_pylist()
+    ]
+    lens = np.array([s.shape[0] for s in sets], dtype=np.int64)[order]
+    offsets = np.r_[np.int64(0), np.cumsum(lens)]
+    flat = (
+        np.concatenate([sets[i] for i in order])
+        if sets else np.empty(0, dtype=np.uint64)
+    )
+    lut_ref = ray.put((sid[order], offsets, flat))
 
     pairs_ds = ray.data.from_arrow(
         pa.table(
             {"id_lo": pa.array(lo, pa.int64()), "id_hi": pa.array(hi, pa.int64())}
         )
     )
+    return pairs_ds.map_batches(
+        _ShinglePairVerify(lut_ref, threshold), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
+
+class _ShinglePairVerify:
+    """Task-pool UDF instance: exact set-Jaccard verify of candidate
+    pairs against the broadcast flat shingle lut (sorted ids, offsets,
+    concatenated uint64 stream) — zero-copy ray.get, cached per
+    instance; the per-CANDIDATE loop is bounded by the broadcast cap
+    and each intersection is numpy."""
+
+    def __init__(self, lut_ref, threshold: float):
+        self.lut_ref = lut_ref
+        self.threshold = threshold
+        self._lut = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lut is None:
+            import ray
+
+            self._lut = ray.get(self.lut_ref)
+        sid, off, flat = self._lut
         blo = batch.column("id_lo").to_numpy()
         bhi = batch.column("id_hi").to_numpy()
+        ilo = np.searchsorted(sid, blo)
+        ihi = np.searchsorted(sid, bhi)
         n = len(blo)
         jac = np.zeros(n)
-        for i in range(n):  # per-CANDIDATE loop; intersections are numpy
-            sa = np.frombuffer(lut[blo[i]], dtype=np.uint64)
-            sb = np.frombuffer(lut[bhi[i]], dtype=np.uint64)
+        for i in range(n):
+            sa = flat[off[ilo[i]]:off[ilo[i] + 1]]
+            sb = flat[off[ihi[i]]:off[ihi[i] + 1]]
             if sa.shape[0] == 0 or sb.shape[0] == 0:
                 continue
             inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
             jac[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
-        keep = jac >= threshold
+        keep = jac >= self.threshold
         return pa.table(
             {
                 "id_lo": batch.column("id_lo").filter(pa.array(keep)),
@@ -837,10 +921,6 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
                 ),
             }
         )
-
-    return pairs_ds.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
 
 
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
@@ -1147,13 +1227,35 @@ def _set_op(ds_a, ds_b, op: str, key: str, num_partitions: int):
 
         return f
 
-    tagged = ds_a.map_batches(
-        tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).union(
+    import ray
+
+    from hexhamming_ray import tune_data_context
+
+    # The keyed repartition below needs the HASH_SHUFFLE DataContext,
+    # and a union's context snapshot comes from its LEFT-MOST input —
+    # so pin the context NOW and lead with a 0-row seed created under
+    # it. This makes _set_op independent of how/when the callers built
+    # ds_a / ds_b (construction order was silently load-bearing before)
+    # AND guarantees the output keeps its schema when both inputs are
+    # empty (an all-empty dataset otherwise has no blocks → no schema).
+    tune_data_context(hash_shuffle=True)
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "side": pa.array([], pa.int64()),
+            }
+        )
+    )
+    tagged = seed.union(
+        ds_a.map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
         ds_b.map_batches(
             tag(1), batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
-        )
+        ),
     )
 
     def resolve(batch: pa.Table) -> pa.Table:
@@ -1170,45 +1272,37 @@ def _set_op(ds_a, ds_b, op: str, key: str, num_partitions: int):
             out = in_a[~np.isin(in_a, in_b, assume_unique=True)]
         return pa.table({key: pa.array(out, pa.int64())})
 
-    import ray
-
-    out = tagged.repartition(
+    return tagged.repartition(
         num_blocks=num_partitions, keys=[key], sort=True
     ).map_batches(
         resolve, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
-    # 0-row seed block: an all-empty input otherwise yields a dataset
-    # with NO blocks and therefore no schema (breaks downstream
-    # consumers and the driver's column compare)
-    return out.union(
-        ray.data.from_arrow(pa.table({key: pa.array([], pa.int64())}))
-    )
+
+
+def _docs_set_op(sf_dir: str, op: str, min_chars: int, lang: str,
+                 num_partitions: int | None):
+    """Shared builder for the document set-op queries: a = long docs,
+    b = one language's docs."""
+    num_partitions = num_partitions or _default_partitions()
+    a = _docs(sf_dir, ["doc_id", "n_chars"]).filter(
+        expr=f"n_chars > {min_chars}"
+    ).select_columns(["doc_id"])
+    b = _docs(sf_dir, ["doc_id", "lang"]).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["doc_id"])
+    return _set_op(a, b, op, "doc_id", num_partitions)
 
 
 def docs_intersect(sf_dir: str, *, min_chars: int = 400, lang: str = "en",
                    num_partitions: int | None = None):
     """INTERSECT: doc_ids of long documents ∩ doc_ids of one language
     (set semantics). (doc_id,)."""
-    num_partitions = num_partitions or _default_partitions()
-    a = _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True).filter(
-        expr=f"n_chars > {min_chars}"
-    ).select_columns(["doc_id"])
-    b = _docs(sf_dir, ["doc_id", "lang"]).filter(
-        expr=f"lang == '{lang}'"
-    ).select_columns(["doc_id"])
-    return _set_op(a, b, "intersect", "doc_id", num_partitions)
+    return _docs_set_op(sf_dir, "intersect", min_chars, lang, num_partitions)
 
 
 def docs_except(sf_dir: str, *, min_chars: int = 400, lang: str = "en",
                 num_partitions: int | None = None):
     """EXCEPT: doc_ids of long documents ∖ doc_ids of one language
     (set semantics). (doc_id,)."""
-    num_partitions = num_partitions or _default_partitions()
-    a = _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True).filter(
-        expr=f"n_chars > {min_chars}"
-    ).select_columns(["doc_id"])
-    b = _docs(sf_dir, ["doc_id", "lang"]).filter(
-        expr=f"lang == '{lang}'"
-    ).select_columns(["doc_id"])
-    return _set_op(a, b, "except", "doc_id", num_partitions)
+    return _docs_set_op(sf_dir, "except", min_chars, lang, num_partitions)
