@@ -302,3 +302,162 @@ def test_hll_sketch_accuracy(ray_session):
     assert len(merged) == len(exact)
     rel = (merged.approx_users - merged.n).abs() / merged.n
     assert (rel <= 0.05).all(), merged
+
+
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary", "orders_by_status", "top_customers",
+    "customers_per_region", "high_value_lineitems",
+    "distinct_order_customers", "parts_top_price", "q3_top_orders",
+    "order_count_histogram", "order_price_quantiles",
+    "customers_no_f_orders", "customers_with_high_orders",
+    "supplier_balance_by_nation", "parts_price_bands",
+    "lineitem_priority_counts", "orders_rollup",
+    "part_supplier_distinct",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_dir(tmp_path_factory):
+    """FK-intact TPC-H-shaped tables stressing the relational
+    operators: top-k ties (two customers with IDENTICAL order sums in
+    the top 10), key skew (one customer with 50 orders), price-band
+    boundary values (exactly 500.00 -> 50000 cents), rounding-edge
+    prices (x.995), customers with no orders, a region with no
+    nations, negative balances, duplicate (part, supp) lineitem pairs,
+    and even/odd quantile group sizes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    d = tmp_path_factory.mktemp("adv_tpch")
+
+    region = pa.table({
+        "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA", "VOID"], pa.string()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(np.arange(6), pa.int32()),
+        "n_name": pa.array([f"NATION{i}" for i in range(6)], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1, 1, 1, 0], pa.int32()),
+    })
+    nc = 60
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(1, nc + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(1, nc + 1)],
+                           pa.string()),
+        "c_nationkey": pa.array(rng.integers(0, 6, nc).astype(np.int32),
+                                pa.int32()),
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, nc), 2),
+                              pa.float64()),
+        "c_mktsegment": pa.array(
+            np.where(rng.random(nc) < 0.5, "BUILDING", "AUTO"), pa.string()),
+    })
+    ns = 10
+    supp = pa.table({
+        "s_suppkey": pa.array(np.arange(1, ns + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(1, ns + 1)],
+                           pa.string()),
+        "s_nationkey": pa.array(rng.integers(0, 6, ns).astype(np.int32),
+                                pa.int32()),
+        "s_acctbal": pa.array(
+            np.round(rng.uniform(-500, 5000, ns), 2), pa.float64()),
+    })
+    npart = 30
+    prices = np.round(rng.uniform(100, 2000, npart), 2)
+    prices[:6] = [500.00, 499.995, 1000.00, 1500.00, 49.5, 1999.995]
+    part = pa.table({
+        "p_partkey": pa.array(np.arange(1, npart + 1), pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in range(1, npart + 1)],
+                           pa.string()),
+        "p_brand": pa.array([f"Brand#{i % 5}" for i in range(npart)],
+                            pa.string()),
+        "p_type": pa.array(["STANDARD"] * npart, pa.string()),
+        "p_size": pa.array(rng.integers(1, 50, npart).astype(np.int32),
+                           pa.int32()),
+        "p_retailprice": pa.array(prices, pa.float64()),
+    })
+
+    no = 400
+    # customers 1..40 get orders (41..60 have NONE -> anti join);
+    # customer 7 is the skew key with ~50 orders
+    ock = rng.integers(1, 41, no)
+    ock[:50] = 7
+    total = np.round(rng.uniform(100, 450_000, no), 2)
+    total[:30] = np.round(total[:30], 0) + 0.5  # rounding edges
+    # two engineered equal-sum customers at the very top: custkeys
+    # 38 and 39 each get exactly two orders summing to 2,000,000.00
+    ock[390:392] = 38
+    ock[392:394] = 39
+    total[390:394] = [1_500_000.0, 500_000.0, 1_200_000.0, 800_000.0]
+    base_day = np.datetime64("1996-01-01", "us")
+    odate = base_day + rng.integers(0, 1200, no) * np.timedelta64(
+        86_400_000_000, "us")
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, no + 1), pa.int64()),
+        "o_custkey": pa.array(ock, pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["F", "O", "P"])[rng.integers(0, 3, no)], pa.string()),
+        "o_totalprice": pa.array(total, pa.float64()),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                      "5-LOW"])[rng.integers(0, 5, no)], pa.string()),
+    })
+
+    nl = 1500
+    lok = rng.integers(1, no + 1, nl)
+    lpk = rng.integers(1, npart + 1, nl)
+    lsk = rng.integers(1, ns + 1, nl)
+    lpk[:100] = 3
+    lsk[:100] = np.tile([1, 2], 50)  # duplicate (part, supp) pairs
+    eprice = np.round(rng.uniform(900, 95_000, nl), 2)
+    eprice[200:260] = 45_000.0  # exactly AT the > 45000 boundary
+    sdate = base_day + rng.integers(300, 2200, nl) * np.timedelta64(
+        86_400_000_000, "us")
+    lineitem = pa.table({
+        "l_orderkey": pa.array(lok, pa.int64()),
+        "l_partkey": pa.array(lpk, pa.int64()),
+        "l_suppkey": pa.array(lsk, pa.int64()),
+        "l_linenumber": pa.array(
+            rng.integers(1, 8, nl).astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, nl).astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(eprice, pa.float64()),
+        "l_discount": pa.array(
+            np.round(rng.uniform(0, 0.1, nl), 2), pa.float64()),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, nl), 2),
+                          pa.float64()),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, nl)], pa.string()),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"])[rng.integers(0, 2, nl)], pa.string()),
+        "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+    })
+
+    for name, tbl in [("region", region), ("nation", nation),
+                      ("customer", cust), ("supplier", supp),
+                      ("part", part), ("orders", orders),
+                      ("lineitem", lineitem)]:
+        pq.write_table(tbl, d / f"{name}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_relational_queries_on_adversarial_tables(
+    ray_session, adversarial_tpch_dir, name
+):
+    entry = __import__("__ray_entry__")
+    got = _norm(_to_pandas(entry.queries()[name](adversarial_tpch_dir)))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_tpch_dir}/{t}.parquet')"
+        )
+    want = _norm(con.sql(entry.oracle_sql()[name]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
