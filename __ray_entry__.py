@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": A.knn_ivf,
         "embedding_near_dup_pairs": A.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": A.embedding_near_dup_lsh,
+        "embeddings_quantized": A.embeddings_quantized,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,

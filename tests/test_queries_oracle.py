@@ -461,3 +461,24 @@ def test_relational_queries_on_adversarial_tables(
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_embedding_quantization_accuracy(ray_session):
+    """int8 quantization: reconstruction error <= scale/2 per element
+    and cosine(original, dequantized) >= 0.995 for EVERY vector."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    entry = __import__("__ray_entry__")
+    got = _to_pandas(entry.queries()["embeddings_quantized"](SF_DIR))
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    src = src.set_index("vec_id")
+    assert len(got) == len(src)
+    for _, row in got.iterrows():
+        orig = np.asarray(src.loc[row.vec_id, "embedding"], dtype=np.float64)
+        codes = np.frombuffer(row.codes, dtype=np.int8).astype(np.float64)
+        deq = codes * row.scale
+        assert np.abs(deq - orig).max() <= row.scale / 2 + 1e-12
+        denom = np.linalg.norm(orig) * np.linalg.norm(deq)
+        if denom > 0:
+            assert (orig @ deq) / denom >= 0.995
