@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": T.minhash_dup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "er_clusters_docs": T.er_clusters_docs,
+        "er_incremental": T.er_incremental,
         # --- oracled dedup/ER/sampling additions (round 2) ---
         "er_exact_clusters": T.er_exact_clusters,
         "ngram_jaccard_exact": T.ngram_jaccard_exact,

@@ -360,6 +360,102 @@ def run_pipeline(
     return {"fingerprints": fps, "edges": edges, "clusters": clusters}
 
 
+def update_clusters(ckpt_dir: str, new_files_ds, *,
+                    threshold: int = DEFAULT_THRESHOLD,
+                    num_partitions: int | None = None):
+    """INCREMENTAL ER: merge NEW files into a completed checkpointed
+    run (``run_pipeline(..., out_dir=ckpt_dir)``) without
+    re-fingerprinting or re-scoring the existing corpus.
+
+    Cost shape: fingerprint(new) + banding over new ∪ old FINGERPRINTS
+    (a pruned ``(file_id, simhash)`` columnar re-read of the
+    checkpoint — old content is never touched) + pair scoring
+    restricted to band runs that CONTAIN at least one new file +
+    connected components over (checkpointed edges ∪ new edges). The
+    old×old portion of mixed runs is rescored (bounded by band
+    locality) and yields duplicate edges, which connected_components
+    tolerates by construction.
+
+    Edge-coverage argument: a qualifying pair shares ≥1 band (the same
+    pigeonhole/probabilistic guarantee as the full run). Old–old pairs
+    are already in the checkpointed edges; any pair involving a new
+    file makes its shared-band run "new", so it is kept and scored.
+    Labels are min-node-id, so the merged clusters are IDENTICAL to a
+    from-scratch run over old ∪ new (pinned in tests).
+
+    Returns the merged clusters Dataset (file_id, cluster_id)."""
+    import ray
+
+    from hexhamming_ray import pool_size, tune_data_context
+    from hexhamming_ray.stages.blocking import make_bands
+    from hexhamming_ray.stages.fingerprint import fingerprint_dataset
+
+    # the keyed repartition below needs HASH_SHUFFLE, and a union's
+    # context snapshot comes from its LEFT-MOST input — pin it before
+    # creating old_fps (ENGINEERING_NOTES item 33)
+    tune_data_context(hash_shuffle=True)
+    old_fps = ray.data.read_parquet(
+        f"{ckpt_dir}/fingerprints", columns=["file_id", "simhash"]
+    )
+    new_fps = fingerprint_dataset(new_files_ds).materialize()
+
+    def bands_flagged(is_new: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = make_bands(batch)
+            return t.append_column(
+                "is_new",
+                pa.array(np.full(len(t), is_new, dtype=np.int8), pa.int8()),
+            )
+
+        return f
+
+    banded = old_fps.map_batches(
+        bands_flagged(0), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        new_fps.select_columns(["file_id", "simhash"]).map_batches(
+            bands_flagged(1), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+    parts = banded.repartition(
+        num_blocks=num_partitions or pool_size(2.0, lo=8, hi=256),
+        keys=["bkey"],
+        sort=True,
+    )
+
+    def keep_new_runs(batch: pa.Table) -> pa.Table:
+        """Drop whole bkey runs with no new member (their pairs are in
+        the checkpoint). Filtering entire runs preserves the sorted
+        run structure the scorer needs."""
+        n = len(batch)
+        if n == 0:
+            return batch.drop_columns(["is_new"])
+        keys = batch.column("bkey").to_numpy()
+        isn = batch.column("is_new").to_numpy()
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        run_has_new = np.maximum.reduceat(isn, starts) > 0
+        keep = np.repeat(run_has_new, lens)
+        return batch.filter(pa.array(keep)).drop_columns(["is_new"])
+
+    new_edges = parts.map_batches(
+        keep_new_runs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).map_batches(
+        _runs_scorer_fn(threshold, edge_runs=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    old_edges = ray.data.read_parquet(f"{ckpt_dir}/edges")
+    edges = old_edges.union(new_edges)
+    all_fps = old_fps.union(new_fps.select_columns(["file_id", "simhash"]))
+    return build_clusters(all_fps, edges)
+
+
 def write_pipeline_metrics(out_dir: str, fps, edges, clusters,
                            counter=None) -> None:
     """Pair-scoring / clustering metrics to Parquet (north rule:

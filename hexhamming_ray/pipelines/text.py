@@ -664,6 +664,70 @@ def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
     return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def er_incremental(sf_dir: str):
+    """Incremental ER demo over the documents corpus: 70% of the docs
+    are clustered and checkpointed, then the remaining 30% are merged
+    in via ``update_clusters`` — fingerprint(new) + banding over new ∪
+    old fingerprints + scoring of new-containing runs only. Returns
+    the merged (doc_id, cluster_id); IDENTICAL to a from-scratch run
+    by construction (pinned in tests/test_er_pipeline.py)."""
+    import tempfile
+
+    import ray
+
+    from hexhamming_ray.pipelines.er import build_clusters, build_edges, update_clusters
+    from hexhamming_ray.state.checkpoint import Checkpointer
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        n = len(batch)
+        return pa.table(
+            {
+                "_id": ids,
+                "repo": batch.column("source").cast(pa.string()),
+                "path": pa.array(
+                    [f"doc/{i}" for i in ids.to_pylist()], pa.string()
+                ),
+                "commit": pa.array(["0" * 40] * n, pa.string()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "content": batch.column("text").cast(pa.string()),
+            }
+        )
+
+    files = _docs(sf_dir).map_batches(
+        adapt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def split(new_side: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("_id").to_numpy()
+            return batch.filter(pa.array((ids % 10 < 3) == new_side))
+
+        return f
+
+    old = files.map_batches(
+        split(False), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    new = files.map_batches(
+        split(True), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+
+    ckpt = tempfile.mkdtemp(prefix="hexray_er_incr_")
+    ck = Checkpointer(ckpt)
+    fps, edges = build_edges(old, checkpointer=ck)
+    build_clusters(fps, edges, checkpointer=ck)
+    clusters = update_clusters(ckpt, new)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("file_id").cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+            }
+        )
+
+    return clusters.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def er_exact_clusters(sf_dir: str):
     """Exact-duplicate clusters via the FULL ER machinery (banding ->
     scoring -> distributed union-find) with a cryptographic-identity

@@ -207,3 +207,50 @@ def test_er_exact_clusters_with_planted_dups(ray_session, tmp_path):
     assert {int(r.doc_id): int(r.cluster_id) for r in got.itertuples()} == want
     sizes = got.groupby("cluster_id").size()
     assert (sizes > 1).sum() > 0, "planted duplicate groups must merge"
+
+
+def test_incremental_update_matches_full_run(ray_session, corpus, tmp_path):
+    """update_clusters (incremental ER over a checkpoint) must produce
+    clusters IDENTICAL to a from-scratch run over old ∪ new — labels
+    are min-node-id, so exact frame equality is the right check. The
+    split deliberately cuts planted duplicate clusters across the
+    old/new boundary."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray
+
+    from hexhamming_ray.pipelines.er import run_pipeline, update_clusters
+
+    full = pads.dataset(corpus).to_table()
+    # deterministic 70/30 split by md5(path) — cuts clusters across
+    # the boundary (clone files share repo but differ in path)
+    is_new = pa.array(
+        [
+            int(_hl.md5(p.encode()).hexdigest(), 16) % 10 < 3
+            for p in full.column("path").to_pylist()
+        ]
+    )
+    old_tbl = full.filter(pa.compute.invert(is_new))
+    new_tbl = full.filter(is_new)
+    assert 0 < len(new_tbl) < len(full)
+
+    def labels(ds):
+        df = ds.to_pandas().sort_values("file_id").reset_index(drop=True)
+        return df
+
+    # ground truth: from-scratch run over everything
+    truth = labels(run_pipeline(corpus)["clusters"])
+
+    # checkpointed run over OLD only, then incremental update with NEW
+    old_dir = str(tmp_path / "old_files")
+    os.makedirs(old_dir, exist_ok=True)
+    pq.write_table(old_tbl, os.path.join(old_dir, "part-0.parquet"))
+    ckpt = str(tmp_path / "ck")
+    run_pipeline(old_dir, out_dir=ckpt)
+    merged = labels(update_clusters(ckpt, ray.data.from_arrow(new_tbl)))
+
+    assert len(merged) == len(truth)
+    pd.testing.assert_frame_equal(merged, truth)

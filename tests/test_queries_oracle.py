@@ -482,3 +482,15 @@ def test_embedding_quantization_accuracy(ray_session):
         denom = np.linalg.norm(orig) * np.linalg.norm(deq)
         if denom > 0:
             assert (orig @ deq) / denom >= 0.995
+
+
+def test_er_incremental_equals_full_er(ray_session):
+    """The incremental-ER query (70% checkpointed + 30% merged in)
+    must equal the from-scratch ER clustering of the same corpus —
+    labels are min-node-id, so exact equality holds."""
+    entry = __import__("__ray_entry__")
+    inc = _to_pandas(entry.queries()["er_incremental"](SF_DIR))
+    full = _to_pandas(entry.queries()["er_clusters_docs"](SF_DIR))
+    inc = inc.sort_values("doc_id").reset_index(drop=True)
+    full = full.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(inc, full)
