@@ -712,10 +712,17 @@ def er_incremental(sf_dir: str):
         batch_size=None)
 
     ckpt = tempfile.mkdtemp(prefix="hexray_er_incr_")
-    ck = Checkpointer(ckpt)
-    fps, edges = build_edges(old, checkpointer=ck)
-    build_clusters(fps, edges, checkpointer=ck)
-    clusters = update_clusters(ckpt, new)
+    try:
+        ck = Checkpointer(ckpt)
+        fps, edges = build_edges(old, checkpointer=ck)
+        build_clusters(fps, edges, checkpointer=ck)
+        # update_clusters materializes the merged clusters, so the
+        # scratch checkpoint can be dropped immediately
+        clusters = update_clusters(ckpt, new)
+    finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
