@@ -409,15 +409,51 @@ def update_clusters(ckpt_dir: str, new_files_ds, *,
 
         return f
 
+    new_banded = new_fps.select_columns(["file_id", "simhash"]).map_batches(
+        bands_flagged(1), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+
+    # Band-key semi-filter BEFORE the exchange: only old rows whose
+    # bkey collides with a NEW file's bkey can contribute a new edge,
+    # so broadcast the new band-key set (≤ 16·|new| int64s) and drop
+    # everything else map-side — the exchange then carries collision
+    # volume, not the corpus's full banded table.
+    new_keys_l = [
+        ray.get(b).column("bkey").to_numpy()
+        for b in new_banded.to_arrow_refs()
+    ]
+    new_keys = np.unique(
+        np.concatenate(new_keys_l)
+        if new_keys_l else np.empty(0, dtype=np.int64)
+    )
+    keys_ref = ray.put(new_keys)
+
+    class _BkeyFilter:
+        def __init__(self, ref):
+            self.ref = ref
+            self._keys = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys = ray.get(self.ref)  # zero-copy numpy
+            bk = batch.column("bkey").to_numpy()
+            pos = np.searchsorted(self._keys, bk)
+            pos = np.minimum(pos, max(self._keys.shape[0] - 1, 0))
+            hit = (
+                self._keys[pos] == bk
+                if self._keys.shape[0]
+                else np.zeros(len(bk), dtype=bool)
+            )
+            return batch.filter(pa.array(hit))
+
     banded = old_fps.map_batches(
         bands_flagged(0), batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
-    ).union(
-        new_fps.select_columns(["file_id", "simhash"]).map_batches(
-            bands_flagged(1), batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
-        )
-    )
+    ).map_batches(
+        _BkeyFilter(keys_ref), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(new_banded)
     parts = banded.repartition(
         num_blocks=num_partitions or pool_size(2.0, lo=8, hi=256),
         keys=["bkey"],
