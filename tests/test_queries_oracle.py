@@ -494,3 +494,58 @@ def test_er_incremental_equals_full_er(ray_session):
     inc = inc.sort_values("doc_id").reset_index(drop=True)
     full = full.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(inc, full)
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_dir(tmp_path_factory):
+    """Embeddings stressing the vector operators: exact-duplicate
+    vectors and scalar multiples (cosine EXACTLY 1.0 -> top-k rank
+    tie-breaks), near-dups just above threshold, negative components.
+    Components are small integers so dot products are exact in both
+    float32 storage and either engine's accumulation — ties are real
+    ties, not float noise. (Zero vectors are excluded: cosine is
+    undefined and both engines' NaN orderings are arbitrary.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(17)
+    n, dim = 200, 8
+    mat = rng.integers(-8, 9, (n, dim)).astype(np.float32)
+    mat[:, 0] = np.maximum(np.abs(mat[:, 0]), 1)  # no zero vectors
+    mat[1] = mat[0]          # exact duplicate of vec 0
+    mat[2] = 2 * mat[0]      # scalar multiple: cosine exactly 1.0
+    mat[4] = mat[3]
+    mat[4, -1] += 1          # near-dup just off vec 3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row for row in mat.tolist()], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                rng.integers(0, 5, n).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("adv_emb")
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["knn_bruteforce", "embedding_near_dup_pairs"])
+def test_vector_queries_on_adversarial_embeddings(
+    ray_session, adversarial_emb_dir, name
+):
+    entry = __import__("__ray_entry__")
+    got = _norm(_to_pandas(entry.queries()[name](adversarial_emb_dir)))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_emb_dir}/embeddings.parquet')"
+    )
+    want = _norm(con.sql(entry.oracle_sql()[name]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
