@@ -446,6 +446,19 @@ def _distinct_pairs(cand, num_partitions: int):
 BROADCAST_PAIR_CAP = 250_000
 
 
+def _gather_table(ds, schema: pa.Schema) -> pa.Table:
+    """Concat a (small, bounded) materialized Dataset's blocks on the
+    driver. Empty blocks can carry a BARE schema (no columns) — Ray
+    emits them when an upstream block is empty — and pa.concat_tables
+    rejects the mix, so drop 0-row blocks and fall back to the known
+    schema when everything is empty (same pitfall as
+    er.py build_clusters' label gather)."""
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+
 class _BroadcastSemiFilter:
     """Task-pool UDF instance: keep rows whose ``id_col`` is in the
     broadcast id set. The Arrow value_set is built lazily ONCE per
@@ -520,7 +533,10 @@ def _verify_pairs_broadcast(raw_pairs, sigs, threshold: float):
     the scale path needs."""
     import ray
 
-    tbl = pa.concat_tables(ray.get(raw_pairs.to_arrow_refs()))
+    tbl = _gather_table(
+        raw_pairs,
+        pa.schema([("id_lo", pa.int64()), ("id_hi", pa.int64())]),
+    )
     if len(tbl) == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -544,7 +560,13 @@ def _verify_pairs_broadcast(raw_pairs, sigs, threshold: float):
         _BroadcastSemiFilter(ids_ref, "doc_id"), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
     ).materialize()
-    st = pa.concat_tables(ray.get(cand_sigs.to_arrow_refs()))
+    st = _gather_table(
+        cand_sigs,
+        pa.schema(
+            [("doc_id", pa.int64()),
+             ("sig", pa.binary(NUM_PERM * 8))]
+        ),
+    )
     sid = st.column("doc_id").to_numpy()
     order = np.argsort(sid)
     lut_ref = ray.put((sid[order], _sig_matrix(st.column("sig"))[order].copy()))
@@ -881,7 +903,10 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
     exchanges after LSH."""
     import ray
 
-    tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
+    tbl = _gather_table(
+        cands,
+        pa.schema([("id_lo", pa.int64()), ("id_hi", pa.int64())]),
+    )
     if len(tbl) == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -922,7 +947,10 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
         )
         .materialize()
     )
-    st = pa.concat_tables(ray.get(sh.to_arrow_refs()))
+    st = _gather_table(
+        sh,
+        pa.schema([("doc_id", pa.int64()), ("sh", pa.large_binary())]),
+    )
     # flat-array lut (sorted ids, element offsets, one concatenated
     # uint64 shingle stream): every piece is numpy, so workers ray.get
     # it ZERO-COPY — a dict of bytes would deserialize per task
