@@ -367,27 +367,29 @@ def update_clusters(ckpt_dir: str, new_files_ds, *,
     run (``run_pipeline(..., out_dir=ckpt_dir)``) without
     re-fingerprinting or re-scoring the existing corpus.
 
-    Cost shape: fingerprint(new) + banding over new ∪ old FINGERPRINTS
-    (a pruned ``(file_id, simhash)`` columnar re-read of the
-    checkpoint — old content is never touched) + pair scoring
-    restricted to band runs that CONTAIN at least one new file +
-    connected components over (checkpointed edges ∪ new edges). The
-    old×old portion of mixed runs is rescored (bounded by band
-    locality) and yields duplicate edges, which connected_components
-    tolerates by construction.
+    Cost shape: fingerprint(new) + banding over new ∪ the bkey-filtered
+    old FINGERPRINTS (a pruned ``(file_id, simhash)`` columnar re-read
+    of the checkpoint — old content is never touched) + pair scoring of
+    the colliding bands + connected components over (checkpointed edges
+    ∪ new edges). Old rows survive only when their bkey is in the NEW
+    band-key set, so every scored run contains a new member by
+    construction; the old×old pairs inside those runs are rescored
+    (bounded by band locality) and yield duplicate edges, which
+    connected_components tolerates.
 
     Edge-coverage argument: a qualifying pair shares ≥1 band (the same
     pigeonhole/probabilistic guarantee as the full run). Old–old pairs
     are already in the checkpointed edges; any pair involving a new
-    file makes its shared-band run "new", so it is kept and scored.
-    Labels are min-node-id, so the merged clusters are IDENTICAL to a
-    from-scratch run over old ∪ new (pinned in tests).
+    file shares a band whose key is in the new-key set, so both members
+    survive the filter and the pair is scored. Labels are min-node-id,
+    so the merged clusters are IDENTICAL to a from-scratch run over
+    old ∪ new (pinned in tests).
 
     Returns the merged clusters Dataset (file_id, cluster_id)."""
     import ray
 
     from hexhamming_ray import pool_size, tune_data_context
-    from hexhamming_ray.stages.blocking import make_bands
+    from hexhamming_ray.stages.blocking import HotKeyFilter, make_bands
     from hexhamming_ray.stages.fingerprint import fingerprint_dataset
 
     # the keyed repartition below needs HASH_SHUFFLE, and a union's
@@ -399,18 +401,8 @@ def update_clusters(ckpt_dir: str, new_files_ds, *,
     )
     new_fps = fingerprint_dataset(new_files_ds).materialize()
 
-    def bands_flagged(is_new: int):
-        def f(batch: pa.Table) -> pa.Table:
-            t = make_bands(batch)
-            return t.append_column(
-                "is_new",
-                pa.array(np.full(len(t), is_new, dtype=np.int8), pa.int8()),
-            )
-
-        return f
-
     new_banded = new_fps.select_columns(["file_id", "simhash"]).map_batches(
-        bands_flagged(1), batch_format="pyarrow", zero_copy_batch=True,
+        make_bands, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     ).materialize()
 
@@ -418,10 +410,12 @@ def update_clusters(ckpt_dir: str, new_files_ds, *,
     # bkey collides with a NEW file's bkey can contribute a new edge,
     # so broadcast the new band-key set (≤ 16·|new| int64s) and drop
     # everything else map-side — the exchange then carries collision
-    # volume, not the corpus's full banded table.
+    # volume, not the corpus's full banded table. (0-row blocks can
+    # carry a bare schema — skip them, ENGINEERING_NOTES item 34.)
     new_keys_l = [
-        ray.get(b).column("bkey").to_numpy()
-        for b in new_banded.to_arrow_refs()
+        t.column("bkey").to_numpy()
+        for t in ray.get(new_banded.to_arrow_refs())
+        if t.num_rows
     ]
     new_keys = np.unique(
         np.concatenate(new_keys_l)
@@ -429,30 +423,12 @@ def update_clusters(ckpt_dir: str, new_files_ds, *,
     )
     keys_ref = ray.put(new_keys)
 
-    class _BkeyFilter:
-        def __init__(self, ref):
-            self.ref = ref
-            self._keys = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._keys is None:
-                self._keys = ray.get(self.ref)  # zero-copy numpy
-            bk = batch.column("bkey").to_numpy()
-            pos = np.searchsorted(self._keys, bk)
-            pos = np.minimum(pos, max(self._keys.shape[0] - 1, 0))
-            hit = (
-                self._keys[pos] == bk
-                if self._keys.shape[0]
-                else np.zeros(len(bk), dtype=bool)
-            )
-            return batch.filter(pa.array(hit))
-
     banded = old_fps.map_batches(
-        bands_flagged(0), batch_format="pyarrow", zero_copy_batch=True,
+        make_bands, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     ).map_batches(
-        _BkeyFilter(keys_ref), batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
+        HotKeyFilter(keys_ref), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
     ).union(new_banded)
     parts = banded.repartition(
         num_blocks=num_partitions or pool_size(2.0, lo=8, hi=256),
@@ -460,26 +436,7 @@ def update_clusters(ckpt_dir: str, new_files_ds, *,
         sort=True,
     )
 
-    def keep_new_runs(batch: pa.Table) -> pa.Table:
-        """Drop whole bkey runs with no new member (their pairs are in
-        the checkpoint). Filtering entire runs preserves the sorted
-        run structure the scorer needs."""
-        n = len(batch)
-        if n == 0:
-            return batch.drop_columns(["is_new"])
-        keys = batch.column("bkey").to_numpy()
-        isn = batch.column("is_new").to_numpy()
-        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        lens = np.diff(np.concatenate([starts, [n]]))
-        run_has_new = np.maximum.reduceat(isn, starts) > 0
-        keep = np.repeat(run_has_new, lens)
-        return batch.filter(pa.array(keep)).drop_columns(["is_new"])
-
     new_edges = parts.map_batches(
-        keep_new_runs, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).map_batches(
         _runs_scorer_fn(threshold, edge_runs=True),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -650,28 +650,32 @@ def minhash_dup_pairs(sf_dir: str, *, threshold: float = 0.5,
     )
 
 
+def _adapt_docs_to_files(batch: pa.Table) -> pa.Table:
+    """documents row -> files-schema row (the ER pipeline's input
+    contract); shared by every ER-over-documents query."""
+    ids = batch.column("doc_id").cast(pa.int64())
+    n = len(batch)
+    return pa.table(
+        {
+            "_id": ids,  # fingerprint stage uses this as file_id
+            "repo": batch.column("source").cast(pa.string()),
+            "path": pa.array([f"doc/{i}" for i in ids.to_pylist()], pa.string()),
+            "commit": pa.array(["0" * 40] * n, pa.string()),
+            "lang": batch.column("lang").cast(pa.string()),
+            "content": batch.column("text").cast(pa.string()),
+        }
+    )
+
+
 def er_clusters_docs(sf_dir: str, *, threshold: int = 20):
     """Full ER pipeline over documents-as-corpus: (doc_id, cluster_id).
     Adapts documents to the files schema, then runs the flagship
     blocking + scoring + union-find pipeline."""
     from hexhamming_ray.pipelines.er import build_clusters, build_edges
 
-    def adapt(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").cast(pa.int64())
-        n = len(batch)
-        return pa.table(
-            {
-                "_id": ids,  # fingerprint stage uses this as file_id
-                "repo": batch.column("source").cast(pa.string()),
-                "path": pa.array([f"doc/{i}" for i in ids.to_pylist()], pa.string()),
-                "commit": pa.array(["0" * 40] * n, pa.string()),
-                "lang": batch.column("lang").cast(pa.string()),
-                "content": batch.column("text").cast(pa.string()),
-            }
-        )
-
     files = _docs(sf_dir).map_batches(
-        adapt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        _adapt_docs_to_files, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
     fps, edges = build_edges(files, threshold=threshold)
     clusters = build_clusters(fps, edges)
 
@@ -695,29 +699,12 @@ def er_incremental(sf_dir: str):
     by construction (pinned in tests/test_er_pipeline.py)."""
     import tempfile
 
-    import ray
-
-    from hexhamming_ray.pipelines.er import build_clusters, build_edges, update_clusters
+    from hexhamming_ray.pipelines.er import build_edges, update_clusters
     from hexhamming_ray.state.checkpoint import Checkpointer
 
-    def adapt(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").cast(pa.int64())
-        n = len(batch)
-        return pa.table(
-            {
-                "_id": ids,
-                "repo": batch.column("source").cast(pa.string()),
-                "path": pa.array(
-                    [f"doc/{i}" for i in ids.to_pylist()], pa.string()
-                ),
-                "commit": pa.array(["0" * 40] * n, pa.string()),
-                "lang": batch.column("lang").cast(pa.string()),
-                "content": batch.column("text").cast(pa.string()),
-            }
-        )
-
     files = _docs(sf_dir).map_batches(
-        adapt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        _adapt_docs_to_files, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
     def split(new_side: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -735,9 +722,11 @@ def er_incremental(sf_dir: str):
 
     ckpt = tempfile.mkdtemp(prefix="hexray_er_incr_")
     try:
+        # update_clusters needs only the fingerprints + edges stages of
+        # the checkpoint — clustering the old 70% here would be wasted
+        # work (the merged CC below covers everything)
         ck = Checkpointer(ckpt)
-        fps, edges = build_edges(old, checkpointer=ck)
-        build_clusters(fps, edges, checkpointer=ck)
+        build_edges(old, checkpointer=ck)
         # update_clusters materializes the merged clusters, so the
         # scratch checkpoint can be dropped immediately
         clusters = update_clusters(ckpt, new)
@@ -1371,11 +1360,17 @@ def _set_op(ds_a, ds_b, op: str, key: str, num_partitions: int):
             out = in_a[~np.isin(in_a, in_b, assume_unique=True)]
         return pa.table({key: pa.array(out, pa.int64())})
 
-    return tagged.repartition(
+    out = tagged.repartition(
         num_blocks=num_partitions, keys=[key], sort=True
     ).map_batches(
         resolve, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
+    )
+    # trailing 0-row seed: empty shuffle outputs can bypass resolve()
+    # and surface with a bare or (key, side) schema (ENGINEERING_NOTES
+    # 34), so guarantee at least one block carrying the OUTPUT schema
+    return out.union(
+        ray.data.from_arrow(pa.table({key: pa.array([], pa.int64())}))
     )
 
 

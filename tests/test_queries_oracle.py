@@ -379,17 +379,20 @@ def adversarial_tpch_dir(tmp_path_factory):
     })
 
     no = 400
-    # customers 1..40 get orders (41..60 have NONE -> anti join);
-    # customer 7 is the skew key with ~50 orders
-    ock = rng.integers(1, 41, no)
+    # customers 1..37 get random orders (38..60 get none here, so the
+    # engineered tie below is exact; 40..60 have NONE at all -> anti
+    # join); customer 7 is the skew key with ~50 orders
+    ock = rng.integers(1, 38, no)
     ock[:50] = 7
     total = np.round(rng.uniform(100, 450_000, no), 2)
     total[:30] = np.round(total[:30], 0) + 0.5  # rounding edges
     # two engineered equal-sum customers at the very top: custkeys
-    # 38 and 39 each get exactly two orders summing to 2,000,000.00
+    # 38 and 39 each get exactly two orders summing to 6,000,000.00 —
+    # far above any random customer (≤ ~12 orders × 450k), so both sit
+    # in the top 10 and force the (total_cents, custkey) tie-break
     ock[390:392] = 38
     ock[392:394] = 39
-    total[390:394] = [1_500_000.0, 500_000.0, 1_200_000.0, 800_000.0]
+    total[390:394] = [3_000_000.0, 3_000_000.0, 4_000_000.0, 2_000_000.0]
     base_day = np.datetime64("1996-01-01", "us")
     odate = base_day + rng.integers(0, 1200, no) * np.timedelta64(
         86_400_000_000, "us")
