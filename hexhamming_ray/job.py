@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="physical plan for the candidate shuffle")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore existing checkpoints and recompute every stage")
+    ap.add_argument("--update", metavar="NEW_INPUT", default=None,
+                    help="INCREMENTAL mode: merge the NEW files Parquet "
+                         "directory into the completed run checkpointed "
+                         "under --out (old content is never re-read; see "
+                         "pipelines.er.update_clusters). Writes the merged "
+                         "clusters to <out>/clusters_updated/ and prints "
+                         "the summary line.")
     args = ap.parse_args(argv)
 
     import ray
@@ -56,6 +63,28 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         from hexhamming_ray.pipelines.er import DEFAULT_THRESHOLD, run_pipeline
+
+        if args.update:
+            from hexhamming_ray.pipelines.er import update_clusters
+
+            new_files = ray.data.read_parquet(args.update)
+            merged = update_clusters(
+                args.out, new_files,
+                threshold=args.threshold or DEFAULT_THRESHOLD,
+            )
+            dest = os.path.join(args.out, "clusters_updated")
+            if os.path.isdir(dest):
+                import shutil
+
+                shutil.rmtree(dest)
+            merged.write_parquet(dest)
+            print(json.dumps({
+                "status": "ok",
+                "mode": "update",
+                "out": dest,
+                "rows": merged.count(),
+            }))
+            return 0
 
         if args.no_resume and os.path.isdir(args.out):
             import shutil
