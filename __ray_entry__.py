@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": R.orders_rollup,
         "part_supplier_distinct": R.part_supplier_distinct,
         "approx_distinct_users": R.approx_distinct_users,
+        "top_users_heavyhitter": R.top_users_heavyhitter,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -418,6 +419,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
             "AS total_cents "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        # two-pass heavy hitter: exact whenever candidates cover top-k
+        "top_users_heavyhitter": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY user_id "
+            "ORDER BY n_events DESC, user_id LIMIT 20"
         ),
         # LAG window: gap to the same user's previous event
         "event_gaps": (

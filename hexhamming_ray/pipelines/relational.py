@@ -814,6 +814,116 @@ def approx_distinct_users(sf_dir: str, *, p: int = 12):
     )
 
 
+def top_users_heavyhitter(sf_dir: str, *, k: int = 20, capacity: int = 256,
+                          num_partitions: int = 8):
+    """Approximate-top-k done exactly: the classic TWO-PASS heavy
+    hitter. Pass 1 keeps each block's ``capacity`` most frequent
+    user_ids (a Misra-Gries-style mergeable summary — any user with
+    global share > 1/capacity survives in at least one block); the
+    candidate union (≤ capacity × n_blocks ids) is broadcast, and pass
+    2 recounts ONLY candidates exactly, then takes the top k by
+    (count desc, user_id asc). Output is exact whenever the candidates
+    cover the true top k — guaranteed at any skew ≥ the 1/capacity
+    line, and trivially at test scale where capacity ≥ distinct users.
+    (user_id, n_events).
+
+    Scale shape: pass 1 ships ≤ capacity rows per block; pass 2's
+    exchange is candidate-bounded (broadcast semi-filter at the map,
+    partial-combined counts, one small keyed exchange)."""
+    import ray
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        ids, cnt = np.unique(uid, return_counts=True)
+        if ids.shape[0] > capacity:
+            keep = np.argsort(-cnt, kind="stable")[:capacity]
+            ids, cnt = ids[keep], cnt[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(ids, pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    sketch = (
+        _t(sf_dir, "events", ["user_id"], hash_shuffle=True)
+        .map_batches(
+            local_top, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .materialize()
+    )
+    cand_l = [
+        t.column("user_id").to_numpy()
+        for t in ray.get(sketch.to_arrow_refs())
+        if t.num_rows
+    ]
+    cand = np.unique(
+        np.concatenate(cand_l) if cand_l else np.empty(0, dtype=np.int64)
+    )
+    cand_ref = ray.put(cand)
+
+    class _CandCount:
+        """Per block: exact counts of CANDIDATE users only (broadcast
+        semi-filter + partial combine before the exchange)."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self._cand = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._cand is None:
+                self._cand = ray.get(self.ref)
+            uid = batch.column("user_id").to_numpy()
+            pos = np.searchsorted(self._cand, uid)
+            pos = np.minimum(pos, max(self._cand.shape[0] - 1, 0))
+            hit = (
+                self._cand[pos] == uid
+                if self._cand.shape[0]
+                else np.zeros(len(uid), dtype=bool)
+            )
+            ids, cnt = np.unique(uid[hit], return_counts=True)
+            return pa.table(
+                {
+                    "user_id": pa.array(ids, pa.int64()),
+                    "c": pa.array(cnt, pa.int64()),
+                }
+            )
+
+    counts = (
+        _t(sf_dir, "events", ["user_id"], hash_shuffle=True)
+        .map_batches(
+            _CandCount(cand_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            _combine_runs(["user_id"], ["c"]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        c = batch.column("c").to_numpy()
+        u = batch.column("user_id").to_numpy()
+        return batch.take(pa.array(np.lexsort((u, -c))[:k]))
+
+    return (
+        counts.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .rename_columns(["user_id", "n_events"])
+    )
+
+
 def orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): all three
     aggregation levels — (status, priority), (status, NULL),

@@ -143,6 +143,7 @@ EVENT_QUERIES = [
     "event_gaps", "asof_view_clicks", "rolling_user_window",
     "user_sessions", "top_event_per_user", "event_rank_in_user",
     "events_per_hour", "events_by_type", "event_props_k",
+    "top_users_heavyhitter",
 ]
 
 
