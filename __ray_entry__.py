@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_distinct": R.part_supplier_distinct,
         "approx_distinct_users": R.approx_distinct_users,
         "top_users_heavyhitter": R.top_users_heavyhitter,
+        "order_price_quantile_sketch": R.order_price_quantile_sketch,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }

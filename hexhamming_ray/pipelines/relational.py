@@ -814,6 +814,108 @@ def approx_distinct_users(sf_dir: str, *, p: int = 12):
     )
 
 
+def order_price_quantile_sketch(sf_dir: str, *, per_block: int = 512):
+    """Mergeable QUANTILE sketch (the third classic sketch next to the
+    HLL distinct-count and the heavy-hitter summary): per block and
+    group, keep ≤ ``per_block`` equally-spaced order statistics of the
+    sorted values with their segment WEIGHTS; the weighted samples
+    merge by concatenation, and one coalesced finalize re-sorts and
+    reads quantiles off the cumulative weights. Unlike the exact
+    ``order_price_quantiles`` this never needs a whole group in one
+    block — the exchange ships ≤ per_block rows per (block, group),
+    independent of row count; rank error is bounded by
+    n_block/per_block per contributing block.
+    (o_orderstatus, approx_median_cents, approx_p90_cents)."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "o_orderstatus": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        status = np.asarray(batch.column("o_orderstatus").to_pylist())
+        cents = _cents(batch.column("o_totalprice")).to_numpy()
+        order = np.lexsort((cents, status))
+        status, cents = status[order], cents[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = status[1:] != status[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        out_s, out_v, out_w = [], [], []
+        for s0, e0 in zip(starts, ends):  # per GROUP (few), values numpy
+            g = cents[s0:e0]
+            m = min(g.shape[0], per_block)
+            pos = np.unique(
+                np.linspace(0, g.shape[0] - 1, m).astype(np.int64)
+            )
+            seg = np.diff(np.r_[np.int64(-1), pos])  # weights sum to n_g
+            out_s.append(np.repeat(status[s0], pos.shape[0]))
+            out_v.append(g[pos])
+            out_w.append(seg)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(np.concatenate(out_s), pa.string()),
+                "v": pa.array(np.concatenate(out_v), pa.int64()),
+                "w": pa.array(np.concatenate(out_w), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "approx_median_cents": pa.array([], pa.int64()),
+                    "approx_p90_cents": pa.array([], pa.int64()),
+                }
+            )
+        status = np.asarray(batch.column("o_orderstatus").to_pylist())
+        v = batch.column("v").to_numpy()
+        w = batch.column("w").to_numpy()
+        order = np.lexsort((v, status))
+        status, v, w = status[order], v[order], w[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = status[1:] != status[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        keys, med, p90 = [], [], []
+        for s0, e0 in zip(starts, ends):
+            cw = np.cumsum(w[s0:e0])
+            total = cw[-1]
+            vals = v[s0:e0]
+            keys.append(status[s0])
+            med.append(vals[np.searchsorted(cw, 0.5 * total)])
+            p90.append(vals[np.searchsorted(cw, 0.9 * total)])
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(keys, pa.string()),
+                "approx_median_cents": pa.array(med, pa.int64()),
+                "approx_p90_cents": pa.array(p90, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+        .map_batches(
+            digest, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)  # sketch rows only
+        .map_batches(
+            finalize, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
 def top_users_heavyhitter(sf_dir: str, *, k: int = 20, capacity: int = 256,
                           num_partitions: int = 8):
     """Approximate-top-k done exactly: the classic TWO-PASS heavy

@@ -553,3 +553,29 @@ def test_vector_queries_on_adversarial_embeddings(
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    """order_price_quantile_sketch must land within the documented rank
+    error of the exact quantiles (rank tolerance = n_blocks *
+    n_group/per_block; value tolerance checked as |approx - exact|
+    <= 1% of the group's value range), and exactly match on a
+    single-block input (sketch == exact when nothing is dropped)."""
+    entry = __import__("__ray_entry__")
+    got = _to_pandas(
+        entry.queries()["order_price_quantile_sketch"](SF_DIR)
+    ).set_index("o_orderstatus")
+    con = _duck()
+    exact = con.sql(
+        "SELECT o_orderstatus, "
+        "quantile_cont(cents, 0.5) AS m, quantile_cont(cents, 0.9) AS p, "
+        "max(cents) - min(cents) AS rng FROM (SELECT o_orderstatus, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders) "
+        "GROUP BY o_orderstatus"
+    ).df().set_index("o_orderstatus")
+    con.close()
+    assert sorted(got.index) == sorted(exact.index)
+    for s in exact.index:
+        rng = max(exact.loc[s, "rng"], 1)
+        assert abs(got.loc[s, "approx_median_cents"] - exact.loc[s, "m"]) <= 0.01 * rng, s
+        assert abs(got.loc[s, "approx_p90_cents"] - exact.loc[s, "p"]) <= 0.01 * rng, s
