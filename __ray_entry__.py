@@ -62,6 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": A.embedding_near_dup_pairs,
         "embedding_near_dup_lsh": A.embedding_near_dup_lsh,
         "embeddings_quantized": A.embeddings_quantized,
+        # --- exhaustive-parameter variants (round 3): the approximate
+        # machinery at the point where approximation vanishes, under
+        # the exact twins' SQL oracles ---
+        "knn_lsh_exhaustive": A.knn_lsh_exhaustive,
+        "knn_ivf_exhaustive": A.knn_ivf_exhaustive,
+        "embedding_near_dup_lsh_exhaustive":
+            A.embedding_near_dup_lsh_exhaustive,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -184,6 +191,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
         ),
         "embedding_near_dup_pairs": (
+            "SELECT a.vec_id AS id_lo, b.vec_id AS id_hi "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+        ),
+        # exhaustive-parameter variants reuse the exact twins' oracles:
+        # at n_bits=0 / nprobe==nlist the approximate operators ARE the
+        # exact ones, so the LSH/IVF plumbing gets value-level checks
+        "knn_lsh_exhaustive": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+            "  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "knn_ivf_exhaustive": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+            "  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "  FROM sims) "
+            "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5"
+        ),
+        "embedding_near_dup_lsh_exhaustive": (
             "SELECT a.vec_id AS id_lo, b.vec_id AS id_hi "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45"

@@ -431,3 +431,188 @@ def band_keys_from_minhash(sigs: np.ndarray, bands: int) -> np.ndarray:
                 acc = _mix64(acc ^ seg[:, col])
             keys[:, bidx] = acc
     return keys
+
+
+# ---------------------------------------------------------------------------
+# vectorized token-3-gram shingle hashing (prefix-sum polynomial hash)
+# ---------------------------------------------------------------------------
+# Replaces the round-2 per-gram hashlib.blake2b inner loop (the hot
+# path of both ngram pipelines — VERDICT r02 "what's wrong" #3): the
+# per-doc Python work is now exactly split / join / encode (three C
+# calls per doc); every per-GRAM operation is a numpy pass over the
+# batch's concatenated byte buffer.
+#
+# Scheme: a gram is a byte window [l, r) of the whitespace-normalized
+# (" ".join(text.split())) document, so hash(gram) is a polynomial
+# window hash mod 2^64:   H(l, r) = sum_{j=l}^{r-1} (b[j]+1) * p^(j-l)
+# computed for ALL windows at once from prefix sums —
+#   S[i] = sum_{j<=i} (b[j]+1) * p^j      (one cumsum, wraps mod 2^64)
+#   H(l, r) = (S[r-1] - S[l-1]) * p^(-l)  (p odd => invertible mod 2^64)
+# then finished with splitmix64 over (H + len*GOLD) so trailing-NUL
+# polynomials and low-bit linearity can't alias. p^j / p^-j tables are
+# process-cached (grow-on-demand), and the batch is internally
+# sub-chunked so scratch stays O(_SHINGLE_CHUNK) regardless of block
+# size — at 100 TB the block size, not this function, is the knob.
+#
+# Hash VALUES differ from round 2's blake2b (any injective-in-practice
+# 64-bit gram hash yields the same Jaccard/DF semantics — the oracle
+# compares set overlap, never hash values); determinism across workers
+# is preserved (pure arithmetic, fixed constants).
+
+_POLY_P = np.uint64(0x00000100000001B3)
+_POLY_P_INV = np.uint64(pow(0x00000100000001B3, -1, 1 << 64))
+_SHINGLE_CHUNK = 4 << 20  # bytes of normalized text per internal chunk
+
+
+class _PowTables:
+    """Process-cached p^j and p^-j tables, grown on demand."""
+
+    def __init__(self):
+        self.n = 0
+
+    def ensure(self, n: int) -> None:
+        if n > self.n:
+            cap = max(n, 1 << 16, self.n * 2)
+            with np.errstate(over="ignore"):
+                base = np.full(cap, _POLY_P, dtype=np.uint64)
+                base[0] = 1
+                self.pw = np.cumprod(base)
+                base.fill(_POLY_P_INV)
+                base[0] = 1
+                self.ipw = np.cumprod(base)
+            self.n = cap
+
+
+_POW = _PowTables()
+
+
+_WH_SCRATCH = np.empty(0, dtype=np.uint64)
+
+
+def _window_hashes(buf: np.ndarray, l: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Polynomial hashes of byte windows [l, r) of ``buf`` (uint8),
+    all at once. Windows must be non-empty. The prefix-sum pass runs
+    in a process-cached scratch buffer (this sandbox faults fresh
+    pages slowly — BASELINE.md §B)."""
+    global _WH_SCRATCH
+    m = buf.shape[0]
+    _POW.ensure(m)
+    if _WH_SCRATCH.shape[0] < m:
+        _WH_SCRATCH = np.empty(max(m, 1 << 20), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        S = _WH_SCRATCH[:m]
+        np.copyto(S, buf, casting="unsafe")
+        S += np.uint64(1)
+        S *= _POW.pw[:m]
+        np.cumsum(S, out=S)
+        hi = S[r - 1]
+        lo = np.where(l > 0, S[np.maximum(l, 1) - 1], np.uint64(0))
+        H = (hi - lo) * _POW.ipw[l]
+        return _mix64(H + (r - l).astype(np.uint64) * _GOLD)
+
+
+def shingle_hashes_batch(
+    texts: list,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique 64-bit token-3-gram shingle hashes for a BATCH of
+    documents, vectorized.
+
+    Returns ``(values, counts)``: ``values`` is the per-doc sorted
+    unique uint64 hashes concatenated in doc order, ``counts[i]`` the
+    number of hashes for ``texts[i]``. Semantics match the round-1
+    frozenset contract: docs with < 3 tokens contribute their joined
+    token string as the single shingle; empty/whitespace-only docs
+    contribute none. Tokenization is exactly ``str.split()`` (any
+    unicode whitespace), so the DuckDB oracles' gram sets are
+    reproduced bit-for-bit at the SET level.
+    """
+    n_docs = len(texts)
+    counts_out = np.zeros(n_docs, dtype=np.int64)
+    values_parts: list[np.ndarray] = []
+    # internal sub-chunking keeps scratch bounded irrespective of the
+    # caller's block size
+    start = 0
+    while start < n_docs:
+        end = start
+        nbytes = 0
+        parts: list[bytes] = []
+        tokc: list[int] = []
+        while end < n_docs and (nbytes < _SHINGLE_CHUNK or end == start):
+            toks = texts[end].split()
+            joined = " ".join(toks).encode()
+            parts.append(joined)
+            tokc.append(len(toks))
+            nbytes += len(joined)
+            end += 1
+        vals, cnts = _shingle_chunk(parts, np.asarray(tokc, dtype=np.int64))
+        values_parts.append(vals)
+        counts_out[start:end] = cnts
+        start = end
+    values = (
+        np.concatenate(values_parts)
+        if values_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    return values, counts_out
+
+
+def _shingle_chunk(
+    parts: list, tok_counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    n_docs = len(parts)
+    doc_lens = np.fromiter((len(p) for p in parts), np.int64, n_docs)
+    doc_off = np.concatenate([[0], np.cumsum(doc_lens)])
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+    # gram-window counts per doc (frozenset-fallback semantics)
+    gcnt = np.where(tok_counts == 0, 0, np.where(tok_counts < 3, 1, tok_counts - 2))
+    w_off = np.concatenate([[0], np.cumsum(gcnt)])
+    total_w = int(w_off[-1])
+    if total_w == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_docs, dtype=np.int64)
+
+    # token starts: doc starts (non-empty docs) + byte after each 0x20.
+    # Tokens cannot contain whitespace and UTF-8 multibyte sequences
+    # never contain 0x20, so separators are exactly the space bytes.
+    # Both source arrays are already sorted and disjoint (no doc ends
+    # with a space), so a searchsorted merge beats a full re-sort.
+    sp1 = np.flatnonzero(buf == 0x20)
+    sp1 += 1
+    starts_nz = doc_off[:-1][doc_lens > 0]
+    token_starts = np.insert(sp1, np.searchsorted(sp1, starts_nz), starts_nz)
+    n_tok = token_starts.shape[0]
+    # token end (exclusive): next token's start - 1 (the separator),
+    # overridden with the doc end for each doc's last token
+    tok_end = np.empty(n_tok, dtype=np.int64)
+    if n_tok > 1:
+        tok_end[:-1] = token_starts[1:] - 1
+    tok_end[-1:] = doc_off[-1]
+    tok_cum = np.concatenate([[0], np.cumsum(tok_counts)])
+    nz = tok_counts > 0
+    tok_end[tok_cum[1:][nz] - 1] = doc_off[1:][nz]
+
+    # window bounds, doc-major: normal docs take the ragged arange of
+    # token triples; short docs (1-2 tokens) take the whole joined doc
+    doc_of_w = np.repeat(np.arange(n_docs, dtype=np.int64), gcnt)
+    intra = np.arange(total_w, dtype=np.int64) - np.repeat(w_off[:-1], gcnt)
+    ti = np.minimum(tok_cum[doc_of_w] + intra, n_tok - 1)
+    short = (tok_counts < 3)[doc_of_w]
+    l = np.where(short, doc_off[doc_of_w], token_starts[ti])
+    r = np.where(short, doc_off[doc_of_w + 1], tok_end[np.minimum(ti + 2, n_tok - 1)])
+
+    h = _window_hashes(buf, l, r)
+
+    # per-doc sorted unique: windows are already doc-contiguous, so an
+    # in-place sort per doc SEGMENT (a numpy view — no copies, ~1.5 us
+    # per doc) plus ONE vectorized adjacent-duplicate sweep replaces a
+    # global lexsort (measured 4x cheaper on the sf0.1 corpus, where
+    # lexsort was half the whole function's cost)
+    wo = w_off.tolist()
+    for i in range(n_docs):
+        a, b = wo[i], wo[i + 1]
+        if b - a > 1:
+            h[a:b].sort()
+    keep = np.empty(total_w, dtype=bool)
+    keep[1:] = h[1:] != h[:-1]
+    keep[w_off[:-1][gcnt > 0]] = True  # segment heads always survive
+    return h[keep], np.bincount(doc_of_w[keep], minlength=n_docs).astype(np.int64)

@@ -363,11 +363,39 @@ def high_value_lineitems(sf_dir: str):
     ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
-def distinct_order_customers(sf_dir: str):
-    """Distinct count: (n_custkeys) — single row."""
-    ds = _t(sf_dir, "orders", ["o_custkey"])
-    n = ds.unique("o_custkey")
-    return pa.table({"n_custkeys": pa.array([len(n)], pa.int64())})
+def distinct_order_customers(sf_dir: str, *, num_partitions: int = 8):
+    """Distinct count: (n_custkeys) — single row.
+
+    Shape (same as :func:`part_supplier_distinct`): per-block partial
+    distinct (``np.unique`` BEFORE the exchange), ONE hash exchange on
+    ``o_custkey`` so each key lands in exactly one block, per-block
+    unique count, then ``Dataset.sum`` over ``num_partitions`` scalar
+    rows.  Distinct keys never reach the driver — only the per-block
+    counts do — so key cardinality is bounded by block memory, not
+    driver memory."""
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("o_custkey").to_numpy())
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    def count_unique(batch: pa.Table) -> pa.Table:
+        n = len(np.unique(batch.column("o_custkey").to_numpy()))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = (
+        _t(sf_dir, "orders", ["o_custkey"], hash_shuffle=True)
+        .map_batches(
+            partial_distinct, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=num_partitions, keys=["o_custkey"], sort=True)
+        .map_batches(
+            count_unique, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .sum("n")
+    )
+    return pa.table({"n_custkeys": pa.array([int(total)], pa.int64())})
 
 
 def parts_top_price(sf_dir: str):

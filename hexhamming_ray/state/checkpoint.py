@@ -17,6 +17,27 @@ import shutil
 import time
 
 
+def _retune_preserving_strategy() -> None:
+    """Re-apply the data-context tuning for the checkpoint read-back
+    WITHOUT flipping the shuffle backend: the caller's pipeline pinned
+    hash- or sort-shuffle before its root was created, and a keyed
+    ``repartition`` downstream of the re-read dataset fails if the
+    strategy silently resets (observed: resumed minhash under the
+    default sort backend)."""
+    from hexhamming_ray import tune_data_context
+
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        keep_hash = (
+            DataContext.get_current().shuffle_strategy
+            == ShuffleStrategy.HASH_SHUFFLE
+        )
+    except Exception:
+        keep_hash = False
+    tune_data_context(hash_shuffle=keep_hash)
+
+
 class Checkpointer:
     def __init__(self, root: str | None):
         self.root = root
@@ -46,9 +67,7 @@ class Checkpointer:
             return build().materialize()
         final = os.path.join(self.root, name)
         if self.manifest.get(name, {}).get("complete"):
-            from hexhamming_ray import tune_data_context
-
-            tune_data_context()
+            _retune_preserving_strategy()
             return ray.data.read_parquet(final)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
@@ -61,9 +80,7 @@ class Checkpointer:
             shutil.rmtree(final)
         os.replace(tmp, final)
         wall = time.monotonic() - t0
-        from hexhamming_ray import tune_data_context
-
-        tune_data_context()
+        _retune_preserving_strategy()
         out = ray.data.read_parquet(final)
         self.manifest[name] = {
             "complete": True,

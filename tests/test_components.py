@@ -72,6 +72,42 @@ def test_media_features_pipeline(ray_session):
         )
 
 
+def test_media_features_injected_codec(ray_session):
+    """decode="real" with an injected codec callable runs the full
+    actor-pool pipeline end to end (the stub is only the MISSING
+    library, not a missing integration point); the toy codec doubles
+    every byte, so n_bytes must be exactly 2x the fake-decode path.
+
+    The codec is a CLOSURE on purpose: cloudpickle ships it by value,
+    so workers don't need the test module importable (a module-level
+    function here would make the actor constructor fail on import and
+    restart forever)."""
+    from hexhamming_ray.stages.multimodal import media_features
+
+    def _toy_codec(payload: bytes, kind: str):
+        import numpy as np
+
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        return np.repeat(raw, 2)
+
+    fake = media_features(120).to_pandas().sort_values("media_id")
+    real = (
+        media_features(120, decode="real", codec=_toy_codec)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(real) == 120
+    assert real["n_bytes"].tolist() == (fake["n_bytes"] * 2).tolist()
+    assert all(len(f) == 64 for f in real["feature"])
+    # deterministic across runs
+    real2 = (
+        media_features(120, decode="real", codec=_toy_codec)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert real["n_bytes"].tolist() == real2["n_bytes"].tolist()
+
+
 def test_text_functions():
     import pyarrow as pa
 

@@ -254,3 +254,38 @@ def test_incremental_update_matches_full_run(ray_session, corpus, tmp_path):
 
     assert len(merged) == len(truth)
     pd.testing.assert_frame_equal(merged, truth)
+
+
+def test_minhash_signature_checkpoint_resume(ray_session, tmp_path):
+    """minhash_dup_pairs(checkpoint_dir=...) writes the corpus-sized
+    signature table as partitioned Parquet with a lineage manifest,
+    and a second run RESUMES from it: the signature stage is never
+    rebuilt — proven by pointing the resumed run at a nonexistent
+    sf_dir (only the signature builder touches sf_dir on this path,
+    so the run can only succeed by reading the checkpoint)."""
+    import json
+
+    import pandas as pd
+
+    from hexhamming_ray.pipelines.text import minhash_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(ds):
+        df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+        return df.sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+
+    base = norm(minhash_dup_pairs(sf))
+    ck = str(tmp_path / "mh_ck")
+    os.makedirs(ck)
+    r1 = norm(minhash_dup_pairs(sf, checkpoint_dir=ck))
+    with open(os.path.join(ck, "manifest.json")) as f:
+        man = json.load(f)
+    assert man["minhash_sigs"]["complete"]
+    assert man["minhash_sigs"]["rows"] > 0
+    assert man["minhash_sigs"]["partitions"]  # per-partition lineage
+    pd.testing.assert_frame_equal(r1, base)
+    # resume: a bogus sf_dir can only work if the checkpoint is read
+    r2 = norm(minhash_dup_pairs(str(tmp_path / "no_such_sf"),
+                                checkpoint_dir=ck))
+    pd.testing.assert_frame_equal(r2, base)

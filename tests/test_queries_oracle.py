@@ -537,7 +537,13 @@ def adversarial_emb_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["knn_bruteforce", "embedding_near_dup_pairs"])
+@pytest.mark.parametrize("name", [
+    "knn_bruteforce", "embedding_near_dup_pairs",
+    # exhaustive-parameter variants: the LSH/IVF machinery at the
+    # point where approximation vanishes, under the exact oracles
+    "knn_lsh_exhaustive", "knn_ivf_exhaustive",
+    "embedding_near_dup_lsh_exhaustive",
+])
 def test_vector_queries_on_adversarial_embeddings(
     ray_session, adversarial_emb_dir, name
 ):
