@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracled dedup/ER/sampling additions (round 2) ---
         "er_exact_clusters": T.er_exact_clusters,
         "ngram_jaccard_exact": T.ngram_jaccard_exact,
+        "ngram_jaccard_allpairs": T.ngram_jaccard_allpairs,
+        "top_tokens_per_lang": T.top_tokens_per_lang,
+        "stratified_sample_docs": T.stratified_sample_docs,
         "doc_sample": T.doc_sample,
         "random_sample_docs": T.random_sample_docs,
         "union_distinct_docs": T.union_distinct_docs,
@@ -99,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": R.approx_distinct_users,
         "top_users_heavyhitter": R.top_users_heavyhitter,
         "order_price_quantile_sketch": R.order_price_quantile_sketch,
+        "order_price_quantile_sketch_exact":
+            R.order_price_quantile_sketch_exact,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -178,6 +183,63 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'"
+        ),
+        "stratified_sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+            "CASE WHEN lang = 'en' THEN '0ccc' ELSE '3333' END"
+        ),
+        # ngram_jaccard_exact's CTE minus the DF filter: the all-pairs
+        # exhaustive point of the candidate-verify pipeline
+        "ngram_jaccard_allpairs": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "sh0 AS ( "
+            "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+            "  WHERE len(t) >= 3 "
+            "  UNION ALL "
+            "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+            "  WHERE len(t) BETWEEN 1 AND 2), "
+            "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+            "  COUNT(*) AS c FROM shd a JOIN shd b "
+            "  ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT inter.id_lo, inter.id_hi, "
+            "CAST(FLOOR(1000.0 * c / (sa.n + sb.n - c)) AS BIGINT) "
+            "  AS jaccard_x1000 "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.id_lo "
+            "JOIN sizes sb ON sb.doc_id = inter.id_hi "
+            "WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5"
+        ),
+        "top_tokens_per_lang": (
+            "WITH toks AS (SELECT lang, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "  FROM documents), "
+            "c AS (SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2), "
+            "r AS (SELECT lang, tok, n, ROW_NUMBER() OVER "
+            "  (PARTITION BY lang ORDER BY n DESC, tok) AS rnk FROM c) "
+            "SELECT lang, tok, n, rnk FROM r WHERE rnk <= 10"
+        ),
+        # the quantile sketch at per_block >= any group: every value
+        # survives with weight 1, so the readoff is the exact
+        # inverted-CDF quantile at rank ceil(q*n) (same fp product
+        # q*n on both sides)
+        "order_price_quantile_sketch_exact": (
+            "WITH ranked AS (SELECT o_orderstatus, "
+            "  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
+            "  ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+            "    ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rn, "
+            "  COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt "
+            "  FROM orders) "
+            "SELECT o_orderstatus, "
+            "CAST(MAX(CASE WHEN rn = CEIL(0.5 * cnt) THEN cents END) "
+            "  AS BIGINT) AS approx_median_cents, "
+            "CAST(MAX(CASE WHEN rn = CEIL(0.9 * cnt) THEN cents END) "
+            "  AS BIGINT) AS approx_p90_cents "
+            "FROM ranked GROUP BY o_orderstatus"
         ),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

@@ -944,6 +944,17 @@ def order_price_quantile_sketch(sf_dir: str, *, per_block: int = 512):
     )
 
 
+def order_price_quantile_sketch_exact(sf_dir: str):
+    """The quantile sketch at its EXACT parameter point: ``per_block``
+    larger than any block's per-group row count, so every value
+    survives with weight 1 and the sketch IS the exact inverted-CDF
+    quantile (rank = ceil(q * n)). This lifts the sketch machinery
+    (weighted-sample digest, concat merge, cumulative-weight readoff)
+    onto a full SQL value oracle — the sketch twin of the
+    knn_*_exhaustive pattern. Same output schema as the sketch."""
+    return order_price_quantile_sketch(sf_dir, per_block=1 << 20)
+
+
 def top_users_heavyhitter(sf_dir: str, *, k: int = 20, capacity: int = 256,
                           num_partitions: int = 8):
     """Approximate-top-k done exactly: the classic TWO-PASS heavy
@@ -1100,6 +1111,11 @@ def orders_rollup(sf_dir: str):
         prio = batch.column("o_orderpriority").to_pylist()
         cents = batch.column("cents").to_numpy()
         n = batch.column("n_orders").to_numpy()
+        # The Python loops below run over the FINE aggregate (one row
+        # per (status, priority) combination — 3 x 5 = 15 rows here,
+        # bounded by the key-domain product at any data scale), never
+        # over base rows; the base-table pass is the vectorized
+        # partial-combine in _grouped_sums.
         # level 1: per status
         by_status: dict[str, list[int]] = {}
         for i, s in enumerate(status):

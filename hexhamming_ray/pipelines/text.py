@@ -919,7 +919,8 @@ def _shingle_table(sf_dir: str):
 NGRAM_BROADCAST_CAP = 20_000
 
 
-def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
+def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float,
+                            *, floor_round: bool = False):
     """Small-candidate-regime exact-Jaccard verify: the candidate pair
     table is driver-bounded (caller checked the cap), so only the
     candidate DOCUMENTS are shingled — a semi-filter by broadcast id
@@ -1001,7 +1002,8 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float):
         )
     )
     return pairs_ds.map_batches(
-        _ShinglePairVerify(lut_ref, threshold), batch_format="pyarrow",
+        _ShinglePairVerify(lut_ref, threshold, floor_round=floor_round),
+        batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
     )
 
@@ -1013,9 +1015,13 @@ class _ShinglePairVerify:
     instance; the per-CANDIDATE loop is bounded by the broadcast cap
     and each intersection is numpy."""
 
-    def __init__(self, lut_ref, threshold: float):
+    def __init__(self, lut_ref, threshold: float, *,
+                 floor_round: bool = False):
         self.lut_ref = lut_ref
         self.threshold = threshold
+        # floor matches the SQL FLOOR(1000*j) oracle convention used by
+        # the exact queries; the default rint matches ngram_jaccard_pairs
+        self.floor_round = floor_round
         self._lut = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1038,12 +1044,17 @@ class _ShinglePairVerify:
             inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
             jac[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
         keep = jac >= self.threshold
+        rounded = (
+            np.floor(jac[keep] * 1000)
+            if self.floor_round
+            else np.rint(jac[keep] * 1000)
+        )
         return pa.table(
             {
                 "id_lo": batch.column("id_lo").filter(pa.array(keep)),
                 "id_hi": batch.column("id_hi").filter(pa.array(keep)),
                 "jaccard_x1000": pa.array(
-                    np.rint(jac[keep] * 1000).astype(np.int64), pa.int64()
+                    rounded.astype(np.int64), pa.int64()
                 ),
             }
         )
@@ -1351,6 +1362,171 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
 
     return j.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def ngram_jaccard_allpairs(sf_dir: str, *, threshold: float = 0.5):
+    """EXACT all-pairs token-3-gram Jaccard with NO candidate pruning
+    and NO DF cap: the candidate set is the full id cartesian and every
+    pair is verified against the broadcast shingle lut. This is
+    ``ngram_jaccard_pairs`` at its exhaustive point — the LSH candidate
+    generator replaced by all pairs — so the candidate-verify plumbing
+    runs under a full SQL value oracle (the same CTE as
+    ``ngram_jaccard_exact`` minus the DF filter). Quadratic by
+    construction: at corpus scale use the DF-capped pipeline or the
+    LSH candidates; this query exists for the correctness gate.
+    (id_lo, id_hi, jaccard_x1000 floored)."""
+    import ray
+
+    ids_t = _gather_table(
+        _docs(sf_dir, ["doc_id"]), pa.schema([("doc_id", pa.int64())])
+    )
+    ids = np.sort(ids_t.column("doc_id").to_numpy())
+    ii, jj = np.triu_indices(ids.shape[0], k=1)
+    cands = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_lo": pa.array(ids[ii], pa.int64()),
+                "id_hi": pa.array(ids[jj], pa.int64()),
+            }
+        )
+    )
+    return _ngram_verify_broadcast(sf_dir, cands, threshold,
+                                   floor_round=True)
+
+
+def top_tokens_per_lang(sf_dir: str, *, k: int = 10,
+                        num_partitions: int | None = None):
+    """Corpus vocabulary statistics: the ``k`` most frequent tokens per
+    language, deterministic tie-break (count desc, token asc):
+    (lang, tok, n, rnk).
+
+    Shape: per-block token explode with an IN-BLOCK Arrow hash-
+    aggregate combiner (duplicate (lang, tok) rows collapse before any
+    data moves — the token stream is corpus-sized, the partial counts
+    are vocabulary-sized) -> ONE keyed exchange on (lang, tok) ->
+    per-block final sum + per-lang partial top-k (each block keeps at
+    most k rows per lang) -> single tiny merge block for the global
+    top-k + rank. The full vocabulary is never materialized driver-
+    side and never crosses more than one exchange."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def explode_count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        toks: list[str] = []
+        tok_lang: list[str] = []
+        for lang, t in zip(langs, texts):
+            tt = t.split()
+            toks.extend(tt)
+            tok_lang.extend([lang] * len(tt))
+        t = pa.table(
+            {
+                "lang": pa.array(tok_lang, pa.string()),
+                "tok": pa.array(toks, pa.string()),
+            }
+        )
+        c = t.group_by(["lang", "tok"]).aggregate([("tok", "count")])
+        return pa.table(
+            {
+                "lang": c.column("lang"),
+                "tok": c.column("tok"),
+                "n": c.column("tok_count").cast(pa.int64()),
+            }
+        )
+
+    def final_sum_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        c = batch.group_by(["lang", "tok"]).aggregate([("n", "sum")])
+        df = c.to_pandas()
+        df = df.rename(columns={"n_sum": "n"}).sort_values(
+            ["lang", "n", "tok"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).select(
+            ["lang", "tok", "n"]
+        )
+
+    def merge_rank(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["lang", "n", "tok"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", sort=False).head(k)
+        df["rnk"] = df.groupby("lang", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "tok": pa.array(df["tok"], pa.string()),
+                "n": pa.array(df["n"].to_numpy(), pa.int64()),
+                "rnk": pa.array(df["rnk"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text"], hash_shuffle=True)
+        .map_batches(
+            explode_count, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=num_partitions, keys=["lang", "tok"],
+                     sort=True)
+        .map_batches(
+            final_sum_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)  # <= k rows per (block, lang)
+        .map_batches(
+            merge_rank, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+#: per-stratum md5-prefix thresholds (hex, 4 chars): 'en' kept at
+#: ~5% (0x0ccc/0x10000), every other language at ~20% (0x3333/0x10000)
+#: — the classic dominant-language downsampling for a training mix
+_STRATA_THRESH = {"en": "0ccc"}
+_STRATA_DEFAULT = "3333"
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Per-stratum deterministic hash sample: keep a row iff the first
+    4 hex chars of md5(str(doc_id)) fall under its language's
+    threshold. Membership is a pure function of (doc_id, lang) — same
+    rows on every run, on any cluster, resumable for free (the
+    stratified extension of ``doc_sample``). Pure per-row predicate,
+    zero shuffle. (doc_id, lang, n_chars)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        langs = batch.column("lang").to_pylist()
+        keep = np.fromiter(
+            (
+                hashlib.md5(str(int(i)).encode()).hexdigest()[:4]
+                < _STRATA_THRESH.get(lang, _STRATA_DEFAULT)
+                for i, lang in zip(ids, langs)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(mask),
+                "lang": batch.column("lang").filter(mask),
+                "n_chars": batch.column("n_chars").filter(mask),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

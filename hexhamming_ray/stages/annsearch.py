@@ -164,17 +164,47 @@ class _BruteScore:
 
 
 def _final_topk_fn(k: int):
+    """Per-group top-k merge (numpy lexsorts, no pandas round-trip —
+    the input is bounded at n_queries x n_batches x k rows). Handles
+    multi-query blocks, so it also works outside map_groups."""
+
     def final_topk(group: pa.Table) -> pa.Table:
-        g = group.to_pandas().drop_duplicates(["query_id", "neighbor_id"])
-        g = g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) == 0:
+            return empty
+        q = group.column("query_id").to_numpy()
+        nb = group.column("neighbor_id").to_numpy()
+        cs = group.column("cosine").to_numpy()
+        # defensive dedupe on (query_id, neighbor_id), keeping the
+        # best cosine (partial top-ks see each corpus row once, but
+        # the merge stays correct if an upstream ever re-emits)
+        o1 = np.lexsort((-cs, nb, q))
+        q, nb, cs = q[o1], nb[o1], cs[o1]
+        keep = np.empty(q.shape[0], dtype=bool)
+        keep[0] = True
+        keep[1:] = (q[1:] != q[:-1]) | (nb[1:] != nb[:-1])
+        q, nb, cs = q[keep], nb[keep], cs[keep]
+        # rank order: cosine desc, neighbor asc within each query
+        o2 = np.lexsort((nb, -cs, q))
+        q, nb = q[o2], nb[o2]
+        new = np.empty(q.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = q[1:] != q[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, q.shape[0]])
+        pos = np.arange(q.shape[0]) - np.repeat(starts, lens)
+        sel = pos < k
         return pa.table(
             {
-                "query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
-                "neighbor_id": pa.array(g["neighbor_id"].to_numpy(), pa.int64()),
-                "rank": pa.array(g["rank"].to_numpy(), pa.int64()),
+                "query_id": pa.array(q[sel], pa.int64()),
+                "neighbor_id": pa.array(nb[sel], pa.int64()),
+                "rank": pa.array((pos[sel] + 1).astype(np.int64), pa.int64()),
             }
         )
 

@@ -213,7 +213,8 @@ DOC_QUERIES = [
     "doc_stats_by_lang", "top_docs_by_len", "doc_fingerprints",
     "exact_dedup", "langid_docs", "doc_sample", "union_distinct_docs",
     "docs_intersect", "docs_except", "ngram_jaccard_exact",
-    "er_exact_clusters",
+    "er_exact_clusters", "ngram_jaccard_allpairs", "top_tokens_per_lang",
+    "stratified_sample_docs",
 ]
 
 
