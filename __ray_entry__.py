@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantile_sketch": R.order_price_quantile_sketch,
         "order_price_quantile_sketch_exact":
             R.order_price_quantile_sketch_exact,
+        # --- round-3 relational additions ---
+        "q5_revenue_by_nation": R.q5_revenue_by_nation,
+        "orders_pivot": R.orders_pivot,
+        "customer_order_counts": R.customer_order_counts,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -561,5 +565,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
             "GROUP BY l_returnflag"
+        ),
+        # TPC-H Q5-style local-supplier revenue (per-item cents
+        # rounding matches the engine's _cents, like q3)
+        "q5_revenue_by_nation": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
+        ),
+        "orders_pivot": (
+            "SELECT o_orderstatus, "
+            "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent, "
+            "CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_high, "
+            "CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_medium, "
+            "CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec, "
+            "CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' "
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_low "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+        "customer_order_counts": (
+            "SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) "
+            " AS n_orders "
+            "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
+            " FROM orders GROUP BY o_custkey) o "
+            "ON c_custkey = o.o_custkey"
         ),
     }

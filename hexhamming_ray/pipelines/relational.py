@@ -1657,3 +1657,250 @@ def event_rank_in_user(sf_dir: str, *, num_partitions: int = 16):
             batch_size=None,
         )
     )
+
+
+class _SupplierNationLookup:
+    """Broadcast-join UDF for q5: supplier->nationkey (the supplier
+    dimension is SF x 10k rows — the classic broadcast-sized side) plus
+    nationkey->n_name restricted to one region, both ray.put ONCE.
+    Applies the Q5 colocation predicate (customer nation == supplier
+    nation) and the region filter as one vectorized gather+mask —
+    neither dimension ever shuffles."""
+
+    def __init__(self, dims_ref):
+        self.dims_ref = dims_ref
+        self._d = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._d is None:
+            import ray
+
+            supp_nat, nat_name = ray.get(self.dims_ref)
+            self._d = (supp_nat, nat_name)
+        supp_nat, nat_name = self._d
+        sk = batch.column("l_suppkey").to_numpy()
+        cn = batch.column("c_nationkey").to_numpy()
+        sn = supp_nat[sk]
+        name = nat_name[sn]
+        keep = (sn == cn) & (name != None)  # noqa: E711 — object-array mask
+        return pa.table(
+            {
+                "n_name": pa.array(list(nat_name[sn[keep]]), pa.string()),
+                "rev_cents": batch.column("rev_cents").filter(
+                    pa.array(keep)
+                ),
+            }
+        )
+
+
+def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1997-01-01",
+                         num_partitions: int = 8):
+    """TPC-H Q5-style local-supplier revenue: per nation of one region,
+    revenue from lineitems where the supplier and the ordering customer
+    share that nation, over one order-date year. (n_name,
+    revenue_cents).
+
+    Shape — the canonical star-join split between exchange and
+    broadcast: the two FACT tables meet in native hash joins (orders
+    pruned at the read by the date predicate, lineitem projected to 3
+    columns), while all three DIMENSIONS (supplier, nation, region)
+    ride one ray.put broadcast into a task-pool gather UDF. The final
+    grouped sum is partial-combined and coalesced (<= 25 groups), so
+    after the two fact joins nothing shuffles."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+
+    # dimensions: driver-read (tiny), broadcast once
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    regiont = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nr = nation.merge(
+        regiont, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    nr = nr[nr["r_name"] == region]
+    sk = supp.column("s_suppkey").to_numpy()
+    supp_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    supp_nat[sk] = supp.column("s_nationkey").to_numpy()
+    nat_name = np.full(int(nation["n_nationkey"].max()) + 2, None,
+                       dtype=object)
+    nat_name[nr["n_nationkey"].to_numpy()] = nr["n_name"].to_numpy()
+    dims_ref = ray.put((supp_nat, nat_name))
+
+    orders = _t_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"],
+        (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j1 = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    j2 = li.join(
+        j1,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).select_columns(["l_suppkey", "c_nationkey", "rev_cents"])
+    tagged = j2.map_batches(
+        _SupplierNationLookup(dims_ref), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )
+    return _grouped_sums(
+        tagged, ["n_name"], ["rev_cents"], "n_items", coalesce=True
+    ).select_columns(["n_name", "rev_cents"]).rename_columns(
+        ["n_name", "revenue_cents"]
+    )
+
+
+#: pivot column per order priority (fixed 5-value domain)
+_PRIORITY_COLS = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+def orders_pivot(sf_dir: str):
+    """PIVOT: order counts as a wide table — one row per order status,
+    one column per priority. (o_orderstatus, n_urgent, n_high,
+    n_medium, n_notspec, n_low).
+
+    Shape: the long-form grouped count is partial-combined per block
+    over the (status, priority) product (<= 15 rows/block) and
+    coalesced with NO exchange; the wide pivot itself is a finalize
+    over that tiny table (np bucket scatter — bounded by the key-domain
+    product at any data scale, like orders_rollup's super-levels)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "one": pa.array(
+                    np.ones(len(batch), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    long = _grouped_sums(
+        _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None),
+        ["o_orderstatus", "o_orderpriority"], ["one"], "n",
+        coalesce=True,
+    )
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        status = np.asarray(batch.column("o_orderstatus").to_pylist())
+        prio = np.asarray(batch.column("o_orderpriority").to_pylist())
+        n = batch.column("one").to_numpy()  # summed count
+        ustat = np.unique(status)
+        srow = {s: i for i, s in enumerate(ustat)}
+        out = {p: np.zeros(len(ustat), dtype=np.int64)
+               for p, _ in _PRIORITY_COLS}
+        for s, p, c in zip(status, prio, n):
+            out[p][srow[s]] += c
+        cols = {"o_orderstatus": pa.array(list(ustat), pa.string())}
+        for p, colname in _PRIORITY_COLS:
+            cols[colname] = pa.array(out[p], pa.int64())
+        return pa.table(cols)
+
+    return long.map_batches(
+        pivot, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def customer_order_counts(sf_dir: str, *, num_partitions: int = 8):
+    """LEFT OUTER join surface: every customer with their order count,
+    INCLUDING customers with zero orders. (c_custkey, n_orders).
+
+    Shape: orders are pre-aggregated to one row per custkey (partial
+    combine -> ONE keyed exchange) BEFORE the join, so the outer join's
+    right side carries |customers-with-orders| rows, not |orders|; then
+    one native hash left_outer join and a null-fill. The pre-aggregation
+    is the outer-join analog of the join-after-top-k rule: never outer-
+    join a fact table row-for-row when the query only needs its
+    aggregate."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "one": pa.array(
+                    np.ones(len(batch), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    counts = _grouped_sums(
+        _t(sf_dir, "orders", ["o_custkey"], hash_shuffle=True).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_custkey"], ["one"], "n", num_partitions=num_partitions,
+    ).select_columns(["o_custkey", "one"])
+
+    # keep the hash-shuffle context pinned for the customer root too:
+    # the join inherits its snapshot from the LEFT operand
+    # (ENGINEERING_NOTES #33)
+    cust = _t(sf_dir, "customer", ["c_custkey"], hash_shuffle=True)
+    j = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "n_orders": batch.column("one").fill_null(0).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
