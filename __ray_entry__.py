@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_revenue_by_nation": R.q5_revenue_by_nation,
         "orders_pivot": R.orders_pivot,
         "customer_order_counts": R.customer_order_counts,
+        # --- round-3 training-data-pipeline additions ---
+        "er_cluster_size_hist": T.er_cluster_size_hist,
+        "docs_above_p90_len": T.docs_above_p90_len,
+        "decontaminate_docs": T.decontaminate_docs,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -601,5 +605,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             " FROM orders GROUP BY o_custkey) o "
             "ON c_custkey = o.o_custkey"
+        ),
+        "er_cluster_size_hist": (
+            "WITH g AS (SELECT md5(text) AS h, COUNT(*) AS sz "
+            " FROM documents GROUP BY md5(text)) "
+            "SELECT CAST(sz AS BIGINT) AS cluster_size, "
+            "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM g GROUP BY sz"
+        ),
+        # scalar-subquery broadcast: strict > the exact discrete p90
+        "docs_above_p90_len": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
+            "(SELECT quantile_disc(n_chars, 0.9) FROM documents)"
+        ),
+        # eval-leakage scan: distinct token-3-gram overlap (same gram
+        # CTE as the ngram pipelines incl. the <3-token fallback)
+        # between each training doc and the benchmark subset
+        "decontaminate_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "sh0 AS ( "
+            "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+            "  WHERE len(t) >= 3 "
+            "  UNION ALL "
+            "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+            "  WHERE len(t) BETWEEN 1 AND 2), "
+            "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+            "bench AS (SELECT DISTINCT s FROM shd WHERE doc_id % 50 = 0) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams "
+            "FROM shd WHERE doc_id % 50 <> 0 "
+            "AND s IN (SELECT s FROM bench) GROUP BY doc_id"
         ),
     }

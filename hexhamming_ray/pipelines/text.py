@@ -1664,3 +1664,240 @@ def docs_except(sf_dir: str, *, min_chars: int = 400, lang: str = "en",
     """EXCEPT: doc_ids of long documents ∖ doc_ids of one language
     (set semantics). (doc_id,)."""
     return _docs_set_op(sf_dir, "except", min_chars, lang, num_partitions)
+
+
+def er_cluster_size_hist(sf_dir: str, *, num_partitions: int | None = None):
+    """Dedup-rate report: the distribution of exact-duplicate cluster
+    sizes — (cluster_size, n_clusters) with one cluster per distinct
+    content hash. The summary a 100 TB dedup run actually ships to its
+    operator (the full cluster table stays distributed; only the
+    histogram — bounded by the largest cluster size — leaves).
+
+    Shape: per-block md5 + in-block combine to (h, n) -> ONE keyed
+    exchange on h -> per-block run-sum to cluster sizes, immediately
+    folded to a per-block size histogram (rows = distinct sizes, not
+    clusters) -> single-block final sum. The exchange carries one row
+    per (block, distinct hash); cluster rows never concentrate."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def part(batch: pa.Table) -> pa.Table:
+        h = np.asarray(_md5_hex(batch.column("text").to_pylist()))
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(list(u), pa.string()),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    def size_hist(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], pa.int64()),
+                    "n_clusters": pa.array([], pa.int64()),
+                }
+            )
+        h = np.asarray(batch.column("h").to_pylist())
+        n = batch.column("n").to_numpy()
+        order = np.argsort(h)
+        h, n = h[order], n[order]
+        heads = np.empty(len(h), dtype=bool)
+        heads[0] = True
+        heads[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(heads)
+        sizes = np.add.reduceat(n, starts)
+        u, c = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(u, pa.int64()),
+                "n_clusters": pa.array(c, pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        s = batch.column("cluster_size").to_numpy()
+        c = batch.column("n_clusters").to_numpy()
+        u = np.unique(s)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, np.searchsorted(u, s), c)
+        return pa.table(
+            {
+                "cluster_size": pa.array(u, pa.int64()),
+                "n_clusters": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"], hash_shuffle=True)
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["h"], sort=True)
+        .map_batches(size_hist, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+
+def docs_above_p90_len(sf_dir: str, *, q: float = 0.9):
+    """Percentile-threshold filter (the scalar-subquery broadcast
+    pattern): documents strictly longer than the corpus's exact p90
+    length. (doc_id, n_chars).
+
+    Shape — two passes, both cheap: (1) per-block value-count partial
+    over n_chars (the value domain is DISTINCT LENGTHS, orders of
+    magnitude smaller than rows) -> single-block merge -> the exact
+    discrete quantile by cumulative count (DuckDB quantile_disc
+    semantics: sorted[floor(q*(n-1))]); (2) a fresh predicate-pushdown
+    read with the now-known literal threshold — non-matching row groups
+    never leave storage. Only the (value, count) table and one scalar
+    ever reach the driver."""
+    import pyarrow.dataset as pads
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy()
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(u, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    vc = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(value_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(_merge_value_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    v = np.array([r["v"] for r in vc], dtype=np.int64)
+    c = np.array([r["c"] for r in vc], dtype=np.int64)
+    n = int(c.sum())
+    rank = int(np.floor(q * (n - 1)))  # 0-based discrete quantile
+    thr = int(v[np.searchsorted(np.cumsum(c), rank + 1)])
+    return _docs_filtered(
+        sf_dir, ["doc_id", "n_chars"], pads.field("n_chars") > thr
+    )
+
+
+def _merge_value_counts(batch: pa.Table) -> pa.Table:
+    if len(batch) == 0:
+        return batch
+    v = batch.column("v").to_numpy()
+    c = batch.column("c").to_numpy()
+    u = np.unique(v)
+    sums = np.zeros(len(u), dtype=np.int64)
+    np.add.at(sums, np.searchsorted(u, v), c)
+    return pa.table(
+        {"v": pa.array(u, pa.int64()), "c": pa.array(sums, pa.int64())}
+    )
+
+
+def _docs_filtered(sf_dir: str, columns, filter_expr):
+    """Predicate-pushdown documents read (mirror of relational._t_filtered)."""
+    import ray
+
+    from hexhamming_ray import read_num_blocks, tune_data_context
+
+    tune_data_context()
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, filter=filter_expr,
+        override_num_blocks=read_num_blocks(path),
+    )
+
+
+#: every doc_id divisible by this is "benchmark" (eval-set) content
+_BENCHMARK_MOD = 50
+
+
+def decontaminate_docs(sf_dir: str):
+    """Training-set DECONTAMINATION: for every training document (all
+    docs except the benchmark subset ``doc_id % 50 == 0``), count the
+    distinct token-3-gram shingles it shares with ANY benchmark
+    document; emit only contaminated docs. (doc_id, n_shared_grams).
+
+    This is the standard eval-leakage scan run before LLM training. The
+    shape exploits the regime's asymmetry — the benchmark side is tiny
+    relative to the corpus BY DESIGN: pass 1 shingles only benchmark
+    docs and gathers their global unique gram hashes to the driver
+    (bounded by the benchmark vocabulary, not the corpus), one ray.put;
+    pass 2 streams the training corpus through a vectorized
+    searchsorted membership per batch. ZERO shuffles; the corpus is
+    read once, the benchmark twice-nothing.
+
+    Gram identity is the shared 64-bit shingle hash space (collision
+    odds ~n²/2⁶⁴ — the same accepted trade as the oracled ngram
+    pipelines); semantics (str.split tokens, <3-token fallback,
+    per-doc distinct) match
+    :func:`~hexhamming_ray.functions.hashing.shingle_hashes_batch`."""
+    import ray
+
+    from hexhamming_ray.functions.hashing import shingle_hashes_batch
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids % _BENCHMARK_MOD == 0
+        texts = [
+            t for t, k in zip(batch.column("text").to_pylist(), keep) if k
+        ]
+        values, _ = shingle_hashes_batch(texts)
+        return pa.table({"g": pa.array(np.unique(values), pa.uint64())})
+
+    bench_t = _gather_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_grams, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        pa.schema([("g", pa.uint64())]),
+    )
+    bench = np.unique(bench_t.column("g").to_numpy())
+    bench_ref = ray.put(bench)
+
+    class _Contamination:
+        def __init__(self, ref):
+            self.ref = ref
+            self._b = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._b is None:
+                self._b = ray.get(self.ref)
+            ids = batch.column("doc_id").to_numpy()
+            train = ids % _BENCHMARK_MOD != 0
+            texts = [
+                t for t, k in zip(batch.column("text").to_pylist(), train)
+                if k
+            ]
+            ids = ids[train]
+            values, counts = shingle_hashes_batch(texts)
+            hit = np.zeros(len(values), dtype=np.int64)
+            if len(values) and len(self._b):
+                pos = np.searchsorted(self._b, values)
+                pos = np.minimum(pos, len(self._b) - 1)
+                hit = (self._b[pos] == values).astype(np.int64)
+            off = np.concatenate([[0], np.cumsum(counts)])
+            shared = np.add.reduceat(
+                np.r_[hit, 0], off[:-1]
+            ) if len(counts) else np.empty(0, dtype=np.int64)
+            shared = np.where(counts == 0, 0, shared)
+            keep = shared >= 1
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep], pa.int64()),
+                    "n_shared_grams": pa.array(
+                        shared[keep].astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _Contamination(bench_ref), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )

@@ -214,7 +214,8 @@ DOC_QUERIES = [
     "exact_dedup", "langid_docs", "doc_sample", "union_distinct_docs",
     "docs_intersect", "docs_except", "ngram_jaccard_exact",
     "er_exact_clusters", "ngram_jaccard_allpairs", "top_tokens_per_lang",
-    "stratified_sample_docs",
+    "stratified_sample_docs", "er_cluster_size_hist", "docs_above_p90_len",
+    "decontaminate_docs",
 ]
 
 
