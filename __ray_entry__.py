@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exhaustive": A.knn_ivf_exhaustive,
         "embedding_near_dup_lsh_exhaustive":
             A.embedding_near_dup_lsh_exhaustive,
+        "embeddings_quantized_codes": A.embeddings_quantized_codes,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -605,6 +606,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             " FROM orders GROUP BY o_custkey) o "
             "ON c_custkey = o.o_custkey"
+        ),
+        # the quantizer in long form: DuckDB reproduces scale and code
+        # bit-exactly in float64 (abs-max/127 scale, ROUND = the
+        # engine's half-away-from-zero)
+        "embeddings_quantized_codes": (
+            "SELECT vec_id, g.i AS idx, "
+            "CAST(ROUND(embedding[g.i] / s) AS BIGINT) AS code, "
+            "s AS scale "
+            "FROM (SELECT vec_id, embedding, "
+            "  GREATEST(CAST(list_max(list_transform(embedding, "
+            "    x -> abs(x))) AS DOUBLE) / CAST(127.0 AS DOUBLE), "
+            "    1e-30) AS s FROM embeddings) e, "
+            "UNNEST(generate_series(1, len(embedding))) AS g(i)"
         ),
         "er_cluster_size_hist": (
             "WITH g AS (SELECT md5(text) AS h, COUNT(*) AS sz "

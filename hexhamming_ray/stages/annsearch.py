@@ -78,6 +78,18 @@ def _blob_matrix(col, n: int) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _quantize_mat(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization: scale = abs-max / 127,
+    codes rounded half-AWAY-from-zero (SQL ROUND semantics, so the
+    exploded-codes query oracles bit-exactly; any round-to-nearest
+    keeps the scale/2 error bound)."""
+    scale = np.abs(mat).max(axis=1) / 127.0 if mat.size else np.empty(0)
+    scale = np.maximum(scale, 1e-30)  # all-zero vectors
+    r = mat / scale[:, None] if mat.size else mat
+    codes = np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int8)
+    return codes, scale
+
+
 def embeddings_quantized(sf_dir: str):
     """Symmetric per-vector int8 quantization of the embedding column:
     (vec_id, codes: binary(dim), scale: float64) with
@@ -89,9 +101,7 @@ def embeddings_quantized(sf_dir: str):
 
     def quantize(batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
-        scale = np.abs(mat).max(axis=1) / 127.0
-        scale = np.maximum(scale, 1e-30)  # all-zero vectors
-        codes = np.rint(mat / scale[:, None]).astype(np.int8)
+        codes, scale = _quantize_mat(mat)
         dim = mat.shape[1] if mat.size else 0
         return pa.table(
             {
@@ -106,6 +116,39 @@ def embeddings_quantized(sf_dir: str):
 
     return _emb(sf_dir).map_batches(
         quantize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def embeddings_quantized_codes(sf_dir: str):
+    """``embeddings_quantized`` in LONG form — (vec_id, idx, code,
+    scale), one row per vector element — putting the quantizer
+    (_to_matrix zero-copy unpack, abs-max scale, half-away rounding)
+    under a full SQL value oracle (DuckDB UNNEST + ROUND reproduces
+    code and scale bit-exactly in float64). Same per-batch map, no
+    shuffle; the packed binary codes column of the twin is the
+    production format."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(batch)
+        codes, scale = _quantize_mat(mat)
+        n, dim = (mat.shape[0], mat.shape[1]) if mat.size else (0, 0)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, dim), pa.int64()),
+                "idx": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), n),
+                    pa.int64(),
+                ),
+                "code": pa.array(
+                    codes.reshape(-1).astype(np.int64), pa.int64()
+                ),
+                "scale": pa.array(np.repeat(scale, dim), pa.float64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
 
