@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_revenue_by_nation": R.q5_revenue_by_nation,
         "orders_pivot": R.orders_pivot,
         "customer_order_counts": R.customer_order_counts,
+        "orders_above_cust_avg": R.orders_above_cust_avg,
+        "orders_unpivot": R.orders_unpivot,
+        "user_activity_full_outer": R.user_activity_full_outer,
         # --- round-3 training-data-pipeline additions ---
         "er_cluster_size_hist": T.er_cluster_size_hist,
         "docs_above_p90_len": T.docs_above_p90_len,
@@ -619,6 +622,32 @@ def oracle_sql() -> dict[str, str]:
             "    x -> abs(x))) AS DOUBLE) / CAST(127.0 AS DOUBLE), "
             "    1e-30) AS s FROM embeddings) e, "
             "UNNEST(generate_series(1, len(embedding))) AS g(i)"
+        ),
+        # decorrelated correlated subquery; integer cross-multiply
+        # (price*n > sum) avoids any float average
+        "orders_above_cust_avg": (
+            "SELECT o_orderkey FROM orders o JOIN "
+            "(SELECT o_custkey AS k, "
+            "  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+            "    AS BIGINT) AS s, COUNT(*) AS n "
+            " FROM orders GROUP BY o_custkey) c "
+            "ON o.o_custkey = c.k "
+            "WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * n > s"
+        ),
+        "orders_unpivot": (
+            "WITH w AS (SELECT o_orderstatus, o_orderpriority, "
+            " CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2) "
+            "SELECT o_orderstatus, o_orderpriority, n FROM w WHERE n <> 0"
+        ),
+        "user_activity_full_outer": (
+            "SELECT CAST(COALESCE(e.user_id, o.k) AS BIGINT) AS id, "
+            "CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events, "
+            "CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders "
+            "FROM (SELECT user_id, COUNT(*) AS n FROM events "
+            "  GROUP BY user_id) e "
+            "FULL OUTER JOIN (SELECT o_custkey AS k, COUNT(*) AS n "
+            "  FROM orders GROUP BY o_custkey) o "
+            "ON e.user_id = o.k"
         ),
         "er_cluster_size_hist": (
             "WITH g AS (SELECT md5(text) AS h, COUNT(*) AS sz "

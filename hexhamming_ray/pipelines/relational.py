@@ -1904,3 +1904,191 @@ def customer_order_counts(sf_dir: str, *, num_partitions: int = 8):
         finalize, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def orders_above_cust_avg(sf_dir: str, *, num_partitions: int = 8):
+    """Correlated-subquery shape: orders strictly pricier than their
+    own customer's average order price. (o_orderkey,).
+
+    Shape: the per-customer aggregate (cent-sum + count via partial
+    combine -> ONE keyed exchange) joins back to the fact on the SAME
+    key — the decorrelated two-pass plan every engine lowers this to.
+    The comparison is the integer cross-multiply
+    ``price_cents * n_orders > sum_cents`` (exactly
+    ``price > sum/n``), so no float average ever exists and the oracle
+    hashes bit-identically."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    fact = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"],
+        hash_shuffle=True,
+    )
+    agg = _grouped_sums(
+        fact.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_custkey"], ["cents"], "n", num_partitions=num_partitions,
+    ).rename_columns(["k", "sum_cents", "n_orders"])
+
+    def f_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "price_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    j = fact.map_batches(
+        f_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).join(
+        agg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("k",),
+    )
+
+    def keep_above(batch: pa.Table) -> pa.Table:
+        p = batch.column("price_cents").to_numpy()
+        s = batch.column("sum_cents").to_numpy()
+        n = batch.column("n_orders").to_numpy()
+        keep = p * n > s  # integer cross-multiply: price > sum/n
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(
+                    pa.array(keep)
+                )
+            }
+        )
+
+    return j.map_batches(
+        keep_above, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def orders_unpivot(sf_dir: str):
+    """UNPIVOT (melt): ``orders_pivot``'s wide table folded back to
+    long form — (o_orderstatus, o_orderpriority, n), dropping empty
+    cells (UNPIVOT's default). The inverse pair documents both wide<->
+    long reshapes; cost is the pivot's (the reshape itself runs over
+    the key-domain-bounded wide table)."""
+    wide = orders_pivot(sf_dir)
+    names = {c: p for p, c in _PRIORITY_COLS}
+
+    def melt(batch: pa.Table) -> pa.Table:
+        status = batch.column("o_orderstatus").to_pylist()
+        out_s: list[str] = []
+        out_p: list[str] = []
+        out_n: list[int] = []
+        for col, prio in (
+            (c, names[c]) for _, c in _PRIORITY_COLS
+        ):
+            n = batch.column(col).to_numpy()
+            for i, s in enumerate(status):
+                if n[i] != 0:
+                    out_s.append(s)
+                    out_p.append(prio)
+                    out_n.append(int(n[i]))
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(out_s, pa.string()),
+                "o_orderpriority": pa.array(out_p, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return wide.map_batches(
+        melt, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def user_activity_full_outer(sf_dir: str, *, num_partitions: int = 8):
+    """FULL OUTER join surface: per-id event count vs order count where
+    the id domains only partially overlap (every event user is a
+    customer key, most customers have no events). (id, n_events,
+    n_orders) — zero-filled on both sides.
+
+    Shape: BOTH fact sides are pre-aggregated to one row per key
+    (partial combine -> ONE keyed exchange each) before the native
+    full_outer hash join, so the join and null-fill run over
+    |distinct keys| rows."""
+
+    def e_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "one": pa.array(
+                    np.ones(len(batch), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ev = _grouped_sums(
+        _t(sf_dir, "events", ["user_id"], hash_shuffle=True).map_batches(
+            e_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["user_id"], ["one"], "n", num_partitions=num_partitions,
+    ).select_columns(["user_id", "one"]).rename_columns(
+        ["user_id", "n_events"]
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "one": pa.array(
+                    np.ones(len(batch), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    od = _grouped_sums(
+        _t(sf_dir, "orders", ["o_custkey"], hash_shuffle=True).map_batches(
+            o_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_custkey"], ["one"], "n", num_partitions=num_partitions,
+    ).select_columns(["o_custkey", "one"]).rename_columns(
+        ["o_custkey", "n_orders"]
+    )
+
+    j = ev.join(
+        od,
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=("user_id",),
+        right_on=("o_custkey",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # the native full_outer join already coalesces both key
+        # columns into the left key name
+        return pa.table(
+            {
+                "id": batch.column("user_id").cast(pa.int64()),
+                "n_events": batch.column("n_events").fill_null(0).cast(
+                    pa.int64()
+                ),
+                "n_orders": batch.column("n_orders").fill_null(0).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
