@@ -112,10 +112,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": R.orders_above_cust_avg,
         "orders_unpivot": R.orders_unpivot,
         "user_activity_full_outer": R.user_activity_full_outer,
+        "user_cumulative_value": R.user_cumulative_value,
+        "events_dayofweek": R.events_dayofweek,
+        "part_name_features": R.part_name_features,
         # --- round-3 training-data-pipeline additions ---
         "er_cluster_size_hist": T.er_cluster_size_hist,
         "docs_above_p90_len": T.docs_above_p90_len,
         "decontaminate_docs": T.decontaminate_docs,
+        "doc_line_stats": T.doc_line_stats,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -654,6 +658,35 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)) "
             "SELECT CAST(sz AS BIGINT) AS cluster_size, "
             "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM g GROUP BY sz"
+        ),
+        # running total: ROWS UNBOUNDED PRECEDING frame, total
+        # (ts, event_id) tie order pinned like the other windowed ops
+        "user_cumulative_value": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
+            "FROM events"
+        ),
+        "events_dayofweek": (
+            "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY dayofweek(ts)"
+        ),
+        "part_name_features": (
+            "SELECT p_partkey, "
+            "CAST(length(p_name) AS BIGINT) AS name_len, "
+            "CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words, "
+            "upper(string_split(p_name, ' ')[1]) AS first_word "
+            "FROM part"
+        ),
+        "doc_line_stats": (
+            "WITH l AS (SELECT doc_id, "
+            "  unnest(string_split(text, chr(10))) AS line "
+            "  FROM documents) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines "
+            "FROM l GROUP BY doc_id"
         ),
         # scalar-subquery broadcast: strict > the exact discrete p90
         "docs_above_p90_len": (

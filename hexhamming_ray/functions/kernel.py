@@ -141,6 +141,13 @@ def check_bytes_arrays_within_dist(
     Returns the index of the *first* element (scan order) with
     ``dist <= max_dist`` (inclusive), else -1.
     Reference: python_hexhamming.cc:246-284.
+
+    Cost-model note: the reference early-exits per chunk as soon as a
+    match is found (python_hexhamming.h:533-541); this implementation
+    computes all N distances vectorized and takes the first index —
+    semantically identical (tested), but on early-match-heavy scans the
+    reference does less work while this path amortizes better on
+    match-late/no-match scans (one numpy pass vs N branchy iterations).
     """
     if not isinstance(array_of_elems, (bytes, bytearray)) or not isinstance(
         elem_to_compare, (bytes, bytearray)

@@ -2095,3 +2095,107 @@ def user_activity_full_outer(sf_dir: str, *, num_partitions: int = 8):
         finalize, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def user_cumulative_value(sf_dir: str, *, num_partitions: int = 16):
+    """Running-total window (ROWS UNBOUNDED PRECEDING — the frame the
+    RANGE-interval ``rolling_user_window`` doesn't cover): per event,
+    the cumulative cent-value of the same user's events so far.
+    (event_id, user_id, cum_cents).
+
+    Shape: hash-repartition by user (each user's events in ONE block —
+    the shared windowed-op partitioning assumption) + one vectorized
+    lexsort (user, ts, event_id) and a run-reset cumsum per block."""
+
+    def cum(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        v = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        c = np.cumsum(v)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        # subtract the cumulative total as of just before each run
+        base = np.where(starts > 0, c[starts - 1], 0)
+        c = c - np.repeat(base, np.diff(np.r_[starts, n]))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "cum_cents": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(cum, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+
+def events_dayofweek(sf_dir: str):
+    """Date-function surface: event counts by day of week (0=Sunday,
+    DuckDB dayofweek convention — Arrow's day_of_week with
+    week_start=7, count_from_zero). (dow, n_events). Partial-combined
+    + coalesced over a 7-value key space: zero exchange."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(
+            batch.column("ts"), count_from_zero=True, week_start=7
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "dow": dow,
+                "one": pa.array(
+                    np.ones(len(batch), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _grouped_sums(
+        _t(sf_dir, "events", ["ts"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["dow"], ["one"], "n", coalesce=True,
+    ).select_columns(["dow", "one"]).rename_columns(["dow", "n_events"])
+
+
+def part_name_features(sf_dir: str):
+    """String-function surface: per part, name length (chars), word
+    count, and the first word uppercased — all Arrow utf8 kernels.
+    (p_partkey, name_len, n_words, first_word). Pure per-batch map,
+    zero shuffle, 2-column pruned read."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        name = batch.column("p_name")
+        words = pc.split_pattern(name, pattern=" ")
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "name_len": pc.utf8_length(name).cast(pa.int64()),
+                "n_words": pc.list_value_length(words).cast(pa.int64()),
+                "first_word": pc.utf8_upper(
+                    pc.list_element(words, 0)
+                ),
+            }
+        )
+
+    return _t(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -1901,3 +1901,73 @@ def decontaminate_docs(sf_dir: str):
         _Contamination(bench_ref), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
     )
+
+
+def doc_line_stats(sf_dir: str):
+    """Repetition/boilerplate signal (the Gopher-style dup-line rule):
+    per document, total lines vs distinct lines —
+    (doc_id, n_lines, n_distinct_lines). A doc whose distinct ratio is
+    low is templated/boilerplate content.
+
+    Pure per-batch map, zero shuffle. Lines are byte windows of the
+    batch's flattened Arrow string buffer, so distinctness runs over
+    vectorized 64-bit polynomial window hashes (the shingle machinery's
+    trick applied to line boundaries) + the per-segment sort/sweep —
+    no per-line Python strings. Same accepted 64-bit collision trade
+    as the oracled ngram pipelines."""
+    from hexhamming_ray.functions.hashing import _window_hashes
+
+    _EMPTY_LINE = np.uint64(0x9E3779B97F4A7C15)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_distinct_lines": pa.array([], pa.int64()),
+                }
+            )
+        lines = pc.split_pattern(batch.column("text"), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        loff = lines.offsets.to_numpy()
+        counts = np.diff(loff).astype(np.int64)
+        flat = lines.values  # flattened line strings
+        sb = flat.buffers()
+        so = np.frombuffer(
+            sb[1], dtype=np.int32, count=len(flat) + 1,
+            offset=flat.offset * 4,
+        ).astype(np.int64)
+        buf = np.frombuffer(sb[2], dtype=np.uint8)
+        l, r = so[:-1], so[1:]
+        h = np.full(len(flat), _EMPTY_LINE, dtype=np.uint64)
+        ne = r > l
+        if ne.any():
+            h[ne] = _window_hashes(buf, l[ne], r[ne])
+        # per-doc distinct: lines are doc-contiguous — per-segment
+        # in-place sort + one adjacent-duplicate sweep
+        off = loff.astype(np.int64)
+        for i in range(n):
+            a, b = off[i], off[i + 1]
+            if b - a > 1:
+                h[a:b].sort()
+        total = h.shape[0]
+        keep = np.empty(total, dtype=bool)
+        if total:
+            keep[1:] = h[1:] != h[:-1]
+            keep[off[:-1][counts > 0]] = True
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        distinct = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_lines": pa.array(counts, pa.int64()),
+                "n_distinct_lines": pa.array(distinct, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

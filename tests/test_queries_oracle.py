@@ -143,7 +143,8 @@ EVENT_QUERIES = [
     "event_gaps", "asof_view_clicks", "rolling_user_window",
     "user_sessions", "top_event_per_user", "event_rank_in_user",
     "events_per_hour", "events_by_type", "event_props_k",
-    "top_users_heavyhitter",
+    "top_users_heavyhitter", "user_cumulative_value",
+    "events_dayofweek",
 ]
 
 
@@ -215,7 +216,7 @@ DOC_QUERIES = [
     "docs_intersect", "docs_except", "ngram_jaccard_exact",
     "er_exact_clusters", "ngram_jaccard_allpairs", "top_tokens_per_lang",
     "stratified_sample_docs", "er_cluster_size_hist", "docs_above_p90_len",
-    "decontaminate_docs",
+    "decontaminate_docs", "doc_line_stats",
 ]
 
 
