@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_p90_len": T.docs_above_p90_len,
         "decontaminate_docs": T.decontaminate_docs,
         "doc_line_stats": T.doc_line_stats,
+        "docs_csv_roundtrip": T.docs_csv_roundtrip,
+        "docs_json_roundtrip": T.docs_json_roundtrip,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
@@ -679,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words, "
             "upper(string_split(p_name, ' ')[1]) AS first_word "
             "FROM part"
+        ),
+        # format roundtrips: the oracle reads the PARQUET originals, so
+        # any CSV/JSONL encode/decode corruption breaks the value hash
+        "docs_csv_roundtrip": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "
+            " AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "docs_json_roundtrip": (
+            "SELECT doc_id, lang, n_chars FROM documents"
         ),
         "doc_line_stats": (
             "WITH l AS (SELECT doc_id, "

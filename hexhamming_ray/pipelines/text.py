@@ -1971,3 +1971,77 @@ def doc_line_stats(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    """Deterministic scratch dir for a format-roundtrip query; wiped
+    per call so re-runs are idempotent. NOT deleted afterwards — the
+    read-back Dataset is lazy and streams from it."""
+    import hashlib as _hl
+    import os
+    import shutil
+
+    key = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/hexray_roundtrip_{fmt}_{key}"
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    return d
+
+
+def docs_csv_roundtrip(sf_dir: str):
+    """Source/sink format conformance: documents written as CSV
+    (Arrow quoting handles embedded newlines/quotes/unicode), read back
+    with ``ray.data.read_csv``, then token-counted — (doc_id,
+    n_tokens), oracled against the PARQUET originals, so any CSV
+    encode/decode corruption breaks the value hash. Both the write and
+    the read stream block-wise (one CSV file per input block)."""
+    import ray
+    from pyarrow import csv as pacsv
+
+    d = _roundtrip_dir(sf_dir, "csv")
+    _docs(sf_dir, ["doc_id", "lang", "text"]).write_csv(d)
+    back = ray.data.read_csv(
+        d,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        # CSV has no empty-vs-null distinction for a fully-empty field;
+        # the originals have no nulls, so read-back nulls ARE ""
+        txt = txt.fill_null("")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": T.token_count(txt),
+            }
+        )
+
+    return back.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def docs_json_roundtrip(sf_dir: str):
+    """Source/sink format conformance, JSONL flavor: documents written
+    as newline-delimited JSON, read back with ``ray.data.read_json``,
+    projected to (doc_id, lang, n_chars) — oracled against the parquet
+    originals. Streaming on both sides, one JSONL file per block."""
+    import ray
+
+    d = _roundtrip_dir(sf_dir, "json")
+    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_json(d)
+    back = ray.data.read_json(d)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return back.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
