@@ -122,9 +122,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_stats": T.doc_line_stats,
         "docs_csv_roundtrip": T.docs_csv_roundtrip,
         "docs_json_roundtrip": T.docs_json_roundtrip,
+        "kmeans_embeddings": _kmeans_q,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
     }
+
+
+def _kmeans_q(sf_dir: str):
+    from hexhamming_ray.stages.kmeans import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir)
 
 
 def _media_features_q(sf_dir: str):

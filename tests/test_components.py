@@ -380,3 +380,39 @@ def test_knn_ivf_vs_bruteforce(ray_session):
     }
     recall = len(pruned & brute) / len(brute)
     assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_kmeans_self_consistency_and_convergence(ray_session):
+    """Distributed k-means invariants: (1) every returned assignment is
+    the exact argmin against the final centroids, recomputed locally —
+    the strongest exact check an iterative float algorithm admits; (2)
+    k=1 reduces to the corpus mean; (3) a second run is bit-identical
+    (deterministic init + block order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.stages.kmeans import kmeans_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    out = kmeans_embeddings(sf, k=4, iters=4)
+    cent = out._kmeans_centroids
+    rows = out.take_all()
+    assign = {int(r["vec_id"]): int(r["cluster"]) for r in rows}
+
+    src = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = src.column("vec_id").to_numpy()
+    mat = np.array(src.column("embedding").to_pylist(), dtype=np.float64)
+    assert len(assign) == len(ids)
+    half_c2 = 0.5 * (cent * cent).sum(axis=1)
+    want = np.argmin(half_c2[None, :] - mat @ cent.T, axis=1)
+    got = np.array([assign[int(i)] for i in ids])
+    assert (got == want).all(), "assignments must be exact argmin"
+    assert len(np.unique(got)) >= 2, "degenerate clustering"
+
+    one = kmeans_embeddings(sf, k=1, iters=2)
+    np.testing.assert_allclose(
+        one._kmeans_centroids[0], mat.mean(axis=0), rtol=1e-12
+    )
+
+    again = kmeans_embeddings(sf, k=4, iters=4)
+    np.testing.assert_array_equal(again._kmeans_centroids, cent)
