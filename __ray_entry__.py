@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_stats": T.doc_line_stats,
         "docs_csv_roundtrip": T.docs_csv_roundtrip,
         "docs_json_roundtrip": T.docs_json_roundtrip,
+        "docs_partitioned_sink": T.docs_partitioned_sink,
         "kmeans_embeddings": _kmeans_q,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
@@ -697,6 +698,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_json_roundtrip": (
             "SELECT doc_id, lang, n_chars FROM documents"
+        ),
+        "docs_partitioned_sink": (
+            "SELECT doc_id, n_chars FROM documents WHERE lang = 'de'"
         ),
         "doc_line_stats": (
             "WITH l AS (SELECT doc_id, "

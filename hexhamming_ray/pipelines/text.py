@@ -2045,3 +2045,32 @@ def docs_json_roundtrip(sf_dir: str):
     return back.map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def docs_partitioned_sink(sf_dir: str, *, lang: str = "de"):
+    """Resumable-output sink demo: documents written as HIVE-PARTITIONED
+    Parquet (one directory per lang — the SURVEY §4 resumable-output
+    rule: a failed run skips finished partitions), then ONE partition
+    read back via partition pruning (only that directory's files are
+    listed/opened). (doc_id, n_chars) of the chosen lang, oracled
+    against the originals so the partition write/prune round-trip is
+    value-checked."""
+    import ray
+
+    d = _roundtrip_dir(sf_dir, "hive")
+    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_parquet(
+        d, partition_cols=["lang"]
+    )
+    back = ray.data.read_parquet(f"{d}/lang={lang}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return back.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
