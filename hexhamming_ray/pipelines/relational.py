@@ -217,6 +217,9 @@ def top_customers(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"],
                 hash_shuffle=True).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # num_partitions=8: warm back-to-back A/B at sf0.1/32 CPUs measured
+    # 1.3-1.5 s at 8 vs 1.7 s at 16 (aggregator spin-up dominates this
+    # 15k-key exchange); size to the cluster at real scale
     per_cust = _grouped_sums(
         orders, ["o_custkey"], ["cents"], "n_orders"
     ).rename_columns(["o_custkey", "total_cents", "n_orders"])
