@@ -416,3 +416,40 @@ def test_kmeans_self_consistency_and_convergence(ray_session):
 
     again = kmeans_embeddings(sf, k=4, iters=4)
     np.testing.assert_array_equal(again._kmeans_centroids, cent)
+
+
+def test_flaky_udf_retry_preserves_results(ray_session, tmp_path):
+    """Fault-tolerance contract: a UDF that CRASHES once per worker
+    process (then succeeds on retry) must produce exactly the same
+    result as the clean run when the stage opts into
+    retry_exceptions — the per-task retry knob every long 100 TB run
+    relies on. The first-failure flag is per-process (a tmpdir
+    sentinel), so each retried task re-reads its input block from the
+    object store — also exercising lineage re-execution."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    marker_dir = str(tmp_path)
+
+    def flaky_double(batch: pa.Table) -> pa.Table:
+        sentinel = os.path.join(marker_dir, f"pid_{os.getpid()}")
+        if not os.path.exists(sentinel):
+            open(sentinel, "w").close()
+            raise RuntimeError("injected first-call failure")
+        return pa.table(
+            {"x": pa.array(batch.column("id").to_numpy() * 2, pa.int64())}
+        )
+
+    ds = ray.data.range(10_000, override_num_blocks=8)
+    out = ds.map_batches(
+        flaky_double,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        retry_exceptions=True,  # map_batches forwards **ray_remote_args
+    ).take_all()
+    got = np.sort(np.array([r["x"] for r in out]))
+    want = np.arange(10_000, dtype=np.int64) * 2
+    np.testing.assert_array_equal(got, want)
