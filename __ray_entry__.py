@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": R.orders_above_cust_avg,
         "orders_unpivot": R.orders_unpivot,
         "user_activity_full_outer": R.user_activity_full_outer,
+        "orders_of_building_customers": R.orders_of_building_customers,
         "user_cumulative_value": R.user_cumulative_value,
         "events_dayofweek": R.events_dayofweek,
         "part_name_features": R.part_name_features,
@@ -668,6 +669,13 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)) "
             "SELECT CAST(sz AS BIGINT) AS cluster_size, "
             "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM g GROUP BY sz"
+        ),
+        # exact despite the bloom: false positives die in the exact
+        # semi join; the bloom only cuts the join's exchange volume
+        "orders_of_building_customers": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer "
+            " WHERE c_mktsegment = 'BUILDING')"
         ),
         # running total: ROWS UNBOUNDED PRECEDING frame, total
         # (ts, event_id) tie order pinned like the other windowed ops

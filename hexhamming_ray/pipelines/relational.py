@@ -2202,3 +2202,101 @@ def part_name_features(sf_dir: str):
     return _t(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def _bloom_build(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """Vectorized 2-hash Bloom filter over int64 keys: a uint64 bit
+    array of ``m_bits`` bits (m_bits must be a multiple of 64)."""
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    h1 = _splitmix64(keys.astype(np.uint64))
+    h2 = _splitmix64(h1)
+    for h in (h1, h2):
+        pos = h % np.uint64(m_bits)
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return bits
+
+
+def _bloom_maybe(bits: np.ndarray, keys: np.ndarray,
+                 m_bits: int) -> np.ndarray:
+    """Membership mask (true = possibly present; false = definitely
+    absent). Same two hashes as the build."""
+    h1 = _splitmix64(keys.astype(np.uint64))
+    h2 = _splitmix64(h1)
+    out = np.ones(keys.shape[0], dtype=bool)
+    for h in (h1, h2):
+        pos = h % np.uint64(m_bits)
+        out &= (
+            bits[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1) != 0
+    return out
+
+
+def orders_of_building_customers(sf_dir: str, *, segment: str = "BUILDING",
+                                 m_bits: int = 1 << 17,
+                                 num_partitions: int = 8):
+    """Bloom-pre-filtered SEMI JOIN — the standard shuffle-volume cut
+    for joins at scale: the build side's keys feed a broadcast Bloom
+    filter (here 16 KiB for ~300 keys; size m_bits to the build side),
+    the FACT stream drops definitely-absent rows MAP-SIDE before the
+    exchange, and the surviving (small, false-positive-containing)
+    stream goes through the exact native left_semi hash join — so the
+    result is EXACT while the join's exchange carries only
+    |matches| + |false positives| rows instead of |orders|.
+    (o_orderkey,).
+
+    At a selectivity of 1/5 this cuts the join exchange ~5×; at 100 TB
+    against a selective dimension it's the difference between shuffling
+    the corpus and shuffling the answer."""
+    import pyarrow.dataset as pads
+    import ray
+
+    dim = _t_filtered(
+        sf_dir, "customer", ["c_custkey"],
+        pads.field("c_mktsegment") == segment,
+    )
+
+    # DISTRIBUTED bloom build: each block emits its own m_bits filter,
+    # the driver ORs them — driver volume is n_blocks x m_bits/8 bytes
+    # (16 KiB here), never the keys themselves
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bits = _bloom_build(batch.column("c_custkey").to_numpy(), m_bits)
+        return pa.table(
+            {"bloom": pa.array([bits.tobytes()], pa.large_binary())}
+        )
+
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in dim.map_batches(
+        block_bloom, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all():
+        bits |= np.frombuffer(r["bloom"], dtype=np.uint64)
+    bloom_ref = ray.put(bits)
+
+    class _BloomPrefilter:
+        def __init__(self, ref):
+            self.ref = ref
+            self._b = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._b is None:
+                self._b = ray.get(self.ref)
+            keys = batch.column("o_custkey").to_numpy()
+            return batch.filter(
+                pa.array(_bloom_maybe(self._b, keys, m_bits))
+            )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        _BloomPrefilter(bloom_ref), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )
+    return orders.join(
+        dim,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"])

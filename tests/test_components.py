@@ -453,3 +453,26 @@ def test_flaky_udf_retry_preserves_results(ray_session, tmp_path):
     got = np.sort(np.array([r["x"] for r in out]))
     want = np.arange(10_000, dtype=np.int64) * 2
     np.testing.assert_array_equal(got, want)
+
+
+def test_bloom_filter_no_false_negatives():
+    """The Bloom pre-filter may pass extra keys (the exact join kills
+    them) but must NEVER drop a true member — for any key set and any
+    filter size, including heavy saturation."""
+    import numpy as np
+
+    from hexhamming_ray.pipelines.relational import (
+        _bloom_build, _bloom_maybe,
+    )
+
+    rng = np.random.default_rng(3)
+    for m_bits in (64, 1 << 10, 1 << 17):
+        keys = rng.integers(0, 1 << 62, 5000).astype(np.int64)
+        bits = _bloom_build(keys, m_bits)
+        assert _bloom_maybe(bits, keys, m_bits).all()
+        # disjoint probes: pass rate must collapse when the filter is
+        # roomy (m_bits >> n) — the volume-cut property
+        probes = keys + np.int64(1 << 62)
+        fp = _bloom_maybe(bits, probes, m_bits).mean()
+        if m_bits == 1 << 17:
+            assert fp < 0.2, f"fp rate {fp:.3f} too high for roomy filter"
