@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_unpivot": R.orders_unpivot,
         "user_activity_full_outer": R.user_activity_full_outer,
         "orders_of_building_customers": R.orders_of_building_customers,
+        "funnel_conversions": R.funnel_conversions,
         "user_cumulative_value": R.user_cumulative_value,
         "events_dayofweek": R.events_dayofweek,
         "part_name_features": R.part_name_features,
@@ -669,6 +670,33 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)) "
             "SELECT CAST(sz AS BIGINT) AS cluster_size, "
             "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM g GROUP BY sz"
+        ),
+        # sessionized funnel; stage semantics are ts-based (>= the
+        # previous stage's first-qualifying ts) so equal-ts collisions
+        # can't make either side order-dependent
+        "funnel_conversions": (
+            "WITH o AS (SELECT user_id, ts, event_type, LAG(ts) OVER "
+            "  (PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "s AS (SELECT user_id, ts, event_type, SUM(CASE WHEN prev "
+            "  IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 "
+            "  END) OVER (PARTITION BY user_id ORDER BY ts "
+            "  ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "f AS (SELECT user_id, sid, MIN(CASE WHEN event_type = "
+            "  'view' THEN ts END) AS v FROM s GROUP BY user_id, sid), "
+            "g AS (SELECT s.user_id, s.sid, MIN(CASE WHEN s.event_type "
+            "  = 'click' AND s.ts >= f.v THEN s.ts END) AS c FROM s "
+            "  JOIN f ON s.user_id = f.user_id AND s.sid = f.sid "
+            "  GROUP BY s.user_id, s.sid), "
+            "h AS (SELECT s.user_id, s.sid, MIN(CASE WHEN s.event_type "
+            "  = 'purchase' AND s.ts >= g.c THEN s.ts END) AS p FROM s "
+            "  JOIN g ON s.user_id = g.user_id AND s.sid = g.sid "
+            "  GROUP BY s.user_id, s.sid) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(COUNT(f.v) AS BIGINT) AS n_view, "
+            "CAST(COUNT(g.c) AS BIGINT) AS n_view_click, "
+            "CAST(COUNT(h.p) AS BIGINT) AS n_funnel "
+            "FROM f JOIN g ON f.user_id = g.user_id AND f.sid = g.sid "
+            "JOIN h ON f.user_id = h.user_id AND f.sid = h.sid"
         ),
         # exact despite the bloom: false positives die in the exact
         # semi join; the bloom only cuts the join's exchange volume

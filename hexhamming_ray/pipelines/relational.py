@@ -2300,3 +2300,90 @@ def orders_of_building_customers(sf_dir: str, *, segment: str = "BUILDING",
         on=("o_custkey",),
         right_on=("c_custkey",),
     ).select_columns(["o_orderkey"])
+
+
+def funnel_conversions(sf_dir: str, *, gap_minutes: int = 30,
+                       num_partitions: int = 16):
+    """Sessionized FUNNEL analysis — the composed event-analytics
+    pipeline: within each inactivity-gap session, did a 'view' happen,
+    a 'click' at-or-after the first view, and a 'purchase' at-or-after
+    that click? One row: (n_sessions, n_view, n_view_click, n_funnel).
+
+    Stage semantics are timestamp-based (>= comparisons against the
+    stage's first-qualifying ts), so equal-ts collisions can't make the
+    result order-dependent — the SQL oracle and the engine agree
+    without pinning intra-ts order.
+
+    Shape: the sessionization partitioning assumption (one user's
+    events in ONE block) + a single vectorized pass per block —
+    session boundaries by sorted diff, per-session stage minima via
+    masked ``np.minimum.reduceat`` with the previous stage's minimum
+    repeated onto elements — then a 4-counter partial per block and one
+    tiny final sum. No per-session Python, one exchange total."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    SENT = np.iinfo(np.int64).max
+
+    def funnel(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "n_sessions": pa.array([0], pa.int64()),
+                "n_view": pa.array([0], pa.int64()),
+                "n_view_click": pa.array([0], pa.int64()),
+                "n_funnel": pa.array([0], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        ts = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        et = np.asarray(batch.column("event_type").to_pylist())
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(new_s)
+        sizes = np.diff(np.r_[starts, n])
+
+        def stage_min(mask: np.ndarray, floor_rep: np.ndarray):
+            v = np.where(mask & (ts >= floor_rep), ts, SENT)
+            return np.minimum.reduceat(v, starts)
+
+        zero_floor = np.zeros(n, dtype=np.int64)
+        v = stage_min(et == "view", zero_floor)
+        c = stage_min(et == "click", np.repeat(v, sizes))
+        p = stage_min(et == "purchase", np.repeat(c, sizes))
+        return pa.table(
+            {
+                "n_sessions": pa.array([len(starts)], pa.int64()),
+                "n_view": pa.array([int((v != SENT).sum())], pa.int64()),
+                "n_view_click": pa.array(
+                    [int((c != SENT).sum())], pa.int64()
+                ),
+                "n_funnel": pa.array([int((p != SENT).sum())], pa.int64()),
+            }
+        )
+
+    def total(batch: pa.Table) -> pa.Table:
+        cols = ["n_sessions", "n_view", "n_view_click", "n_funnel"]
+        return pa.table(
+            {
+                c: pa.array(
+                    [int(batch.column(c).to_numpy().sum())], pa.int64()
+                )
+                for c in cols
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(funnel, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=1)  # num_partitions 4-int rows
+        .map_batches(total, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
