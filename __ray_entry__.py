@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_full_outer": R.user_activity_full_outer,
         "orders_of_building_customers": R.orders_of_building_customers,
         "funnel_conversions": R.funnel_conversions,
+        "orders_cube": R.orders_cube,
+        "event_value_quartiles": R.event_value_quartiles,
         "user_cumulative_value": R.user_cumulative_value,
         "events_dayofweek": R.events_dayofweek,
         "part_name_features": R.part_name_features,
@@ -670,6 +672,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents GROUP BY md5(text)) "
             "SELECT CAST(sz AS BIGINT) AS cluster_size, "
             "CAST(COUNT(*) AS BIGINT) AS n_clusters FROM g GROUP BY sz"
+        ),
+        "orders_cube": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+            " AS BIGINT) AS total_cents "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+        ),
+        "event_value_quartiles": (
+            "SELECT event_id, user_id, "
+            "CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY "
+            " CAST(ROUND(value * 100) AS BIGINT), event_id) AS BIGINT) "
+            " AS quartile "
+            "FROM events"
         ),
         # sessionized funnel; stage semantics are ts-based (>= the
         # previous stage's first-qualifying ts) so equal-ts collisions

@@ -2387,3 +2387,144 @@ def funnel_conversions(sf_dir: str, *, gap_minutes: int = 30,
         .map_batches(total, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
     )
+
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all FOUR grouping
+    sets — (s,p), (s,·), (·,p), (·,·) — completing the multi-level
+    aggregation family with :func:`orders_rollup`. (o_orderstatus,
+    o_orderpriority, n_orders, total_cents).
+
+    Same cost shape as the rollup: the fine grain is the distributed
+    partial-combine (15 coalesced rows); every super level is derived
+    from those rows in the single-block finalize (the Python loops run
+    over the key-domain product, never base rows)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    fine = _grouped_sums(
+        _t(sf_dir, "orders",
+           ["o_orderstatus", "o_orderpriority", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_orderstatus", "o_orderpriority"], ["cents"], "n_orders",
+        coalesce=True,
+    )
+
+    def add_cube_levels(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([None], pa.string()),
+                    "o_orderpriority": pa.array([None], pa.string()),
+                    "n_orders": pa.array([0], pa.int64()),
+                    "total_cents": pa.array([None], pa.int64()),
+                }
+            )
+        status = batch.column("o_orderstatus").to_pylist()
+        prio = batch.column("o_orderpriority").to_pylist()
+        cents = batch.column("cents").to_numpy()
+        n = batch.column("n_orders").to_numpy()
+        k = len(batch)
+
+        def rollup_over(keys):
+            groups: dict[str, list[int]] = {}
+            for i, key in enumerate(keys[:k]):
+                groups.setdefault(key, []).append(i)
+            return groups
+
+        out_s, out_p = list(status), list(prio)
+        out_c, out_n = [cents], [n]
+        for s, idx in sorted(rollup_over(status).items()):
+            out_s.append(s); out_p.append(None)
+            out_c.append(np.atleast_1d(cents[idx].sum()))
+            out_n.append(np.atleast_1d(n[idx].sum()))
+        for p, idx in sorted(rollup_over(prio).items()):
+            out_s.append(None); out_p.append(p)
+            out_c.append(np.atleast_1d(cents[idx].sum()))
+            out_n.append(np.atleast_1d(n[idx].sum()))
+        out_s.append(None); out_p.append(None)
+        out_c.append(np.atleast_1d(cents[:k].sum()))
+        out_n.append(np.atleast_1d(n[:k].sum()))
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(out_s, pa.string()),
+                "o_orderpriority": pa.array(out_p, pa.string()),
+                "n_orders": pa.array(np.concatenate(out_n), pa.int64()),
+                "total_cents": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    return fine.map_batches(
+        add_cube_levels, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def event_value_quartiles(sf_dir: str, *, buckets: int = 4,
+                          num_partitions: int = 16):
+    """NTILE window: each event's value-quartile WITHIN its user
+    (NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)) —
+    (event_id, user_id, quartile).
+
+    NTILE's exact split rule: the first ``n % buckets`` tiles get
+    ``n // buckets + 1`` rows. Same one-exchange windowed shape as the
+    rank/lag operators; the tile assignment per run is a vectorized
+    searchsorted over the cumulative tile boundaries."""
+
+    def ntile(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "quartile": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        vm = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, vm, uid))
+        uid, eid = uid[order], eid[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = idx[new][np.cumsum(new) - 1]
+        pos = idx - run_start  # 0-based rank within user
+        sizes = np.diff(np.r_[np.flatnonzero(new), n])
+        run_n = np.repeat(sizes, sizes)
+        # NTILE: first (n % b) tiles have ceil(n/b) rows, rest floor
+        q, r = run_n // buckets, run_n % buckets
+        big = r * (q + 1)  # rows covered by the larger tiles
+        tile = np.where(
+            pos < big,
+            pos // np.maximum(q + 1, 1),
+            np.where(q > 0, r + (pos - big) // np.maximum(q, 1), r),
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "quartile": pa.array(
+                    (tile + 1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(ntile, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )

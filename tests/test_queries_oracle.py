@@ -144,7 +144,7 @@ EVENT_QUERIES = [
     "user_sessions", "top_event_per_user", "event_rank_in_user",
     "events_per_hour", "events_by_type", "event_props_k",
     "top_users_heavyhitter", "user_cumulative_value",
-    "events_dayofweek", "funnel_conversions",
+    "events_dayofweek", "funnel_conversions", "event_value_quartiles",
 ]
 
 
