@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": T.docs_csv_roundtrip,
         "docs_json_roundtrip": T.docs_json_roundtrip,
         "docs_partitioned_sink": T.docs_partitioned_sink,
+        "corpus_report": T.corpus_report,
         "kmeans_embeddings": _kmeans_q,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
@@ -753,6 +754,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_partitioned_sink": (
             "SELECT doc_id, n_chars FROM documents WHERE lang = 'de'"
+        ),
+        # fused one-pass multi-metric report; quality_ok is the
+        # quality_scores oracle's expression
+        "corpus_report": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) "
+            " AS total_tokens, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(SUM(CASE WHEN "
+            " len(regexp_extract_all(text, '\\S+')) >= 5 AND "
+            " len(regexp_extract_all(text, '[^\\w\\s]')) * 5 <= "
+            "   length(text) + 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            " AS n_quality_ok, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY lang"
         ),
         "doc_line_stats": (
             "WITH l AS (SELECT doc_id, "

@@ -2074,3 +2074,104 @@ def docs_partitioned_sink(sf_dir: str, *, lang: str = "de"):
     return back.map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def corpus_report(sf_dir: str):
+    """The one-pass multi-metric corpus report an operator prints before
+    a training run: per language — doc count, total tokens, total
+    chars, quality-pass count, min/max doc length.
+    (lang, n_docs, total_tokens, total_chars, n_quality_ok,
+    min_chars, max_chars).
+
+    Shape — the fused-aggregate rule: SEVEN metrics, ONE read, one
+    fused map computing every per-(block, lang) partial (all metrics
+    are additive or min/max, so partials merge exactly), a coalesce of
+    the ≤ |langs| rows per block, and a single-block final merge. The
+    naive alternative (one pipeline per metric) reads the corpus seven
+    times; this reads it once."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "total_tokens": pa.array([], pa.int64()),
+                "total_chars": pa.array([], pa.int64()),
+                "n_quality_ok": pa.array([], pa.int64()),
+                "min_chars": pa.array([], pa.int64()),
+                "max_chars": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        q = T.quality_features(batch.column("text"))
+        lang = np.asarray(batch.column("lang").to_pylist())
+        ntok = q["n_tokens"].to_numpy()
+        nch = batch.column("n_chars").to_numpy()
+        ok = q["quality_ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lang)
+        lang, ntok, nch, ok = (
+            lang[order], ntok[order], nch[order], ok[order]
+        )
+        heads = np.empty(len(lang), dtype=bool)
+        heads[0] = True
+        heads[1:] = lang[1:] != lang[:-1]
+        st = np.flatnonzero(heads)
+        return pa.table(
+            {
+                "lang": pa.array(list(lang[st]), pa.string()),
+                "n_docs": pa.array(
+                    np.diff(np.r_[st, len(lang)]), pa.int64()
+                ),
+                "total_tokens": pa.array(
+                    np.add.reduceat(ntok, st), pa.int64()
+                ),
+                "total_chars": pa.array(
+                    np.add.reduceat(nch, st), pa.int64()
+                ),
+                "n_quality_ok": pa.array(
+                    np.add.reduceat(ok, st), pa.int64()
+                ),
+                "min_chars": pa.array(
+                    np.minimum.reduceat(nch, st), pa.int64()
+                ),
+                "max_chars": pa.array(
+                    np.maximum.reduceat(nch, st), pa.int64()
+                ),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        lang = np.asarray(batch.column("lang").to_pylist())
+        order = np.argsort(lang, kind="stable")
+        heads = np.empty(len(lang), dtype=bool)
+        heads[0] = True
+        heads[1:] = lang[order][1:] != lang[order][:-1]
+        st = np.flatnonzero(heads)
+
+        def red(col, op):
+            v = batch.column(col).to_numpy()[order]
+            return pa.array(op.reduceat(v, st), pa.int64())
+
+        return pa.table(
+            {
+                "lang": pa.array(list(lang[order][st]), pa.string()),
+                "n_docs": red("n_docs", np.add),
+                "total_tokens": red("total_tokens", np.add),
+                "total_chars": red("total_chars", np.add),
+                "n_quality_ok": red("n_quality_ok", np.add),
+                "min_chars": red("min_chars", np.minimum),
+                "max_chars": red("max_chars", np.maximum),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=1)  # <= |langs| rows per block
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )

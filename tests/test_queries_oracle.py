@@ -216,7 +216,7 @@ DOC_QUERIES = [
     "docs_intersect", "docs_except", "ngram_jaccard_exact",
     "er_exact_clusters", "ngram_jaccard_allpairs", "top_tokens_per_lang",
     "stratified_sample_docs", "er_cluster_size_hist", "docs_above_p90_len",
-    "decontaminate_docs", "doc_line_stats", "docs_csv_roundtrip",
+    "decontaminate_docs", "doc_line_stats", "docs_csv_roundtrip", "corpus_report",
     "docs_json_roundtrip", "docs_partitioned_sink",
 ]
 
