@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_json_roundtrip": T.docs_json_roundtrip,
         "docs_partitioned_sink": T.docs_partitioned_sink,
         "corpus_report": T.corpus_report,
+        "weighted_sample_docs": T.weighted_sample_docs,
         "kmeans_embeddings": _kmeans_q,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
@@ -754,6 +755,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_partitioned_sink": (
             "SELECT doc_id, n_chars FROM documents WHERE lang = 'de'"
+        ),
+        # length-weighted deterministic sample: P(keep) ~ n_chars
+        "weighted_sample_docs": (
+            "SELECT doc_id, n_chars FROM documents WHERE "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) "
+            " AS BIGINT) < n_chars * 450359962737"
         ),
         # fused one-pass multi-metric report; quality_ok is the
         # quality_scores oracle's expression

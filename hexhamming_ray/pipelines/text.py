@@ -2175,3 +2175,42 @@ def corpus_report(sf_dir: str):
         .map_batches(final, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
     )
+
+
+#: weighted-sample scale: P(keep) = n_chars * W_SCALE / 2^52
+#: (~10% per 1000 chars) — deterministic, so the "random" sample is
+#: reproducible on any cluster and resumable for free
+_W_SCALE = (1 << 52) // 10_000
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Length-WEIGHTED deterministic sample: keep each document with
+    probability proportional to its length — the standard training-mix
+    trick of sampling long documents more often — implemented as
+    ``hash52(doc_id) < n_chars * scale`` with the md5-prefix hash, so
+    membership is a pure function of the row (reproducible, resumable,
+    zero shuffle, exact SQL twin). (doc_id, n_chars)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        nch = batch.column("n_chars").to_numpy()
+        keep = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:13], 16)
+                < int(c) * _W_SCALE
+                for i, c in zip(ids, nch)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(mask),
+                "n_chars": batch.column("n_chars").filter(mask),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

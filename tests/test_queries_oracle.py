@@ -218,6 +218,7 @@ DOC_QUERIES = [
     "stratified_sample_docs", "er_cluster_size_hist", "docs_above_p90_len",
     "decontaminate_docs", "doc_line_stats", "docs_csv_roundtrip", "corpus_report",
     "docs_json_roundtrip", "docs_partitioned_sink",
+    "weighted_sample_docs",
 ]
 
 
