@@ -45,6 +45,19 @@ def _headline_queries():
     return {n: qs[n] for n in names}
 
 
+#: round-3 operators timed INFORMATIONALLY (separate JSON key; NOT in
+#: the headline total, which stays the fixed 12-query set so the
+#: BASELINE.md band comparison holds across rounds)
+_EXTENDED = [
+    "q5_revenue_by_nation",
+    "decontaminate_docs",
+    "corpus_report",
+    "funnel_conversions",
+    "orders_of_building_customers",
+    "kmeans_embeddings",
+]
+
+
 def _consume(res) -> int:
     import pandas as pd
     import pyarrow as pa
@@ -83,6 +96,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             best = min(best, time.monotonic() - t0)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+    import __ray_entry__ as E
+
+    eqs = E.queries()
+    ext_times: dict[str, float] = {}
+    for name in _EXTENDED:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _consume(eqs[name](sf_dir))
+            best = min(best, time.monotonic() - t0)
+        ext_times[name] = round(best, 3)
     out = {
         "metric": "headline_pipelines_total_sec",
         "value": total,
@@ -91,6 +115,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "aggregation": "min",
         "queries": times,
         "rows": rows,
+        "extended_queries_sec": ext_times,
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
