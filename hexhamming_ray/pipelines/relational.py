@@ -2374,9 +2374,17 @@ def funnel_conversions(sf_dir: str, *, gap_minutes: int = 30,
         uid = batch.column("user_id").cast(pa.int64()).to_numpy()
         ts = (batch.column("ts").cast(pa.timestamp("us"))
               .cast(pa.int64()).to_numpy())
-        et = np.asarray(batch.column("event_type").to_pylist())
+        # Arrow-side equality → three bool vectors (no per-row Python
+        # string materialization)
+        etc = batch.column("event_type")
+        is_view = pc.equal(etc, "view").to_numpy(zero_copy_only=False)
+        is_click = pc.equal(etc, "click").to_numpy(zero_copy_only=False)
+        is_buy = pc.equal(etc, "purchase").to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, uid))
-        uid, ts, et = uid[order], ts[order], et[order]
+        uid, ts = uid[order], ts[order]
+        is_view, is_click, is_buy = (
+            is_view[order], is_click[order], is_buy[order]
+        )
         new_s = np.empty(n, dtype=bool)
         new_s[0] = True
         new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
@@ -2388,9 +2396,9 @@ def funnel_conversions(sf_dir: str, *, gap_minutes: int = 30,
             return np.minimum.reduceat(v, starts)
 
         zero_floor = np.zeros(n, dtype=np.int64)
-        v = stage_min(et == "view", zero_floor)
-        c = stage_min(et == "click", np.repeat(v, sizes))
-        p = stage_min(et == "purchase", np.repeat(c, sizes))
+        v = stage_min(is_view, zero_floor)
+        c = stage_min(is_click, np.repeat(v, sizes))
+        p = stage_min(is_buy, np.repeat(c, sizes))
         return pa.table(
             {
                 "n_sessions": pa.array([len(starts)], pa.int64()),

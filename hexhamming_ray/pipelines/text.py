@@ -1382,14 +1382,37 @@ def ngram_jaccard_allpairs(sf_dir: str, *, threshold: float = 0.5):
         _docs(sf_dir, ["doc_id"]), pa.schema([("doc_id", pa.int64())])
     )
     ids = np.sort(ids_t.column("doc_id").to_numpy())
-    ii, jj = np.triu_indices(ids.shape[0], k=1)
-    cands = ray.data.from_arrow(
-        pa.table(
+    n = ids.shape[0]
+    ids_ref = ray.put(ids)
+    total = n * (n - 1) // 2
+
+    # the cartesian is GENERATED distributed from a range dataset (the
+    # driver holds only the sorted id vector, never the O(n^2) pair
+    # table): linear pair index -> (i, j) by inverting the triangular
+    # number, vectorized per batch
+    def expand(batch: pa.Table) -> pa.Table:
+        k_lin = batch.column("id").to_numpy()
+        kf = k_lin.astype(np.float64)
+        # row i of the upper triangle starts at T(i) = i*n - i(i+1)/2
+        i = np.floor(
+            (2 * n - 1 - np.sqrt((2 * n - 1) ** 2 - 8 * kf)) / 2
+        ).astype(np.int64)
+        # one-step correction for float jitter at exact row boundaries
+        T = lambda r: r * n - r * (r + 1) // 2  # noqa: E731
+        i = np.where(T(i) > k_lin, i - 1, i)
+        i = np.where(T(i + 1) <= k_lin, i + 1, i)
+        j = (k_lin - T(i)) + i + 1
+        local = ray.get(ids_ref)
+        return pa.table(
             {
-                "id_lo": pa.array(ids[ii], pa.int64()),
-                "id_hi": pa.array(ids[jj], pa.int64()),
+                "id_lo": pa.array(local[i], pa.int64()),
+                "id_hi": pa.array(local[j], pa.int64()),
             }
         )
+
+    cands = ray.data.range(total).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
     )
     return _ngram_verify_broadcast(sf_dir, cands, threshold,
                                    floor_round=True)
@@ -1412,20 +1435,23 @@ def top_tokens_per_lang(sf_dir: str, *, k: int = 10,
     num_partitions = num_partitions or _default_partitions()
 
     def explode_count(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        toks: list[str] = []
-        tok_lang: list[str] = []
-        for lang, t in zip(langs, texts):
-            tt = t.split()
-            toks.extend(tt)
-            tok_lang.extend([lang] * len(tt))
-        t = pa.table(
-            {
-                "lang": pa.array(tok_lang, pa.string()),
-                "tok": pa.array(toks, pa.string()),
-            }
+        # fully Arrow tokenize/explode: utf8_split_whitespace matches
+        # str.split() for \S+ tokens; lang repeats by list length
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lang_rep = batch.column("lang").take(
+            pa.array(
+                np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            )
         )
+        t = pa.table({"lang": lang_rep, "tok": toks.flatten()})
+        # Arrow's split keeps empty tokens at string edges (str.split
+        # drops them) — filter to match the \S+ oracle exactly
+        t = t.filter(pc.not_equal(t.column("tok"), ""))
         c = t.group_by(["lang", "tok"]).aggregate([("tok", "count")])
         return pa.table(
             {
