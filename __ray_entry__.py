@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_value": R.user_cumulative_value,
         "events_dayofweek": R.events_dayofweek,
         "part_name_features": R.part_name_features,
+        "cms_user_event_counts": R.cms_user_event_counts,
         # --- round-3 training-data-pipeline additions ---
         "er_cluster_size_hist": T.er_cluster_size_hist,
         "docs_above_p90_len": T.docs_above_p90_len,

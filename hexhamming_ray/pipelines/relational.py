@@ -2572,3 +2572,77 @@ def event_value_quartiles(sf_dir: str, *, buckets: int = 4,
         .map_batches(ntile, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
     )
+
+
+def _cms_build(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Count-Min sketch of int64 keys: a (depth, width) uint64 table;
+    row r uses the splitmix64 chain seeded by r. Vectorized adds."""
+    cms = np.zeros((depth, width), dtype=np.uint64)
+    h = keys.astype(np.uint64)
+    for r in range(depth):
+        h = _splitmix64(
+            h + np.uint64((r * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        )
+        np.add.at(cms[r], (h % np.uint64(width)).astype(np.int64), 1)
+    return cms
+
+
+def _cms_query(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates: min over depth rows (>= true count always)."""
+    depth, width = cms.shape
+    est = np.full(keys.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    h = keys.astype(np.uint64)
+    for r in range(depth):
+        h = _splitmix64(
+            h + np.uint64((r * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        )
+        np.minimum(
+            est, cms[r][(h % np.uint64(width)).astype(np.int64)], out=est
+        )
+    return est.astype(np.int64)
+
+
+def cms_user_event_counts(sf_dir: str, *, depth: int = 4,
+                          width: int = 4096, k: int = 20):
+    """COUNT-MIN SKETCH point estimates — the 4th mergeable sketch
+    (HLL distinct / heavy-hitter top-k / quantile digest / CMS
+    frequency): estimated event counts for the exact top-``k`` users.
+    (user_id, est_n).
+
+    Shape: each block builds its own (depth × width) CMS — sketches
+    merge by ELEMENTWISE SUM, so the exchange ships n_blocks × 128 KiB
+    of registers, never key rows; the driver merges and point-queries
+    the top-k keys (taken from the exact two-pass heavy-hitter, whose
+    own driver volume is already bounded). One-sided error by
+    construction: est >= true always, est <= true + e·N/width with
+    prob 1-(1/2)^depth — both pinned in tests against the exact
+    counts."""
+    import ray
+
+    def block_cms(batch: pa.Table) -> pa.Table:
+        cms = _cms_build(
+            batch.column("user_id").cast(pa.int64()).to_numpy(),
+            depth, width,
+        )
+        return pa.table(
+            {"cms": pa.array([cms.tobytes()], pa.large_binary())}
+        )
+
+    merged = np.zeros((depth, width), dtype=np.uint64)
+    for r in _t(sf_dir, "events", ["user_id"]).map_batches(
+        block_cms, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all():
+        merged += np.frombuffer(
+            r["cms"], dtype=np.uint64
+        ).reshape(depth, width)
+
+    top = top_users_heavyhitter(sf_dir, k=k).to_pandas()
+    keys = top["user_id"].to_numpy().astype(np.int64)
+    est = _cms_query(merged, keys)
+    return pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "est_n": pa.array(est, pa.int64()),
+        }
+    )

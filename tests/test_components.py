@@ -476,3 +476,43 @@ def test_bloom_filter_no_false_negatives():
         fp = _bloom_maybe(bits, probes, m_bits).mean()
         if m_bits == 1 << 17:
             assert fp < 0.2, f"fp rate {fp:.3f} too high for roomy filter"
+
+
+def test_cms_bounds_and_mergeability(ray_session):
+    """Count-Min invariants: (1) the distributed per-block-merged
+    sketch equals a single local build over all keys (merge is an
+    elementwise sum — exact); (2) est >= true for every queried key;
+    (3) est <= true + 2N/width for the top keys (the classic bound,
+    deterministic here)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines.relational import (
+        _cms_build, _cms_query, cms_user_event_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_user_event_counts(sf).to_pandas().set_index("user_id")
+
+    uid = pq.read_table(
+        f"{sf}/events.parquet", columns=["user_id"]
+    ).column("user_id").to_numpy().astype(np.int64)
+    n_total = len(uid)
+    true = {int(u): int(c) for u, c in
+            zip(*np.unique(uid, return_counts=True))}
+    width = 4096
+    for u, row in got.iterrows():
+        t = true[int(u)]
+        assert row.est_n >= t, f"CMS under-counted user {u}"
+        assert row.est_n <= t + 2 * n_total / width + 1
+
+    # mergeability: split keys into chunks, sum of chunk sketches ==
+    # one-shot sketch
+    one = _cms_build(uid, 4, width)
+    parts = sum(
+        _cms_build(c, 4, width) for c in np.array_split(uid, 7)
+    )
+    np.testing.assert_array_equal(one, parts)
+    np.testing.assert_array_equal(
+        _cms_query(one, uid[:50]), _cms_query(parts, uid[:50])
+    )
