@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh_exhaustive":
             A.embedding_near_dup_lsh_exhaustive,
         "embeddings_quantized_codes": A.embeddings_quantized_codes,
+        "label_centroids": A.label_centroids,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -630,6 +631,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             " FROM orders GROUP BY o_custkey) o "
             "ON c_custkey = o.o_custkey"
+        ),
+        # grouped vector aggregate in exact integer micro-units
+        # (order-free reduction; ROUND matches the engine's half-away)
+        "label_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, g.i AS idx, "
+            "CAST(SUM(CAST(ROUND(CAST(embedding[g.i] AS DOUBLE) * 1e6) "
+            "  AS BIGINT)) AS BIGINT) AS sum_micros, "
+            "CAST(COUNT(*) AS BIGINT) AS n_vectors "
+            "FROM embeddings, "
+            "UNNEST(generate_series(1, len(embedding))) AS g(i) "
+            "GROUP BY label, g.i"
         ),
         # the quantizer in long form: DuckDB reproduces scale and code
         # bit-exactly in float64 (abs-max/127 scale, ROUND = the

@@ -789,3 +789,87 @@ def embedding_near_dup_lsh_exhaustive(sf_dir: str, *,
     return embedding_near_dup_lsh(
         sf_dir, threshold=threshold, n_bits=0, n_tables=1
     )
+
+
+def label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate: per class label, the element-wise
+    centroid of its embeddings, in exact integer micro-units —
+    (label, idx, sum_micros, n_vectors) with centroid[idx] =
+    sum_micros / n_vectors / 1e6. Quantizing each element to int64
+    micros BEFORE summation makes the reduction order-free (integer
+    addition commutes exactly), so the distributed partial-sum merge
+    hashes bit-identically against the SQL oracle — the float-sum
+    version would differ in low bits by reduction order.
+
+    Shape: per block, one np.add.at scatter into a (n_labels × dim)
+    int64 matrix -> |labels|·dim partial rows per block (tiny) ->
+    single-block final sum. The corpus never shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(batch)
+        lab = batch.column("label").cast(pa.int64()).to_numpy()
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "sum_micros": pa.array([], pa.int64()),
+                    "n_vectors": pa.array([], pa.int64()),
+                }
+            )
+        # half-away-from-zero = SQL ROUND (np.round is half-to-even)
+        r = mat * 1e6
+        micros = np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int64)
+        ulab = np.unique(lab)
+        pos = np.searchsorted(ulab, lab)
+        dim = mat.shape[1]
+        sums = np.zeros((len(ulab), dim), dtype=np.int64)
+        np.add.at(sums, pos, micros)
+        counts = np.bincount(pos, minlength=len(ulab)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, dim), pa.int64()),
+                "idx": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                            len(ulab)),
+                    pa.int64(),
+                ),
+                "sum_micros": pa.array(sums.reshape(-1), pa.int64()),
+                "n_vectors": pa.array(
+                    np.repeat(counts, dim), pa.int64()
+                ),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        lab = batch.column("label").to_numpy()
+        idx = batch.column("idx").to_numpy()
+        s = batch.column("sum_micros").to_numpy()
+        c = batch.column("n_vectors").to_numpy()
+        order = np.lexsort((idx, lab))
+        lab, idx, s, c = lab[order], idx[order], s[order], c[order]
+        heads = np.empty(len(lab), dtype=bool)
+        heads[0] = True
+        heads[1:] = (lab[1:] != lab[:-1]) | (idx[1:] != idx[:-1])
+        st = np.flatnonzero(heads)
+        return pa.table(
+            {
+                "label": pa.array(lab[st], pa.int64()),
+                "idx": pa.array(idx[st], pa.int64()),
+                "sum_micros": pa.array(np.add.reduceat(s, st), pa.int64()),
+                "n_vectors": pa.array(np.add.reduceat(c, st), pa.int64()),
+            }
+        )
+
+    import ray  # noqa: F401 — _emb initializes the context
+
+    return (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=1)  # |labels| x dim rows per block
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
