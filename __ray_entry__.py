@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             A.embedding_near_dup_lsh_exhaustive,
         "embeddings_quantized_codes": A.embeddings_quantized_codes,
         "label_centroids": A.label_centroids,
+        "knn_label_accuracy": A.knn_label_accuracy,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -631,6 +632,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             " FROM orders GROUP BY o_custkey) o "
             "ON c_custkey = o.o_custkey"
+        ),
+        # k-NN majority-label classification (leave-one-out); majority
+        # ties break to the smallest label
+        "knn_label_accuracy": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "  FROM q CROSS JOIN embeddings e "
+            "  WHERE e.vec_id != q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER "
+            "  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) "
+            "  AS rank FROM sims), "
+            "votes AS (SELECT r.query_id, e.label, COUNT(*) AS c "
+            "  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id "
+            "  WHERE r.rank <= 5 GROUP BY r.query_id, e.label), "
+            "pred AS (SELECT query_id, label, ROW_NUMBER() OVER "
+            "  (PARTITION BY query_id ORDER BY c DESC, label) AS rn "
+            "  FROM votes) "
+            "SELECT p.query_id, CAST(t.label AS BIGINT) AS true_label, "
+            "CAST(p.label AS BIGINT) AS pred_label, "
+            "(p.label = t.label) AS correct "
+            "FROM pred p JOIN embeddings t ON t.vec_id = p.query_id "
+            "WHERE p.rn = 1"
         ),
         # grouped vector aggregate in exact integer micro-units
         # (order-free reduction; ROUND matches the engine's half-away)

@@ -873,3 +873,52 @@ def label_centroids(sf_dir: str):
         .map_batches(final, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
     )
+
+
+def knn_label_accuracy(sf_dir: str, *, n_queries: int = 10, k: int = 5):
+    """k-NN CLASSIFICATION over the embedding corpus: for each query
+    vector, predict the majority label of its top-k cosine neighbors
+    (leave-one-out — the search already excludes self) and compare to
+    the query's own label. (query_id, true_label, pred_label, correct).
+    Majority ties break to the smallest label (pinned in the oracle's
+    ROW_NUMBER order).
+
+    Shape: the distributed part IS :func:`knn_bruteforce` (oracled);
+    everything after it touches only n_queries x k rows — the neighbor
+    and query labels arrive via a driver-local pyarrow pushdown read of
+    just those vec_ids, and the vote is a numpy bincount over <= 50
+    rows. At corpus scale swap the brute-force stage for knn_ivf/lsh;
+    the vote logic is identical."""
+    import pyarrow.dataset as pds
+    import pyarrow.compute as pc
+
+    nn = knn_bruteforce(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    need = sorted(
+        set(nn["neighbor_id"].tolist()) | set(nn["query_id"].tolist())
+    )
+    lab_t = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "label"],
+        filter=pc.field("vec_id").isin(need),
+    )
+    lab = dict(
+        zip(
+            lab_t.column("vec_id").to_pylist(),
+            lab_t.column("label").to_pylist(),
+        )
+    )
+    rows = []
+    for qid, grp in nn.groupby("query_id"):
+        votes: dict[int, int] = {}
+        for nb in grp["neighbor_id"]:
+            votes[lab[nb]] = votes.get(lab[nb], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        true = lab[int(qid)]
+        rows.append((int(qid), int(true), int(pred), pred == true))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "true_label": pa.array([r[1] for r in rows], pa.int64()),
+            "pred_label": pa.array([r[2] for r in rows], pa.int64()),
+            "correct": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
