@@ -135,6 +135,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_q,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
+        # --- round-3 window/rollup/dedup breadth ---
+        "event_lag_lead": R.event_lag_lead,
+        "supplier_rank_in_nation": R.supplier_rank_in_nation,
+        "user_first_last_event": R.user_first_last_event,
+        "orders_by_month": R.orders_by_month,
+        "dedup_keep_longest": T.dedup_keep_longest,
+        "scrub_docs": T.scrub_docs,
+        "line_dedup_docs": T.line_dedup_docs,
     }
 
 
@@ -847,5 +855,85 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams "
             "FROM shd WHERE doc_id % 50 <> 0 "
             "AND s IN (SELECT s FROM bench) GROUP BY doc_id"
+        ),
+        # LAG/LEAD window, (ts, event_id) tie order pinned; -1 sentinel
+        # keeps the columns pure int64 on both sides
+        "event_lag_lead": (
+            "SELECT event_id, user_id, "
+            "COALESCE(LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w, -1) "
+            " AS prev_cents, "
+            "COALESCE(LEAD(CAST(ROUND(value * 100) AS BIGINT)) OVER w, -1) "
+            " AS next_cents "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # DENSE_RANK on the cent value only — ties share a rank by
+        # construction, so no tiebreak column is needed
+        "supplier_rank_in_nation": (
+            "SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey "
+            " ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC) "
+            " AS BIGINT) AS rnk FROM supplier"
+        ),
+        "user_first_last_event": (
+            "SELECT user_id, "
+            "FIRST(event_type ORDER BY ts, event_id) AS first_type, "
+            "LAST(event_type ORDER BY ts, event_id) AS last_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY user_id"
+        ),
+        "orders_by_month": (
+            "SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) "
+            " AS BIGINT) AS ym, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            " AS sum_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1"
+        ),
+        # keep-best dedup over the NORMALIZED content hash; the
+        # normalization expression mirrors _normalize_text exactly
+        "dedup_keep_longest": (
+            "WITH g AS (SELECT "
+            " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) "
+            "  AS h, doc_id, n_chars, "
+            " ROW_NUMBER() OVER (PARTITION BY "
+            "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) "
+            "  ORDER BY n_chars DESC, doc_id) AS rn, "
+            " COUNT(*) OVER (PARTITION BY "
+            "  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))) "
+            "  AS cnt FROM documents) "
+            "SELECT h, doc_id AS keep_id, "
+            "CAST(n_chars AS BIGINT) AS keep_chars, "
+            "CAST(cnt AS BIGINT) AS n_dups FROM g WHERE rn = 1"
+        ),
+        # both engines run RE2, so the same two regexp_replace calls
+        # ARE the oracle; n_masked counts emails first, then digit runs
+        # in the email-masked text (same order as the engine)
+        "scrub_docs": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(text, "
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            " '<EMAIL>', 'g'), '[0-9]+', '#', 'g') AS clean_text, "
+            "CAST(len(regexp_extract_all(text, "
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + "
+            "len(regexp_extract_all(regexp_replace(text, "
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            " '<EMAIL>', 'g'), '[0-9]+')) AS BIGINT) AS n_masked "
+            "FROM documents"
+        ),
+        # corpus-wide first-occurrence line dedup: a line is kept only
+        # at its minimal (doc_id, line_no) occurrence
+        "line_dedup_docs": (
+            "WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l "
+            "  FROM documents), "
+            "lines AS (SELECT doc_id, i AS line_no, l[i] AS line "
+            "  FROM ls, UNNEST(generate_series(1, len(l))) AS g(i)), "
+            "ranked AS (SELECT doc_id, line_no, "
+            "  ROW_NUMBER() OVER (PARTITION BY line "
+            "   ORDER BY doc_id, line_no) AS rn FROM lines) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            " AS kept_lines "
+            "FROM ranked GROUP BY doc_id"
         ),
     }

@@ -2646,3 +2646,180 @@ def cms_user_event_counts(sf_dir: str, *, depth: int = 4,
             "est_n": pa.array(est, pa.int64()),
         }
     )
+
+
+def event_lag_lead(sf_dir: str, *, num_partitions: int = 16):
+    """LAG/LEAD window: each event's previous and next cent-value
+    within its user, ordered by (ts, event_id); partition edges carry
+    the -1 sentinel (a COALESCE keeps the columns pure int64 so the
+    oracle hash never meets a NULL/NaN dtype fork).
+    (event_id, user_id, prev_cents, next_cents).
+
+    Shape: the shared windowed-op partitioning — hash-repartition by
+    user (each user's rows in ONE block) + one lexsort per block +
+    two shifted `np.where` masks. Zero per-row Python."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "prev_cents": pa.array([], pa.int64()),
+                    "next_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        v = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        prev = np.full(n, -1, dtype=np.int64)
+        nxt = np.full(n, -1, dtype=np.int64)
+        same = uid[1:] == uid[:-1]
+        prev[1:][same] = v[:-1][same]
+        nxt[:-1][same] = v[1:][same]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "prev_cents": pa.array(prev, pa.int64()),
+                "next_cents": pa.array(nxt, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+
+def supplier_rank_in_nation(sf_dir: str, *, num_partitions: int = 4):
+    """DENSE_RANK window: each supplier's dense rank by account balance
+    (desc) within its nation — ties share a rank, no gaps.
+    (s_suppkey, s_nationkey, rnk).
+
+    Shape: hash-repartition by nation + one lexsort per block; the
+    dense level is a cumsum of value-change markers, re-based at each
+    nation run start — rank order depends only on the value, so ties
+    are deterministic without a tiebreak column."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        nk = batch.column("s_nationkey").cast(pa.int64()).to_numpy()
+        sk = batch.column("s_suppkey").cast(pa.int64()).to_numpy()
+        bal = _cents(batch.column("s_acctbal")).to_numpy()
+        order = np.lexsort((sk, -bal, nk))
+        nk, sk, bal = nk[order], sk[order], bal[order]
+        new_nation = np.zeros(n, dtype=bool)
+        new_nation[0] = True
+        new_nation[1:] = nk[1:] != nk[:-1]
+        new_level = new_nation.copy()
+        new_level[1:] |= bal[1:] != bal[:-1]
+        lvl = np.cumsum(new_level)
+        starts = np.flatnonzero(new_nation)
+        base = lvl[starts] - 1
+        runs = np.diff(np.r_[starts, n])
+        rnk = lvl - np.repeat(base, runs)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_nationkey": pa.array(nk, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["s_nationkey"],
+                     sort=True)
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+
+def user_first_last_event(sf_dir: str, *, num_partitions: int = 16):
+    """Ordered FIRST/LAST aggregate: per user, the first and last event
+    type by (ts, event_id) plus the event count —
+    (user_id, first_type, last_type, n_events).
+
+    Shape: hash-repartition by user + one lexsort per block; run
+    boundaries index the type column directly (two `take` calls), so
+    the aggregate never builds per-group state."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_type": pa.array([], pa.string()),
+                    "last_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n] - 1
+        types = batch.column("event_type")
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "first_type": types.take(pa.array(order[starts])),
+                "last_type": types.take(pa.array(order[ends])),
+                "n_events": pa.array(
+                    np.diff(np.r_[starts, n]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+
+
+def orders_by_month(sf_dir: str):
+    """Date-truncation rollup: orders grouped by calendar month
+    (ym = year*100 + month) — (ym, n_orders, sum_cents). The month key
+    is computed vectorized per batch (pc.year/pc.month); ~85 distinct
+    months: partial-combine + coalesce, no shuffle at all."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        ym = pc.add(
+            pc.multiply(pc.year(d).cast(pa.int64()), 100),
+            pc.month(d).cast(pa.int64()),
+        )
+        return pa.table(
+            {"ym": ym, "cents": _cents(batch.column("o_totalprice"))}
+        )
+
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = _grouped_sums(ds, ["ym"], ["cents"], "n_orders", coalesce=True)
+    return out.rename_columns(["ym", "sum_cents", "n_orders"])

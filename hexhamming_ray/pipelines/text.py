@@ -2240,3 +2240,203 @@ def weighted_sample_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def dedup_keep_longest(sf_dir: str, *, num_partitions: int | None = None):
+    """Canonical-document dedup, keep-best flavor: group by the
+    NORMALIZED content hash (md5 of lowercased, whitespace-collapsed,
+    trimmed text — so re-spaced/re-cased copies collide) and keep the
+    longest raw document of each group, ties to the smallest doc_id.
+    (h, keep_id, keep_chars, n_dups).
+
+    The "keep the best exemplar" selection every training-data dedup
+    needs once duplicates aren't byte-identical. Shape: one fused map
+    (normalize + hash + slim to 3 columns) -> ONE keyed exchange on the
+    hash -> a vectorized run pass that takes each group's lexsort head
+    and length. Exchange rows are (hash, id, chars) — content never
+    shuffles."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        norm = _normalize_text(batch.column("text"))
+        return pa.table(
+            {
+                "h": pa.array(_md5_hex(norm.to_pylist()), pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    def keep_best(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.string()),
+                    "keep_id": pa.array([], pa.int64()),
+                    "keep_chars": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        h = np.asarray(batch.column("h").to_pylist())
+        ids = batch.column("doc_id").to_numpy()
+        chars = batch.column("n_chars").to_numpy()
+        order = np.lexsort((ids, -chars, h))
+        h, ids, chars = h[order], ids[order], chars[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.r_[starts, n]).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h[starts], pa.string()),
+                "keep_id": pa.array(ids[starts], pa.int64()),
+                "keep_chars": pa.array(chars[starts], pa.int64()),
+                "n_dups": pa.array(runs, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"], hash_shuffle=True)
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["h"], sort=True)
+        .map_batches(keep_best, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def scrub_docs(sf_dir: str):
+    """PII scrubbing: emails -> '<EMAIL>' then digit runs -> '#'.
+    (doc_id, clean_text, n_masked) where n_masked counts replacements.
+    Pure per-batch map over RE2 kernels (pyarrow and DuckDB both run
+    RE2, so the oracle is the same two regexp_replace calls), zero
+    shuffle, zero per-row Python."""
+    _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        t1 = pc.replace_substring_regex(
+            txt, pattern=_EMAIL, replacement="<EMAIL>")
+        t2 = pc.replace_substring_regex(
+            t1, pattern=r"[0-9]+", replacement="#")
+        n_masked = pc.add(
+            pc.count_substring_regex(txt, pattern=_EMAIL),
+            pc.count_substring_regex(t1, pattern=r"[0-9]+"),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": t2,
+                "n_masked": n_masked,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def line_dedup_docs(sf_dir: str, *, num_partitions: int | None = None):
+    """Corpus-wide exact line dedup (the CCNet/RefinedWeb boilerplate
+    cut): a line is KEPT only at its first occurrence in the corpus,
+    ordered by (doc_id, line_no); every later copy anywhere is
+    dropped. Per document: (doc_id, n_lines, kept_lines).
+
+    Shape: explode each batch to slim (line_hash, doc_id, line_no)
+    rows — lines are byte windows of the flattened Arrow buffer hashed
+    by the vectorized polynomial kernel, so the exchange carries
+    16-byte rows, never line text. ONE keyed exchange on the hash
+    co-locates all copies of a line; a lexsort-head pass marks each
+    hash's global first; per-(block, doc) partial counts then meet in
+    a second small exchange on doc_id. Same accepted 64-bit collision
+    trade as doc_line_stats / the ngram pipelines."""
+    from ray.data.aggregate import Sum
+
+    from hexhamming_ray.functions.hashing import _window_hashes
+
+    num_partitions = num_partitions or _default_partitions()
+    _EMPTY_LINE = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "lh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "line_no": pa.array([], pa.int64()),
+                }
+            )
+        lines = pc.split_pattern(batch.column("text"), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        loff = lines.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(loff)
+        flat = lines.values
+        sb = flat.buffers()
+        so = np.frombuffer(
+            sb[1], dtype=np.int32, count=len(flat) + 1,
+            offset=flat.offset * 4,
+        ).astype(np.int64)
+        buf = np.frombuffer(sb[2], dtype=np.uint8)
+        l, r = so[:-1], so[1:]
+        h = np.full(len(flat), _EMPTY_LINE, dtype=np.uint64)
+        ne = r > l
+        if ne.any():
+            h[ne] = _window_hashes(buf, l[ne], r[ne])
+        doc = np.repeat(
+            batch.column("doc_id").cast(pa.int64()).to_numpy(), counts
+        )
+        line_no = np.arange(h.shape[0], dtype=np.int64) - np.repeat(
+            loff[:-1], counts
+        ) + 1
+        return pa.table(
+            {
+                "lh": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "line_no": pa.array(line_no, pa.int64()),
+            }
+        )
+
+    def mark_firsts(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_lines_p": pa.array([], pa.int64()),
+                    "kept_p": pa.array([], pa.int64()),
+                }
+            )
+        lh = batch.column("lh").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        lno = batch.column("line_no").to_numpy()
+        order = np.lexsort((lno, doc, lh))
+        lh_s, doc_s = lh[order], doc[order]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = lh_s[1:] != lh_s[:-1]
+        # per-(doc) partials within this block: total + kept
+        u, inv = np.unique(doc_s, return_inverse=True)
+        tot = np.bincount(inv, minlength=u.shape[0])
+        kept = np.bincount(inv[first], minlength=u.shape[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_lines_p": pa.array(tot.astype(np.int64), pa.int64()),
+                "kept_p": pa.array(kept.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["lh"], sort=True)
+        .map_batches(mark_firsts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("doc_id")
+        .aggregate(Sum("n_lines_p"), Sum("kept_p"))
+    )
+    return out.rename_columns(["doc_id", "n_lines", "kept_lines"])

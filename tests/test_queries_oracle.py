@@ -145,6 +145,7 @@ EVENT_QUERIES = [
     "events_per_hour", "events_by_type", "event_props_k",
     "top_users_heavyhitter", "user_cumulative_value",
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
+    "event_lag_lead", "user_first_last_event",
 ]
 
 
@@ -218,7 +219,8 @@ DOC_QUERIES = [
     "stratified_sample_docs", "er_cluster_size_hist", "docs_above_p90_len",
     "decontaminate_docs", "doc_line_stats", "docs_csv_roundtrip", "corpus_report",
     "docs_json_roundtrip", "docs_partitioned_sink",
-    "weighted_sample_docs",
+    "weighted_sample_docs", "dedup_keep_longest", "scrub_docs",
+    "line_dedup_docs",
 ]
 
 
@@ -244,6 +246,12 @@ def adversarial_docs_dir(tmp_path_factory):
         "这是一个中文文档内容测试样本",        # CJK (langid override)
         "!!! ??? ;;; ### $$$ %%%",   # punctuation flood
         "a\tb\nc\r\nd  e   f",       # mixed whitespace runs
+        "mail Bob.Smith+x@sub.example.co.uk or call 555 1234",  # PII
+        "v1.2.3 costs 42 dollars and 7 cents 007",  # digit runs
+        "Shared Boilerplate Line\nunique alpha line\nShared Boilerplate Line",
+        "Shared Boilerplate Line\nunique beta line",  # cross-doc dup lines
+        "CASE and   space Variant doc",
+        "case AND space    variant DOC",  # normalized-equal, diff n_chars
     ]
     for i in range(292):
         k = int(rng.integers(3, 40))
