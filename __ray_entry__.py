@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": T.dedup_keep_longest,
         "scrub_docs": T.scrub_docs,
         "line_dedup_docs": T.line_dedup_docs,
+        "token_doc_freq": T.token_doc_freq,
     }
 
 
@@ -935,5 +936,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
             " AS kept_lines "
             "FROM ranked GROUP BY doc_id"
+        ),
+        # vocabulary stats: document frequency + total count per token
+        "token_doc_freq": (
+            "WITH toks AS (SELECT doc_id, "
+            " unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            " FROM documents) "
+            "SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5"
         ),
     }

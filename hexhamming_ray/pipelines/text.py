@@ -2440,3 +2440,72 @@ def line_dedup_docs(sf_dir: str, *, num_partitions: int | None = None):
         .aggregate(Sum("n_lines_p"), Sum("kept_p"))
     )
     return out.rename_columns(["doc_id", "n_lines", "kept_lines"])
+
+
+def token_doc_freq(sf_dir: str, *, min_df: int = 5,
+                   num_partitions: int | None = None):
+    """Vocabulary statistics for tokenizer training: per token, the
+    document frequency (distinct docs containing it) and total
+    occurrence count, kept where df >= ``min_df``. (tok, df, n).
+
+    Shape: per-block token explode with an in-block Arrow combiner —
+    first to distinct (doc, tok) pairs (exact per-doc dedup: a doc's
+    tokens live in one batch), then to per-token (df, n) partials, so
+    the corpus-sized token stream collapses to vocabulary-sized rows
+    before ANY data moves -> ONE keyed exchange on tok -> run-sum
+    finalize + the df filter (the filter can't run earlier: a token
+    under min_df in one block can cross it globally)."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_rep = batch.column("doc_id").take(
+            pa.array(np.repeat(np.arange(len(batch), dtype=np.int64),
+                               counts))
+        )
+        t = pa.table({"doc_id": doc_rep, "tok": toks.flatten()})
+        t = t.filter(pc.not_equal(t.column("tok"), ""))
+        pairs = t.group_by(["doc_id", "tok"]).aggregate([("tok", "count")])
+        per_tok = pairs.group_by("tok").aggregate(
+            [("doc_id", "count"), ("tok_count", "sum")]
+        )
+        return pa.table(
+            {
+                "tok": per_tok.column("tok"),
+                "df": per_tok.column("doc_id_count").cast(pa.int64()),
+                "n": per_tok.column("tok_count_sum").cast(pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        c = batch.group_by("tok").aggregate([("df", "sum"), ("n", "sum")])
+        c = c.filter(pc.greater_equal(c.column("df_sum"), min_df))
+        return pa.table(
+            {
+                "tok": c.column("tok"),
+                "df": c.column("df_sum").cast(pa.int64()),
+                "n": c.column("n_sum").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(explode_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["tok"], sort=True)
+        .map_batches(finalize, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

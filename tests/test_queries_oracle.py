@@ -220,7 +220,7 @@ DOC_QUERIES = [
     "decontaminate_docs", "doc_line_stats", "docs_csv_roundtrip", "corpus_report",
     "docs_json_roundtrip", "docs_partitioned_sink",
     "weighted_sample_docs", "dedup_keep_longest", "scrub_docs",
-    "line_dedup_docs",
+    "line_dedup_docs", "token_doc_freq",
 ]
 
 
