@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_docs": T.scrub_docs,
         "line_dedup_docs": T.line_dedup_docs,
         "token_doc_freq": T.token_doc_freq,
+        "events_hopping_6h": R.events_hopping_6h,
     }
 
 
@@ -945,5 +946,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM toks GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5"
+        ),
+        # hopping window: 6h windows advancing by 1h; an hour-h event
+        # belongs to the 6 windows starting at h-5h .. h
+        "events_hopping_6h": (
+            "WITH h AS (SELECT "
+            " CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS he, "
+            " CAST(ROUND(value * 1000) AS BIGINT) AS mv FROM events), "
+            "w AS (SELECT he - 3600 * i AS ws, mv FROM h, "
+            " UNNEST(generate_series(0, 5)) AS g(i)) "
+            "SELECT ws AS win_start_epoch, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(mv) AS BIGINT) AS sum_value_milli "
+            "FROM w GROUP BY ws"
         ),
     }

@@ -2823,3 +2823,52 @@ def orders_by_month(sf_dir: str):
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     out = _grouped_sums(ds, ["ym"], ["cents"], "n_orders", coalesce=True)
     return out.rename_columns(["ym", "sum_cents", "n_orders"])
+
+
+def events_hopping_6h(sf_dir: str, *, win_hours: int = 6):
+    """Hopping-window aggregate: 6-hour windows advancing by 1 hour —
+    each event lands in the ``win_hours`` windows covering its hour.
+    (win_start_epoch, n_events, sum_value_milli).
+
+    Shape: the window membership NEVER explodes raw events — each
+    block first combines to per-hour partials (bounded by distinct
+    hours, not rows), the tiny partial table replicates x6 with
+    shifted window starts, and the final merge coalesces (distinct
+    window starts ~ corpus hours, small even at 100 TB of events)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        epoch = pc.divide(hour.cast(pa.int64()), 1_000_000)
+        mv = pc.round(
+            pc.multiply(batch.column("value"), 1000),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        hourly = _combine_runs(["he"], ["mv"], "n")(
+            pa.table({"he": epoch, "mv": mv})
+        )
+        k = len(hourly)
+        he = hourly.column("he").to_numpy()
+        mvs = hourly.column("mv").to_numpy()
+        ns = hourly.column("n").to_numpy()
+        shift = np.arange(win_hours, dtype=np.int64) * 3600
+        ws = (he[:, None] - shift[None, :]).ravel()
+        return pa.table(
+            {
+                "ws": pa.array(ws, pa.int64()),
+                "mv": pa.array(np.repeat(mvs, win_hours), pa.int64()),
+                "n": pa.array(np.repeat(ns, win_hours), pa.int64()),
+            }
+        )
+
+    out = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(_combine_runs(["ws"], ["mv", "n"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )
+    return out.rename_columns(
+        ["win_start_epoch", "sum_value_milli", "n_events"]
+    )

@@ -145,7 +145,7 @@ EVENT_QUERIES = [
     "events_per_hour", "events_by_type", "event_props_k",
     "top_users_heavyhitter", "user_cumulative_value",
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
-    "event_lag_lead", "user_first_last_event",
+    "event_lag_lead", "user_first_last_event", "events_hopping_6h",
 ]
 
 
