@@ -1699,6 +1699,17 @@ class _SupplierNationLookup:
         )
 
 
+#: broadcast the (window orders x customer) join side when it fits
+#: this many rows (~16 B/row -> ~32 MiB in plasma at the cap); above
+#: it, the bloom-prefiltered native hash join path runs instead
+Q5_BROADCAST_ORDER_CAP = 2_000_000
+
+#: broadcast the c_custkey -> c_nationkey map when customer has at
+#: most this many rows (dense int64 array, ~8 B/key); above it,
+#: orders x customer runs as a native hash join
+Q5_CUST_BROADCAST_CAP = 5_000_000
+
+
 def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
                          date_lo: str = "1996-01-01",
                          date_hi: str = "1997-01-01",
@@ -1709,17 +1720,21 @@ def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
     revenue_cents).
 
     Shape — the canonical star-join split between exchange and
-    broadcast: the two FACT tables meet in native hash joins (orders
+    broadcast: the FACT tables meet in native hash joins (orders
     pruned at the read by the date predicate, lineitem projected to 3
     columns), while all three DIMENSIONS (supplier, nation, region)
-    ride one ray.put broadcast into a task-pool gather UDF. Before the
-    big lineitem join, a broadcast BLOOM of the date-window order keys
-    (built distributed from j1's blocks) drops non-window lineitems
-    MAP-SIDE — locally neutral (~3.9 vs ~4.1 s at sf0.1, join fixed
-    costs dominate), but at scale the second join's exchange carries
-    ~window-selectivity x |lineitem| instead of all of it. The final
-    grouped sum is partial-combined and coalesced (<= 25 groups), so
-    after the two fact joins nothing shuffles."""
+    ride one ray.put broadcast into a task-pool gather UDF. The
+    orders x customer join result j1 is bounded by the DATE WINDOW,
+    not the corpus — when it fits ``Q5_BROADCAST_ORDER_CAP`` rows it
+    broadcasts as an exact sorted-key lookup fused into the lineitem
+    prep, so the big lineitem join disappears entirely (map-side
+    filter + nationkey gather; measured 7.1 -> ~3 s at sf0.1).
+    Above the cap, the shuffle path: a broadcast BLOOM of j1's order
+    keys drops non-window lineitems MAP-SIDE before the native hash
+    join, whose exchange then carries ~window-selectivity x
+    |lineitem| instead of all of it. The final grouped sum is
+    partial-combined and coalesced (<= 25 groups), so after the fact
+    joins nothing shuffles."""
     import datetime as _dt
 
     import pyarrow.dataset as pads
@@ -1751,14 +1766,114 @@ def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
         sf_dir, "orders", ["o_orderkey", "o_custkey"],
         (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
     )
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j1 = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+    n_cust = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+    if n_cust <= Q5_CUST_BROADCAST_CAP:
+        # customer fits the broadcast cap: the c_custkey -> c_nationkey
+        # map rides ray.put into the orders scan, so join #1 is a
+        # map-side dense-array gather (keys are dense TPC-H ints)
+        ct = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+        ck = ct.column("c_custkey").to_numpy()
+        cust_nat = np.full(int(ck.max()) + 1, -1, dtype=np.int64)
+        cust_nat[ck] = ct.column("c_nationkey").cast(pa.int64()).to_numpy()
+        cust_ref = ray.put(cust_nat)
+
+        class _OPrep:
+            def __init__(self, ref):
+                self.ref = ref
+                self._m = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._m is None:
+                    self._m = ray.get(self.ref)
+                ok = batch.column("o_custkey").to_numpy()
+                # unknown keys -> -1, dropped downstream exactly like
+                # the inner join's non-match (nat_name[-1] is None)
+                nk = np.where(
+                    ok < self._m.shape[0],
+                    self._m[np.minimum(ok, self._m.shape[0] - 1)],
+                    -1,
+                )
+                return pa.table(
+                    {
+                        "o_orderkey": batch.column("o_orderkey"),
+                        "c_nationkey": pa.array(nk, pa.int64()),
+                    }
+                )
+
+        j1 = orders.map_batches(
+            _OPrep(cust_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        ).materialize()
+    else:
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        j1 = orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "c_nationkey"]).materialize()
+
+    if j1.count() <= Q5_BROADCAST_ORDER_CAP:
+        # window-bounded fast path: j1 broadcasts as an exact sorted
+        # lookup (o_orderkey -> c_nationkey); the lineitem join
+        # becomes a map-side searchsorted filter + gather
+        tabs = [t for t in ray.get(j1.to_arrow_refs()) if t.num_rows]
+        jt = pa.concat_tables(tabs)
+        okeys = jt.column("o_orderkey").to_numpy()
+        onat = jt.column("c_nationkey").cast(pa.int64()).to_numpy()
+        srt = np.argsort(okeys, kind="stable")
+        lut_ref = ray.put((okeys[srt], onat[srt]))
+
+        class _LJoinBcast:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                keys_s, nat_s = self._lut
+                lk = batch.column("l_orderkey").to_numpy()
+                pos = np.searchsorted(keys_s, lk)
+                pos_c = np.minimum(pos, keys_s.shape[0] - 1)
+                hit = keys_s[pos_c] == lk
+                f = batch.filter(pa.array(hit))
+                rev = pc.multiply(
+                    f.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+                )
+                return pa.table(
+                    {
+                        "l_suppkey": f.column("l_suppkey"),
+                        "c_nationkey": pa.array(
+                            nat_s[pos_c[hit]], pa.int64()
+                        ),
+                        "rev_cents": _cents(rev),
+                    }
+                )
+
+        j2 = _t(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            _LJoinBcast(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        tagged = j2.map_batches(
+            _SupplierNationLookup(dims_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        return _grouped_sums(
+            tagged, ["n_name"], ["rev_cents"], "n_items", coalesce=True
+        ).select_columns(["n_name", "rev_cents"]).rename_columns(
+            ["n_name", "revenue_cents"]
+        )
 
     # distributed bloom over j1's order keys (the date window), fused
     # into the lineitem prep as a map-side pre-filter for the big join

@@ -598,3 +598,30 @@ def test_quantile_sketch_accuracy(ray_session):
         rng = max(exact.loc[s, "rng"], 1)
         assert abs(got.loc[s, "approx_median_cents"] - exact.loc[s, "m"]) <= 0.01 * rng, s
         assert abs(got.loc[s, "approx_p90_cents"] - exact.loc[s, "p"]) <= 0.01 * rng, s
+
+
+def test_q5_plan_paths_agree(ray_session):
+    """q5's three physical plans (all-broadcast, customer-join +
+    order-broadcast, full shuffle with bloom prefilter) must produce
+    identical revenue rows; defaults take the all-broadcast path at
+    test scale, so force each fallback via the caps and diff."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return (
+            R.q5_revenue_by_nation(SF_DIR).to_pandas()
+            .sort_values("n_name").reset_index(drop=True)
+        )
+
+    ref = run()
+    old_c, old_o = R.Q5_CUST_BROADCAST_CAP, R.Q5_BROADCAST_ORDER_CAP
+    try:
+        R.Q5_CUST_BROADCAST_CAP = -1   # force the customer hash join
+        mid = run()
+        R.Q5_BROADCAST_ORDER_CAP = -1  # force bloom + lineitem join
+        full = run()
+    finally:
+        R.Q5_CUST_BROADCAST_CAP, R.Q5_BROADCAST_ORDER_CAP = old_c, old_o
+    pd.testing.assert_frame_equal(ref, mid)
+    pd.testing.assert_frame_equal(ref, full)
+    assert len(ref) > 0
