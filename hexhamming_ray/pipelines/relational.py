@@ -193,6 +193,11 @@ def orders_by_status(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
+#: coalesce the per-customer combine when the key domain (customer
+#: rows) fits one block comfortably; above it, the keyed exchange
+TOPK_COALESCE_CAP = 2_000_000
+
+
 def top_customers(sf_dir: str):
     """Top 10 customers by total order value:
     (c_custkey, c_name, total_cents, n_orders).
@@ -217,11 +222,21 @@ def top_customers(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"],
                 hash_shuffle=True).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    # num_partitions=8: warm back-to-back A/B at sf0.1/32 CPUs measured
-    # 1.3-1.5 s at 8 vs 1.7 s at 16 (aggregator spin-up dominates this
-    # 15k-key exchange); size to the cluster at real scale
+    # size-switch the combine on the KEY DOMAIN (customer row count,
+    # free from parquet metadata): per-block partials are <= |keys|
+    # rows, so under the cap one concat block beats the keyed
+    # exchange (warm A/B at sf0.1/32 CPUs: ~1.8 s vs ~4 s — the
+    # aggregator spin-up dominates a 15k-key exchange). Above the cap
+    # the 8-partition exchange is the scale path (measured best of
+    # 8/16 in round 2).
+    import pyarrow.parquet as _pq
+
+    n_cust = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
     per_cust = _grouped_sums(
-        orders, ["o_custkey"], ["cents"], "n_orders"
+        orders, ["o_custkey"], ["cents"], "n_orders",
+        coalesce=n_cust <= TOPK_COALESCE_CAP,
     ).rename_columns(["o_custkey", "total_cents", "n_orders"])
 
     def local_top10(batch: pa.Table) -> pa.Table:

@@ -625,3 +625,19 @@ def test_q5_plan_paths_agree(ray_session):
     pd.testing.assert_frame_equal(ref, mid)
     pd.testing.assert_frame_equal(ref, full)
     assert len(ref) > 0
+
+
+def test_top_customers_combine_paths_agree(ray_session):
+    """top_customers' coalesced combine (key domain under the cap) and
+    the keyed-exchange scale path must produce identical top-10 rows."""
+    from hexhamming_ray.pipelines import relational as R
+
+    ref = R.top_customers(SF_DIR).to_pandas()
+    old = R.TOPK_COALESCE_CAP
+    try:
+        R.TOPK_COALESCE_CAP = -1  # force the keyed exchange
+        alt = R.top_customers(SF_DIR).to_pandas()
+    finally:
+        R.TOPK_COALESCE_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) == 10
