@@ -2401,6 +2401,12 @@ def _bloom_maybe(bits: np.ndarray, keys: np.ndarray,
     return out
 
 
+#: broadcast the semi-join build side whole (sorted int64 keys) when
+#: it has at most this many rows; above it, bloom prefilter + native
+#: left_semi join
+SEMI_BROADCAST_KEY_CAP = 5_000_000
+
+
 def orders_of_building_customers(sf_dir: str, *, segment: str = "BUILDING",
                                  m_bits: int = 1 << 17,
                                  num_partitions: int = 8):
@@ -2416,7 +2422,13 @@ def orders_of_building_customers(sf_dir: str, *, segment: str = "BUILDING",
 
     At a selectivity of 1/5 this cuts the join exchange ~5×; at 100 TB
     against a selective dimension it's the difference between shuffling
-    the corpus and shuffling the answer."""
+    the corpus and shuffling the answer.
+
+    When the build side fits ``SEMI_BROADCAST_KEY_CAP`` keys it
+    broadcasts whole as a sorted exact lookup instead (the join and
+    the bloom both disappear: one map-side searchsorted filter, zero
+    exchange) — the plan a cost-based optimizer picks at this build
+    size; the bloom+join plan remains the above-cap scale path."""
     import pyarrow.dataset as pads
     import ray
 
@@ -2424,6 +2436,45 @@ def orders_of_building_customers(sf_dir: str, *, segment: str = "BUILDING",
         sf_dir, "customer", ["c_custkey"],
         pads.field("c_mktsegment") == segment,
     )
+
+    if dim.count() <= SEMI_BROADCAST_KEY_CAP:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    t.column("c_custkey").to_numpy()
+                    for t in ray.get(dim.to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        class _ExactSemi:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                ks = self._k
+                ok = batch.column("o_custkey").to_numpy()
+                if ks.shape[0] == 0:
+                    return batch.select(["o_orderkey"]).slice(0, 0)
+                pos = np.minimum(
+                    np.searchsorted(ks, ok), ks.shape[0] - 1
+                )
+                return batch.filter(
+                    pa.array(ks[pos] == ok)
+                ).select(["o_orderkey"])
+
+        return _t(
+            sf_dir, "orders", ["o_orderkey", "o_custkey"]
+        ).map_batches(
+            _ExactSemi(keys_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
 
     # DISTRIBUTED bloom build: each block emits its own m_bits filter,
     # the driver ORs them — driver volume is n_blocks x m_bits/8 bytes

@@ -641,3 +641,26 @@ def test_top_customers_combine_paths_agree(ray_session):
         R.TOPK_COALESCE_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) == 10
+
+
+def test_semi_join_paths_agree(ray_session):
+    """orders_of_building_customers: the broadcast exact-lookup plan
+    (build side under the cap) and the bloom-prefiltered native
+    left_semi join must produce identical key sets."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return (
+            R.orders_of_building_customers(SF_DIR).to_pandas()
+            .sort_values("o_orderkey").reset_index(drop=True)
+        )
+
+    ref = run()
+    old = R.SEMI_BROADCAST_KEY_CAP
+    try:
+        R.SEMI_BROADCAST_KEY_CAP = -1  # force bloom + hash join
+        alt = run()
+    finally:
+        R.SEMI_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
