@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": T.line_dedup_docs,
         "token_doc_freq": T.token_doc_freq,
         "events_hopping_6h": R.events_hopping_6h,
+        "user_daily_spine": R.user_daily_spine,
+        "lang_confusion": T.lang_confusion,
     }
 
 
@@ -959,5 +961,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(mv) AS BIGINT) AS sum_value_milli "
             "FROM w GROUP BY ws"
+        ),
+        # gap-filled daily resample: every day in each user's
+        # [first, last] span, zero-filled
+        "user_daily_spine": (
+            "WITH b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0, "
+            " date_trunc('day', max(ts)) AS d1 FROM events "
+            " GROUP BY user_id), "
+            "spine AS (SELECT user_id, "
+            " unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day "
+            " FROM b), "
+            "c AS (SELECT user_id, date_trunc('day', ts) AS day, "
+            " COUNT(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT s.user_id, CAST(epoch(s.day) AS BIGINT) AS day_epoch, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events "
+            "FROM spine s LEFT JOIN c "
+            "ON s.user_id = c.user_id AND s.day = c.day"
+        ),
+        # langid confusion matrix: labeled lang x the SAME predictor
+        # expression the oracled langid_docs query pins
+        "lang_confusion": (
+            "WITH s AS (SELECT lang, "
+            " len(regexp_extract_all(text, '[一-鿿]')) AS cjk, "
+            " length(text) AS n_chars, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(der|die|das|und|ist|mit)\\b')) AS s_de, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(the|and|of|to|is|with)\\b')) AS s_en, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(el|la|de|que|los|con)\\b')) AS s_es, "
+            " len(regexp_extract_all(lower(text), "
+            "  '\\b(le|la|les|des|est|une)\\b')) AS s_fr "
+            " FROM documents), "
+            "p AS (SELECT lang, "
+            "CASE WHEN cjk * 10 > greatest(n_chars, 1) THEN 'zh' "
+            " WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und' "
+            " WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de' "
+            " WHEN s_en >= greatest(s_es, s_fr) THEN 'en' "
+            " WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang "
+            "FROM s) "
+            "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM p GROUP BY lang, pred_lang"
         ),
     }

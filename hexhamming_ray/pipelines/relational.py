@@ -3053,3 +3053,69 @@ def events_hopping_6h(sf_dir: str, *, win_hours: int = 6):
     return out.rename_columns(
         ["win_start_epoch", "sum_value_milli", "n_events"]
     )
+
+
+def user_daily_spine(sf_dir: str, *, num_partitions: int = 16):
+    """Gap-filled time series (resample-to-daily): per user, EVERY
+    calendar day from their first to their last event, with that day's
+    event count — missing days appear with n_events = 0.
+    (user_id, day_epoch, n_events).
+
+    Shape: hash-repartition by user; each block lexsorts its users'
+    day indices once, then emits each user's full [first, last] day
+    range with a bincount scatter — the spine is generated inside the
+    block, never joined. Output volume is sum of per-user day spans
+    (the report size), input volume is one slim (user, day) stream."""
+    _DAY_US = 86_400_000_000
+
+    def spine(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day_epoch": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        day = (
+            batch.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        ).astype(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n] - 1
+        d0, d1 = day[starts], day[ends]
+        spans = (d1 - d0 + 1).astype(np.int64)
+        total = int(spans.sum())
+        # per-user day offsets 0..span-1, flattened
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(np.r_[0, spans[:-1]]), spans
+        )
+        out_day = np.repeat(d0, spans) + offs
+        out_uid = np.repeat(uid[starts], spans)
+        # scatter event counts onto the spine: position of each event
+        # day = user's spine base + (day - d0)
+        base = np.cumsum(np.r_[0, spans[:-1]])
+        ev_pos = np.repeat(base, np.diff(np.r_[starts, n])) + (
+            day - np.repeat(d0, np.diff(np.r_[starts, n]))
+        )
+        counts = np.bincount(ev_pos, minlength=total).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "day_epoch": pa.array(out_day * 86_400, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"], hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(spine, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )

@@ -2509,3 +2509,39 @@ def token_doc_freq(sf_dir: str, *, min_df: int = 5,
         .map_batches(finalize, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+def lang_confusion(sf_dir: str):
+    """Language-ID quality report: the confusion matrix of labeled
+    language vs the n-gram/marker-word predictor, (lang, pred_lang,
+    n_docs). The standard evaluation artifact for a classifier stage —
+    composed from the oracled langid machinery plus a grouped count.
+    ~25 cells: per-block combine + coalesce, zero shuffle."""
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return _combine_runs(["lang", "pred_lang"], [], "n_docs")(
+            pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "pred_lang": T.langid_batch(batch.column("text")),
+                }
+            )
+        ) if n else pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "pred_lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(_combine_runs(["lang", "pred_lang"], ["n_docs"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+    )

@@ -146,6 +146,7 @@ EVENT_QUERIES = [
     "top_users_heavyhitter", "user_cumulative_value",
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
     "event_lag_lead", "user_first_last_event", "events_hopping_6h",
+    "user_daily_spine",
 ]
 
 
@@ -220,7 +221,7 @@ DOC_QUERIES = [
     "decontaminate_docs", "doc_line_stats", "docs_csv_roundtrip", "corpus_report",
     "docs_json_roundtrip", "docs_partitioned_sink",
     "weighted_sample_docs", "dedup_keep_longest", "scrub_docs",
-    "line_dedup_docs", "token_doc_freq",
+    "line_dedup_docs", "token_doc_freq", "lang_confusion",
 ]
 
 
