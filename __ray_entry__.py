@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_q,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
+        "media_frame_sample": _media_frame_sample_q,
         # --- round-3 window/rollup/dedup breadth ---
         "event_lag_lead": R.event_lag_lead,
         "supplier_rank_in_nation": R.supplier_rank_in_nation,
@@ -160,6 +161,12 @@ def _media_features_q(sf_dir: str):
     from hexhamming_ray.stages.multimodal import media_features
 
     return media_features(500)
+
+
+def _media_frame_sample_q(sf_dir: str):
+    from hexhamming_ray.stages.multimodal import media_frame_sample
+
+    return media_frame_sample(500)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -188,3 +188,97 @@ def media_features(n_media: int = 1000, *, decode: str = "fake",
         batch_size=64,
         concurrency=(1, 4),
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: sample ``k`` evenly-spaced frames from each
+    VIDEO payload (images pass through as one frame; audio rows drop).
+    Emits one row per frame — the 1->N explode a video pipeline needs
+    before per-frame feature extraction.
+
+    The frame CONTENT is the stubbed part (fixed-stride byte windows
+    of the container payload stand in for decoded frames; inject
+    ``codec(payload, kind) -> list[bytes]`` for a real demuxer, e.g.
+    a PyAV wrapper — the library is absent in this container). The
+    Ray plumbing is real: per-actor setup, batch explode via repeat +
+    one binary take, output schema (media_id, frame_no, frame_bytes,
+    frame_payload)."""
+
+    def __init__(self, k: int = 4, codec=None):
+        self.k = k
+        self.codec = codec  # once per actor, ships with the instance
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payload_col = batch.column("payload")
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        ids = batch.column("media_id").to_numpy()
+        out_ids, out_no, out_frames = [], [], []
+        if self.codec is not None:
+            payloads = payload_col.to_pylist()
+            for i, kd in enumerate(kinds):
+                if kd == "audio":
+                    continue
+                frames = self.codec(payloads[i], kd)[: self.k]
+                out_ids.extend([ids[i]] * len(frames))
+                out_no.extend(range(len(frames)))
+                out_frames.extend(frames)
+        else:
+            # stub demuxer, deterministic: k evenly-spaced byte
+            # windows per video, the whole payload for an image
+            payloads = payload_col.to_pylist()
+            for i, kd in enumerate(kinds):
+                if kd == "audio":
+                    continue
+                p = payloads[i]
+                if kd == "image":
+                    out_ids.append(ids[i])
+                    out_no.append(0)
+                    out_frames.append(p)
+                    continue
+                step = max(1, len(p) // self.k)
+                w = max(8, step)
+                for j in range(min(self.k, max(1, len(p) // step))):
+                    out_ids.append(ids[i])
+                    out_no.append(j)
+                    out_frames.append(p[j * step : j * step + w])
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    np.asarray(out_ids, dtype=np.int64), pa.int64()
+                ),
+                "frame_no": pa.array(
+                    np.asarray(out_no, dtype=np.int64), pa.int64()
+                ),
+                "frame_bytes": pa.array(
+                    np.asarray([len(f) for f in out_frames],
+                               dtype=np.int64), pa.int64()
+                ),
+                "frame_payload": pa.array(out_frames, pa.binary()),
+            }
+        )
+
+
+def media_frame_sample(n_media: int = 1000, *, k: int = 4, codec=None):
+    """Demo pipeline: synthetic media table -> actor-pool frame
+    sampling (the decode/frame-sample multimodal stage). Returns
+    (media_id, frame_no, frame_bytes, frame_payload) — one row per
+    sampled frame; audio rows drop, images contribute one frame.
+    Small batch_size: payload explode multiplies bytes by ~k."""
+    import ray
+
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
+    media = ray.data.range(n_media).map_batches(
+        synth_media_batch, batch_format="numpy", batch_size=256
+    )
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k, "codec": codec},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=(1, 4),
+    )

@@ -516,3 +516,42 @@ def test_cms_bounds_and_mergeability(ray_session):
     np.testing.assert_array_equal(
         _cms_query(one, uid[:50]), _cms_query(parts, uid[:50])
     )
+
+
+def test_media_frame_sample_pipeline(ray_session):
+    from hexhamming_ray.stages.multimodal import media_frame_sample
+
+    out = media_frame_sample(150, k=4).to_pandas()
+    # audio rows (media_id % 3 == 1) contribute no frames
+    assert (out["media_id"] % 3 != 1).all()
+    # images (id % 3 == 0) contribute exactly one whole-payload frame
+    img = out[out["media_id"] % 3 == 0]
+    assert (img.groupby("media_id").size() == 1).all()
+    assert (img["frame_no"] == 0).all()
+    # videos (id % 3 == 2) contribute 1..k frames, numbered densely
+    vid = out[out["media_id"] % 3 == 2]
+    per = vid.groupby("media_id")["frame_no"]
+    assert per.count().between(1, 4).all()
+    assert (per.max() == per.count() - 1).all()
+    assert (out["frame_bytes"] ==
+            out["frame_payload"].map(len)).all()
+    # deterministic across runs
+    out2 = media_frame_sample(150, k=4).to_pandas()
+    a = out.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "frame_no"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_media_frame_sample_injected_codec(ray_session):
+    from hexhamming_ray.stages.multimodal import media_frame_sample
+
+    # closure on purpose: cloudpickle ships it by value, so workers
+    # don't need the test module importable (see the codec test above)
+    def _toy_demux(payload: bytes, kind: str):
+        h = len(payload) // 2
+        return [payload[:h], payload[h:]]
+
+    out = media_frame_sample(60, k=4, codec=_toy_demux).to_pandas()
+    assert (out["media_id"] % 3 != 1).all()
+    nonaudio = out[out["media_id"] % 3 != 1]
+    assert (nonaudio.groupby("media_id").size() == 2).all()
