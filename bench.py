@@ -55,6 +55,9 @@ _EXTENDED = [
     "funnel_conversions",
     "orders_of_building_customers",
     "kmeans_embeddings",
+    "line_dedup_docs",
+    "token_doc_freq",
+    "dedup_keep_longest",
 ]
 
 
