@@ -665,3 +665,25 @@ def test_semi_join_paths_agree(ray_session):
         R.SEMI_BROADCAST_KEY_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_line_dedup_merge_paths_agree(ray_session):
+    """line_dedup_docs: the coalesced per-doc partial merge and the
+    doc_id-keyed exchange must produce identical per-doc counts."""
+    from hexhamming_ray.pipelines import text as T
+
+    def run():
+        return (
+            T.line_dedup_docs(SF_DIR).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+
+    ref = run()
+    old = T.LINE_DEDUP_COALESCE_CAP
+    try:
+        T.LINE_DEDUP_COALESCE_CAP = -1  # force the keyed exchange
+        alt = run()
+    finally:
+        T.LINE_DEDUP_COALESCE_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert (ref["kept_lines"] <= ref["n_lines"]).all()
