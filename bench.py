@@ -165,6 +165,16 @@ def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str,
     n_edges = res["edges"].count()
     n_rows = res["clusters"].count()
     wall = time.monotonic() - t0
+    # untimed: pairwise F1 vs the generator's labeled pairs (the north
+    # metric rides the scaling artifact so every round's BENCH carries
+    # correctness + throughput + efficiency together)
+    from hexhamming_ray.pipelines.evaluate import pairwise_scores
+    from hexhamming_ray.sources.synth import labels_path
+
+    scores = pairwise_scores(
+        res["clusters"],
+        labels_path(corpus_dir, n_files, 42, content_scale),
+    )
     ray.shutdown()
     return {
         "wall_sec": round(wall, 3),
@@ -173,6 +183,8 @@ def run_er_corpus(n_files: int, num_cpus: int, corpus_dir: str,
         "rows_per_sec": round(n_rows / wall, 1),
         "num_cpus": num_cpus,
         "n_files": n_files,
+        "pairwise_f1": round(scores["f1"], 4),
+        "n_labeled_pairs": scores["n_labeled"],
     }
 
 
@@ -303,6 +315,8 @@ def main() -> None:
             f"rows_per_sec_cpus{lo}": results[lo]["rows_per_sec"],
             f"rows_per_sec_cpus{hi}": results[hi]["rows_per_sec"],
             "content_scale": args.content_scale,
+            "pairwise_f1": results[hi].get("pairwise_f1"),
+            "n_labeled_pairs": results[hi].get("n_labeled_pairs"),
         }
         if args.mp_control:
             from hexhamming_ray.sources.synth import generate_corpus
