@@ -1714,6 +1714,19 @@ class _SupplierNationLookup:
         )
 
 
+def _q5_finish(batch: pa.Table) -> pa.Table:
+    """q5 tail: project + rename per block. A map (not Dataset
+    select_columns + rename_columns) so an all-empty result — e.g. a
+    date window matching no orders — keeps its schema: rename_columns
+    needs Dataset.schema(), which is None when every block is empty."""
+    return pa.table(
+        {
+            "n_name": batch.column("n_name"),
+            "revenue_cents": batch.column("rev_cents"),
+        }
+    )
+
+
 #: broadcast the (window orders x customer) join side when it fits
 #: this many rows (~16 B/row -> ~32 MiB in plasma at the cap); above
 #: it, the bloom-prefiltered native hash join path runs instead
@@ -1839,9 +1852,13 @@ def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
         # lookup (o_orderkey -> c_nationkey); the lineitem join
         # becomes a map-side searchsorted filter + gather
         tabs = [t for t in ray.get(j1.to_arrow_refs()) if t.num_rows]
-        jt = pa.concat_tables(tabs)
-        okeys = jt.column("o_orderkey").to_numpy()
-        onat = jt.column("c_nationkey").cast(pa.int64()).to_numpy()
+        if tabs:
+            jt = pa.concat_tables(tabs)
+            okeys = jt.column("o_orderkey").to_numpy()
+            onat = jt.column("c_nationkey").cast(pa.int64()).to_numpy()
+        else:  # empty date window: no order matches anything
+            okeys = np.empty(0, dtype=np.int64)
+            onat = np.empty(0, dtype=np.int64)
         srt = np.argsort(okeys, kind="stable")
         lut_ref = ray.put((okeys[srt], onat[srt]))
 
@@ -1855,9 +1872,13 @@ def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
                     self._lut = ray.get(self.ref)
                 keys_s, nat_s = self._lut
                 lk = batch.column("l_orderkey").to_numpy()
-                pos = np.searchsorted(keys_s, lk)
-                pos_c = np.minimum(pos, keys_s.shape[0] - 1)
-                hit = keys_s[pos_c] == lk
+                if keys_s.shape[0] == 0:
+                    hit = np.zeros(len(lk), dtype=bool)
+                    pos_c = np.zeros(len(lk), dtype=np.int64)
+                else:
+                    pos = np.searchsorted(keys_s, lk)
+                    pos_c = np.minimum(pos, keys_s.shape[0] - 1)
+                    hit = keys_s[pos_c] == lk
                 f = batch.filter(pa.array(hit))
                 rev = pc.multiply(
                     f.column("l_extendedprice"),
@@ -1886,8 +1907,9 @@ def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
         )
         return _grouped_sums(
             tagged, ["n_name"], ["rev_cents"], "n_items", coalesce=True
-        ).select_columns(["n_name", "rev_cents"]).rename_columns(
-            ["n_name", "revenue_cents"]
+        ).map_batches(
+            _q5_finish, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
         )
 
     # distributed bloom over j1's order keys (the date window), fused
@@ -1954,8 +1976,9 @@ def q5_revenue_by_nation(sf_dir: str, *, region: str = "ASIA",
     )
     return _grouped_sums(
         tagged, ["n_name"], ["rev_cents"], "n_items", coalesce=True
-    ).select_columns(["n_name", "rev_cents"]).rename_columns(
-        ["n_name", "revenue_cents"]
+    ).map_batches(
+        _q5_finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -2432,10 +2455,12 @@ def orders_of_building_customers(sf_dir: str, *, segment: str = "BUILDING",
     import pyarrow.dataset as pads
     import ray
 
+    # materialize: the cap check (count) and the consumer (gather or
+    # bloom build + join) would otherwise each re-run the filtered scan
     dim = _t_filtered(
         sf_dir, "customer", ["c_custkey"],
         pads.field("c_mktsegment") == segment,
-    )
+    ).materialize()
 
     if dim.count() <= SEMI_BROADCAST_KEY_CAP:
         keys = np.sort(

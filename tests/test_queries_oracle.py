@@ -327,7 +327,8 @@ RELATIONAL_QUERIES = [
     "customers_no_f_orders", "customers_with_high_orders",
     "supplier_balance_by_nation", "parts_price_bands",
     "lineitem_priority_counts", "orders_rollup",
-    "part_supplier_distinct",
+    "part_supplier_distinct", "supplier_rank_in_nation",
+    "orders_by_month",
 ]
 
 
@@ -621,10 +622,16 @@ def test_q5_plan_paths_agree(ray_session):
         mid = run()
         R.Q5_BROADCAST_ORDER_CAP = -1  # force bloom + lineitem join
         full = run()
+        # the fourth combination: _OPrep's broadcast j1 (which KEEPS
+        # unknown custkeys as c_nationkey=-1 rows) feeding the bloom
+        # build + native lineitem join
+        R.Q5_CUST_BROADCAST_CAP = old_c
+        bcast_bloom = run()
     finally:
         R.Q5_CUST_BROADCAST_CAP, R.Q5_BROADCAST_ORDER_CAP = old_c, old_o
     pd.testing.assert_frame_equal(ref, mid)
     pd.testing.assert_frame_equal(ref, full)
+    pd.testing.assert_frame_equal(ref, bcast_bloom)
     assert len(ref) > 0
 
 
@@ -687,3 +694,15 @@ def test_line_dedup_merge_paths_agree(ray_session):
         T.LINE_DEDUP_COALESCE_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert (ref["kept_lines"] <= ref["n_lines"]).all()
+
+
+def test_q5_empty_date_window(ray_session):
+    """An order-date window matching no orders must return an empty
+    result, not crash the broadcast fast path (pa.concat_tables([])
+    regression)."""
+    from hexhamming_ray.pipelines import relational as R
+
+    out = R.q5_revenue_by_nation(
+        SF_DIR, date_lo="1970-01-01", date_hi="1970-01-02"
+    ).to_pandas()
+    assert len(out) == 0
