@@ -706,3 +706,60 @@ def test_q5_empty_date_window(ray_session):
         SF_DIR, date_lo="1970-01-01", date_hi="1970-01-02"
     ).to_pandas()
     assert len(out) == 0
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_line_dedup_random_corpora_vs_reference(
+    ray_session, tmp_path, seed
+):
+    """line_dedup_docs vs a pure-Python first-occurrence reference on
+    randomized corpora with heavy cross-doc line duplication, empty
+    lines and single-line docs — boundary cases a fixed fixture can
+    miss (partition-boundary firsts, duplicate lines WITHIN one doc)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines import text as T
+
+    rng = np.random.default_rng(seed)
+    pool = [f"line {i}" for i in range(12)] + ["", "shared boiler"]
+    texts = []
+    for _ in range(80):
+        k = int(rng.integers(1, 8))
+        texts.append("\n".join(rng.choice(pool, k)))
+    d = tmp_path / f"rnd{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(80), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 80, pa.string()),
+                "source": pa.array(["s"] * 80, pa.string()),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype=np.int64)
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = (
+        T.line_dedup_docs(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    # reference: first global occurrence by (doc_id, line_no) survives
+    seen: set = set()
+    ref_rows = []
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = 0
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept += 1
+        ref_rows.append((i, len(lines), kept))
+    ref = pd.DataFrame(
+        ref_rows, columns=["doc_id", "n_lines", "kept_lines"]
+    )
+    pd.testing.assert_frame_equal(got, ref)
