@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_6h": R.events_hopping_6h,
         "user_daily_spine": R.user_daily_spine,
         "lang_confusion": T.lang_confusion,
+        "chunk_docs": T.chunk_docs,
+        "dataset_split_docs": T.dataset_split_docs,
     }
 
 
@@ -1009,5 +1011,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM p GROUP BY lang, pred_lang"
+        ),
+        # context-window chunking: consecutive 64-token windows per doc
+        # (1-based inclusive DuckDB list slicing; 0-token docs emit 0)
+        "chunk_docs": (
+            "WITH t AS (SELECT doc_id, "
+            " regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, "
+            " CAST(unnest(generate_series(0, "
+            "  (CAST(len(toks) AS BIGINT) - 1) // 64)) AS BIGINT) "
+            "  AS chunk_id "
+            " FROM t WHERE len(toks) > 0) "
+            "SELECT doc_id, chunk_id, "
+            "CAST(least(64, len(toks) - chunk_id * 64) AS BIGINT) "
+            " AS n_chunk_tokens, "
+            "array_to_string(toks[chunk_id * 64 + 1 : "
+            " least((chunk_id + 1) * 64, CAST(len(toks) AS BIGINT))], "
+            " ' ') AS chunk_text "
+            "FROM c"
+        ),
+        # deterministic split assignment on the md5(doc_id) prefix:
+        # < 'cc' train (~79.7%), < 'e6' val (~10.2%), else test
+        "dataset_split_docs": (
+            "SELECT doc_id, lang, "
+            "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' "
+            " THEN 'train' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
+            " THEN 'val' ELSE 'test' END AS split "
+            "FROM documents"
         ),
     }

@@ -2567,3 +2567,122 @@ def lang_confusion(sf_dir: str):
                      batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
     )
+
+
+def chunk_docs(sf_dir: str, *, chunk: int = 64):
+    """Context-window chunking — the LLM pretraining 1->N explode:
+    split each document into consecutive ``chunk``-token windows.
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text); 0-token docs emit
+    0 chunks.
+
+    Shape: pure per-batch flat-map, ZERO shuffle — chunking is
+    embarrassingly parallel and must stay that way at 100 TB. Tokens
+    never leave Arrow: whitespace split -> empty-edge filter (to match
+    the ``\\S+`` oracle) -> the non-overlapping windows tile the flat
+    token buffer exactly, so the chunk list array is rebuilt from
+    boundary offsets alone (no take/gather of token data) and the
+    chunk text is ONE vectorized ``binary_join`` per batch. Output
+    grows ~1x input text: consume with a sink, never take_all."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_chunk_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+
+        n = len(batch)
+        if n == 0:
+            return empty()
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = toks.flatten()
+        # Arrow's split keeps empty tokens at string edges; \S+ doesn't
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
+        L = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        n_chunks = -(-L // chunk)  # ceil; L == 0 -> 0 chunks
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty()
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        cum = np.concatenate(([0], np.cumsum(n_chunks)))
+        chunk_id = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum[:-1], n_chunks)
+        )
+        doc_off = np.concatenate(([0], np.cumsum(L)))
+        starts = doc_off[doc_rep] + chunk_id * chunk
+        ends = np.minimum(
+            starts + chunk, doc_off[doc_rep] + L[doc_rep]
+        )
+        # consecutive windows tile the filtered token buffer exactly
+        # (ends[i] == starts[i+1]), so boundaries ARE the list offsets
+        offsets = pa.array(
+            np.concatenate((starts, [doc_off[-1]])).astype(np.int32),
+            pa.int32(),
+        )
+        windows = pa.ListArray.from_arrays(offsets, flat)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(doc_rep)),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "n_chunk_tokens": pa.array(ends - starts, pa.int64()),
+                "chunk_text": pc.binary_join(windows, " "),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+#: train/val/test boundaries on the first 2 hex chars of
+#: md5(str(doc_id)): < 'cc' (204/256 ~ 79.7%) -> train,
+#: < 'e6' (26/256 ~ 10.2%) -> val, else test (~10.2%)
+_SPLIT_TRAIN, _SPLIT_VAL = "cc", "e6"
+
+
+def dataset_split_docs(sf_dir: str):
+    """Deterministic train/val/test assignment: split is a pure
+    function of doc_id (md5-prefix banding, the ``doc_sample``
+    machinery), so membership is identical on every run, on any
+    cluster, and new data lands in stable splits without touching old
+    rows. (doc_id, lang, split). Pure per-row map, zero shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        prefixes = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:2] for i in ids
+        ]
+        split = pa.array(
+            [
+                "train" if p < _SPLIT_TRAIN
+                else ("val" if p < _SPLIT_VAL else "test")
+                for p in prefixes
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "split": split,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
