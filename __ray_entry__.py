@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": T.lang_confusion,
         "chunk_docs": T.chunk_docs,
         "dataset_split_docs": T.dataset_split_docs,
+        "pack_sequences": T.pack_sequences,
     }
 
 
@@ -1039,5 +1040,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' "
             " THEN 'val' ELSE 'test' END AS split "
             "FROM documents"
+        ),
+        # sequence packing: docs concatenated in doc_id order, cut at
+        # 2048-token boundaries; 0-token docs occupy their offset's seq
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            " CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "  AS n_tokens FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, "
+            " CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "  AS BIGINT) AS start_off FROM t) "
+            "SELECT doc_id, n_tokens, start_off, "
+            "start_off // 2048 AS seq_start, "
+            "(start_off + greatest(n_tokens, 1) - 1) // 2048 AS seq_end, "
+            "((start_off + greatest(n_tokens, 1) - 1) // 2048) "
+            " > (start_off // 2048) AS straddles "
+            "FROM o"
         ),
     }

@@ -2686,3 +2686,127 @@ def dataset_split_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def pack_sequences(sf_dir: str, *, budget: int = 2048,
+                   num_partitions: int | None = None):
+    """Sequence packing for LLM pretraining: documents concatenated in
+    doc_id order and cut into fixed ``budget``-token training
+    sequences (docs straddle boundaries — the standard concat-then-
+    split packing). Per doc: its global token offset and first/last
+    sequence index. (doc_id, n_tokens, start_off, seq_start, seq_end,
+    straddles).
+
+    Shape — a DISTRIBUTED PREFIX SUM, the coordination pattern Ray
+    Data has no native operator for:
+
+    1. one pass computes (doc_id, n_tokens, bucket); ``bucket =
+       doc_id // span`` maps doc_ids onto contiguous ordered ranges by
+       arithmetic alone (no boundary sampling needed). Text is dropped
+       immediately; the narrow 24-byte rows are materialized once and
+       consumed twice (object-store-spillable; same note as the
+       minhash signature table).
+    2. per-block partial (bucket, token_sum) rows -> ONE keyed
+       exchange -> <= num_partitions total rows gathered to the
+       driver -> exclusive prefix over the bucket totals = per-bucket
+       base offsets. The driver holds O(buckets), never O(docs).
+    3. bucket-keyed exchange of the narrow rows; within each block one
+       lexsort by doc_id (bucket is monotone in doc_id) and a
+       run-reset cumsum + base[bucket] give exact global offsets.
+
+    All arithmetic is int64; seq indices derive from integer division
+    so the SQL twin (SUM OVER ... ROWS UNBOUNDED PRECEDING) matches
+    bit-exactly."""
+    import pyarrow.parquet as pq
+
+    num_partitions = num_partitions or _default_partitions()
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    span = max(1, -(-n_docs // num_partitions))
+
+    def tok_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": T.token_count(batch.column("text")),
+                "bucket": pa.array(
+                    ids.to_numpy() // span, pa.int64()
+                ),
+            }
+        )
+
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    toks = (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(tok_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()
+    )
+
+    # pass A: bucket totals -> driver (<= num_partitions rows) -> bases
+    totals = (
+        toks.map_batches(_combine_runs(["bucket"], ["n_tokens"]),
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["bucket"],
+                     sort=True)
+        .map_batches(_combine_runs(["bucket"], ["n_tokens"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .take_all()
+    )
+    buckets = np.array(sorted(r["bucket"] for r in totals), np.int64)
+    sums = np.array(
+        [r["n_tokens"] for r in sorted(totals, key=lambda r: r["bucket"])],
+        np.int64,
+    )
+    bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "start_off": pa.array([], pa.int64()),
+                    "seq_start": pa.array([], pa.int64()),
+                    "seq_end": pa.array([], pa.int64()),
+                    "straddles": pa.array([], pa.bool_()),
+                }
+            )
+        ids = batch.column("doc_id").to_numpy()
+        nt = batch.column("n_tokens").to_numpy()
+        bk = batch.column("bucket").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, nt, bk = ids[order], nt[order], bk[order]
+        c = np.cumsum(nt)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new)
+        run_base = np.where(starts > 0, c[starts - 1], 0)
+        within = c - nt - np.repeat(run_base, np.diff(np.r_[starts, n]))
+        off = bases[np.searchsorted(buckets, bk)] + within
+        last = off + np.maximum(nt, 1) - 1
+        seq_start = off // budget
+        seq_end = last // budget
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "start_off": pa.array(off, pa.int64()),
+                "seq_start": pa.array(seq_start, pa.int64()),
+                "seq_end": pa.array(seq_end, pa.int64()),
+                "straddles": pa.array(seq_end > seq_start),
+            }
+        )
+
+    return (
+        toks.repartition(num_blocks=num_partitions, keys=["bucket"],
+                         sort=True)
+        .map_batches(finalize, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
