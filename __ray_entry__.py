@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": T.chunk_docs,
         "dataset_split_docs": T.dataset_split_docs,
         "pack_sequences": T.pack_sequences,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "inverted_index": T.inverted_index,
     }
 
 
@@ -1057,5 +1059,33 @@ def oracle_sql() -> dict[str, str]:
             "((start_off + greatest(n_tokens, 1) - 1) // 2048) "
             " > (start_off // 2048) AS straddles "
             "FROM o"
+        ),
+        # integer-surrogate tf-idf: tf * (n_docs*1e6 // df) is exact in
+        # both engines (no float idf in the hash); top-5 per doc
+        "tfidf_top_terms": (
+            "WITH pairs AS (SELECT doc_id, tok, "
+            " CAST(COUNT(*) AS BIGINT) AS tf FROM "
+            " (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "
+            "  AS tok FROM documents) GROUP BY doc_id, tok), "
+            "d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df "
+            " FROM pairs GROUP BY tok), "
+            "s AS (SELECT p.doc_id, p.tok, p.tf, d.df, "
+            " p.tf * ((SELECT CAST(COUNT(*) AS BIGINT) FROM documents) "
+            "  * 1000000 // d.df) AS tfidf_s "
+            " FROM pairs p JOIN d USING (tok)), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            " ORDER BY tfidf_s DESC, tok ASC) AS rnk FROM s) "
+            "SELECT doc_id, tok, tf, df, tfidf_s, "
+            "CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5"
+        ),
+        # inverted index: sorted comma-joined postings per df-banded tok
+        "inverted_index": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, tok FROM "
+            " (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) "
+            "  AS tok FROM documents)), "
+            "g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, "
+            " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "  AS postings FROM pairs GROUP BY tok) "
+            "SELECT tok, df, postings FROM g WHERE df BETWEEN 2 AND 385"
         ),
     }

@@ -2810,3 +2810,193 @@ def pack_sequences(sf_dir: str, *, budget: int = 2048,
         .map_batches(finalize, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+def _doc_tok_tf(batch: pa.Table) -> pa.Table:
+    """Per-block distinct (doc_id, tok, tf) partials — exact because a
+    document's rows never split across blocks (whole-block batches)."""
+    toks = pc.utf8_split_whitespace(batch.column("text"))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    doc_rep = batch.column("doc_id").take(
+        pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), counts))
+    )
+    t = pa.table({"doc_id": doc_rep, "tok": toks.flatten()})
+    t = t.filter(pc.not_equal(t.column("tok"), ""))
+    pairs = t.group_by(["doc_id", "tok"]).aggregate([("tok", "count")])
+    return pa.table(
+        {
+            "doc_id": pairs.column("doc_id"),
+            "tok": pairs.column("tok"),
+            "tf": pairs.column("tok_count").cast(pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(sf_dir: str, *, k: int = 5,
+                    num_partitions: int | None = None):
+    """Per-document top-``k`` terms by tf-idf. Float idf is a cross-
+    engine hash hazard, so the score is the integer surrogate
+    ``tfidf_s = tf * (n_docs * 1_000_000 // df)`` — deterministic and
+    bit-identical in SQL (the micro-unit trick from label_centroids;
+    n_docs * 1e6 must fit int64, so at >9e12-doc corpus scale swap the
+    multiplier for a float score and drop the value oracle).
+    (doc_id, tok, tf, df, tfidf_s, rnk), ties broken by tok asc.
+
+    Shape: per-block distinct (doc, tok, tf) partials collapse the
+    corpus-sized token stream to distinct-pairs-sized rows BEFORE any
+    data moves -> exchange 1 on tok (every token's rows co-located:
+    df = run length, score per row — no df table is ever gathered or
+    broadcast) -> exchange 2 on doc_id -> per-block per-doc top-k via
+    one lexsort + run ranks. Two exchanges total, driver holds
+    nothing."""
+    import pyarrow.parquet as pq
+
+    num_partitions = num_partitions or _default_partitions()
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+
+    def score_by_tok(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf_s": pa.array([], pa.int64()),
+                }
+            )
+        tok = batch.column("tok").to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")
+        tok = tok[order]
+        doc = batch.column("doc_id").to_numpy()[order]
+        tf = batch.column("tf").to_numpy()[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, n])
+        df = np.repeat(lens, lens).astype(np.int64)
+        idf_s = (np.int64(n_docs) * 1_000_000) // df
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "tok": pa.array(tok, pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "tfidf_s": pa.array(tf * idf_s, pa.int64()),
+            }
+        )
+
+    def topk_by_doc(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.append_column(
+                "rnk", pa.array([], pa.int64())
+            )
+        doc = batch.column("doc_id").to_numpy()
+        tok = batch.column("tok").to_numpy(zero_copy_only=False)
+        score = batch.column("tfidf_s").to_numpy()
+        order = np.lexsort((tok, -score, doc))
+        doc_s = doc[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = doc_s[1:] != doc_s[:-1]
+        starts = np.flatnonzero(new)
+        rnk = (
+            np.arange(n, dtype=np.int64)
+            - np.repeat(starts, np.diff(np.r_[starts, n]))
+            + 1
+        )
+        keep_idx = order[rnk <= k]
+        out = batch.take(pa.array(keep_idx))
+        return out.append_column("rnk", pa.array(rnk[rnk <= k], pa.int64()))
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(_doc_tok_tf, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["tok"], sort=True)
+        .map_batches(score_by_tok, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["doc_id"],
+                     sort=True)
+        .map_batches(topk_by_doc, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def inverted_index(sf_dir: str, *, min_df: int = 2, max_df: int = 385,
+                   num_partitions: int | None = None):
+    """Inverted-index build: per token in a document-frequency band,
+    the posting list of doc_ids as a comma-joined sorted string
+    (a list column would hash differently across engines). The
+    ``max_df`` bound is load-bearing at scale: it drops stopword-like
+    tokens whose postings would otherwise be corpus-sized rows.
+    (tok, df, postings).
+
+    Shape: per-block distinct (doc, tok) partials -> ONE keyed
+    exchange on tok -> per-block lexsort (tok, doc_id), run-length df,
+    posting lists rebuilt from run offsets over the sorted doc-id
+    strings (one ListArray + one binary_join per block, no per-token
+    Python), df-band filter at the final (a per-block filter would
+    undercount df)."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        t = _doc_tok_tf(batch)
+        return t.select(["doc_id", "tok"])
+
+    def build_postings(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        tok = batch.column("tok").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy()
+        order = np.lexsort((doc, tok))
+        tok, doc = tok[order], doc[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, n])
+        doc_str = pc.cast(pa.array(doc, pa.int64()), pa.string())
+        offsets = pa.array(
+            np.concatenate((starts, [n])).astype(np.int32), pa.int32()
+        )
+        postings = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, doc_str), ","
+        )
+        t = pa.table(
+            {
+                "tok": pa.array(tok[starts], pa.string()),
+                "df": pa.array(lens.astype(np.int64), pa.int64()),
+                "postings": postings,
+            }
+        )
+        mask = pc.and_(
+            pc.greater_equal(t.column("df"), min_df),
+            pc.less_equal(t.column("df"), max_df),
+        )
+        return t.filter(mask)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(distinct_pairs, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["tok"], sort=True)
+        .map_batches(build_postings, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
