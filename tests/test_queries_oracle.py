@@ -763,3 +763,49 @@ def test_line_dedup_random_corpora_vs_reference(
         ref_rows, columns=["doc_id", "n_lines", "kept_lines"]
     )
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_outer_broadcast_paths_agree(ray_session):
+    """customer_order_counts / orders_above_cust_avg: the broadcast
+    sorted-lookup plan (key domain under the cap) and the native hash
+    join plan must produce identical results."""
+    from hexhamming_ray.pipelines import relational as R
+
+    for fn, key in (
+        (R.customer_order_counts, "c_custkey"),
+        (R.orders_above_cust_avg, "o_orderkey"),
+    ):
+        def run():
+            return (
+                fn(SF_DIR).to_pandas()
+                .sort_values(key).reset_index(drop=True)
+            )
+
+        ref = run()
+        old = R.OUTER_BROADCAST_KEY_CAP
+        try:
+            R.OUTER_BROADCAST_KEY_CAP = -1  # force the join plan
+            alt = run()
+        finally:
+            R.OUTER_BROADCAST_KEY_CAP = old
+        pd.testing.assert_frame_equal(ref, alt)
+        assert len(ref) > 0
+
+
+def test_full_outer_plans_agree(ray_session):
+    """user_activity_full_outer: the tagged-union + grouped-sum plan
+    and the native full_outer join must produce identical results."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run(plan):
+        return (
+            R.user_activity_full_outer(SF_DIR, plan=plan).to_pandas()
+            .sort_values("id").reset_index(drop=True)
+        )
+
+    ref = run("union")
+    alt = run("join")
+    pd.testing.assert_frame_equal(ref, alt)
+    # both key domains must survive: users with no orders would only
+    # drop if the union plan lost a side
+    assert (ref["n_events"] == 0).any() or (ref["n_orders"] == 0).any()
