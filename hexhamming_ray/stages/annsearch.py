@@ -43,6 +43,16 @@ def _emb(sf_dir: str, *, hash_shuffle: bool = False):
     )
 
 
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality via a driver-local one-batch parquet
+    peek (a Dataset.take(1) spins a whole read task for one row)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    rb = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(rb.column("embedding")[0])
+
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy()
     col = batch.column("embedding")
@@ -360,8 +370,7 @@ def knn_lsh(sf_dir: str, *, n_queries: int = 10, k: int = 5,
     import ray
 
     ds = _emb(sf_dir)
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    dim = _emb_dim(sf_dir)
     planes = _hyperplanes(dim, n_bits, n_tables)
     queries_ref = ray.put(_query_vectors(ds, n_queries))
 
@@ -448,6 +457,103 @@ def embedding_near_dup_pairs(
     ]
     return ray.data.from_arrow_refs(tiles)
 
+#: same rationale as text.BROADCAST_PAIR_CAP: 250k pair rows is ~4 MB
+#: on the driver; the candidate VECTOR lut is <= 500k ids x dim x 8 B
+#: in one ray.put (256 MB at dim=64) — object-store-resident
+EMB_BROADCAST_PAIR_CAP = 250_000
+
+
+class _CosPairVerify:
+    """Task-pool UDF instance: exact-cosine verify of (id_lo, id_hi)
+    pairs against a broadcast (sorted ids, normalized matrix) lookup —
+    both numpy, so ray.get is zero-copy; cached per instance."""
+
+    def __init__(self, lut_ref, threshold: float):
+        self.lut_ref = lut_ref
+        self.threshold = threshold
+        self._lut = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lut is None:
+            import ray
+
+            self._lut = ray.get(self.lut_ref)
+        vid, mat = self._lut
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        cos = np.einsum(
+            "ij,ij->i",
+            mat[np.searchsorted(vid, lo)],
+            mat[np.searchsorted(vid, hi)],
+        )
+        keep = cos >= self.threshold
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(pa.array(keep)),
+                "id_hi": batch.column("id_hi").filter(pa.array(keep)),
+            }
+        )
+
+
+def _emb_verify_pairs_broadcast(raw_pairs, norm, threshold: float):
+    """Small-candidate-regime verify for the embedding LSH (the
+    minhash ``_verify_pairs_broadcast`` shape, cosine instead of
+    signature agreement): raw pairs are driver-bounded (caller checked
+    the cap), cross-table dedup is one ``np.unique``; candidate
+    vectors arrive via a distributed semi-filter of the materialized
+    normalized table, broadcast once, ONE vectorized map verifies."""
+    import ray
+
+    from hexhamming_ray.pipelines.text import (
+        _BroadcastSemiFilter,
+        _gather_table,
+    )
+
+    tbl = _gather_table(
+        raw_pairs,
+        pa.schema([("id_lo", pa.int64()), ("id_hi", pa.int64())]),
+    )
+    empty = pa.table(
+        {"id_lo": pa.array([], pa.int64()),
+         "id_hi": pa.array([], pa.int64())}
+    )
+    if len(tbl) == 0:
+        return ray.data.from_arrow(empty)
+    pairs = np.unique(
+        np.stack(
+            [tbl.column("id_lo").to_numpy(),
+             tbl.column("id_hi").to_numpy()],
+            axis=1,
+        ),
+        axis=0,
+    )
+    ids_ref = ray.put(np.unique(pairs))
+    cand_vecs = norm.map_batches(
+        _BroadcastSemiFilter(ids_ref, "doc_id"), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    ).materialize()
+    vt = _gather_table(
+        cand_vecs,
+        pa.schema([("doc_id", pa.int64()), ("vec", pa.large_binary())]),
+    )
+    vid = vt.column("doc_id").to_numpy()
+    order = np.argsort(vid)
+    mat = _blob_matrix(vt.column("vec"), len(vid))[order].copy()
+    lut_ref = ray.put((vid[order], mat))
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_lo": pa.array(pairs[:, 0], pa.int64()),
+                "id_hi": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+    )
+    return pairs_ds.map_batches(
+        _CosPairVerify(lut_ref, threshold), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )
+
+
 def embedding_near_dup_lsh(
     sf_dir: str, *, threshold: float = 0.45, n_bits: int = 5,
     n_tables: int = 32, num_partitions: int | None = None,
@@ -483,8 +589,7 @@ def embedding_near_dup_lsh(
 
     num_partitions = num_partitions or _default_partitions()
     ds = _emb(sf_dir, hash_shuffle=True)
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
+    dim = _emb_dim(sf_dir)
     planes = _hyperplanes(dim, n_bits, n_tables)
 
     def normalize(batch: pa.Table) -> pa.Table:
@@ -533,7 +638,17 @@ def embedding_near_dup_lsh(
     ).map_batches(
         _pairs_from_runs, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
-    )
+    ).materialize()
+
+    # size-switched broadcast verify (the minhash
+    # _verify_pairs_broadcast shape): under the cap, dedup the 16-byte
+    # raw pairs driver-side, semi-filter the vector table down to the
+    # candidate ids (candidate-bounded — the corpus never reaches the
+    # driver), broadcast ONE (ids, matrix) lut and verify in one map —
+    # deleting the pair-distinct exchange and both hash joins the
+    # scale path needs (warm A/B at sf0.01: ~2 s vs ~13 s).
+    if cand.count() <= EMB_BROADCAST_PAIR_CAP:
+        return _emb_verify_pairs_broadcast(cand, norm, threshold)
 
     def distinct(batch: pa.Table) -> pa.Table:
         lo = batch.column("id_lo").to_numpy()

@@ -809,3 +809,26 @@ def test_full_outer_plans_agree(ray_session):
     # both key domains must survive: users with no orders would only
     # drop if the union plan lost a side
     assert (ref["n_events"] == 0).any() or (ref["n_orders"] == 0).any()
+
+
+def test_emb_lsh_verify_paths_agree(ray_session):
+    """embedding_near_dup_lsh: the broadcast cosine verify (pairs under
+    the cap) and the distinct-exchange + two-hash-join scale path must
+    produce identical pair sets."""
+    from hexhamming_ray.stages import annsearch as A
+
+    def run():
+        return (
+            A.embedding_near_dup_lsh(SF_DIR).to_pandas()
+            .sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+        )
+
+    ref = run()
+    old = A.EMB_BROADCAST_PAIR_CAP
+    try:
+        A.EMB_BROADCAST_PAIR_CAP = -1  # force the join path
+        alt = run()
+    finally:
+        A.EMB_BROADCAST_PAIR_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
