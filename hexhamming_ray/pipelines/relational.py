@@ -524,6 +524,12 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 30,
     )
 
 
+#: broadcast the window-bounded (o_orderkey -> epoch) lookup of Q3's
+#: first join into the lineitem scan when it fits; the two-native-join
+#: plan is the above-cap scale path
+Q3_BROADCAST_ORDER_CAP = 2_000_000
+
+
 def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
                   cutoff: str = "1998-06-01", num_partitions: int = 8):
     """TPC-H Q3-style shipping priority: top 10 undelivered orders by
@@ -532,46 +538,167 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
 
     Shape: both join inputs are pruned AT THE READ (predicate pushdown:
     segment on customer, date cutoffs on orders/lineitem — non-matching
-    row groups never leave storage), then two native hash joins staged
-    so their aggregator pools never overlap, a grouped sum, and a
-    distributed sort + limit(10)."""
+    row groups never leave storage). Join #1 is a SEMI join (only the
+    order columns survive): under ``SEMI_BROADCAST_KEY_CAP`` the
+    segment custkeys broadcast as a sorted exact lookup fused into the
+    orders prep (zero exchange); join #2 broadcasts the window-bounded
+    j1 as an (o_orderkey -> epoch) sorted lookup fused into the
+    lineitem prep under ``Q3_BROADCAST_ORDER_CAP``, and the grouped
+    sum + top-10 run coalesced over the <= |j1| key domain (warm A/B
+    at sf0.1: 1.57 s vs 4.41 s for the two-native-join plan, which
+    remains the above-cap scale path)."""
     import datetime as _dt
 
     import pyarrow.dataset as pads
+    import ray
 
     cut = _dt.datetime.fromisoformat(cutoff)
 
     cust = _t_filtered(
         sf_dir, "customer", ["c_custkey"],
         pads.field("c_mktsegment") == segment,
-    )
+    ).materialize()
     orders = _t_filtered(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
         pads.field("o_orderdate") < cut,
     )
 
-    def o_prep(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(
+    def _epoch(batch: pa.Table) -> pa.Array:
+        return pc.divide(
             batch.column("o_orderdate").cast(pa.int64()), 1_000_000
         ).cast(pa.int64())
-        return pa.table(
-            {
-                "o_orderkey": batch.column("o_orderkey"),
-                "o_custkey": batch.column("o_custkey"),
-                "o_orderdate_epoch": epoch,
-            }
-        )
 
-    orders = orders.map_batches(
-        o_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    j1 = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "o_orderdate_epoch"]).materialize()
+    if cust.count() <= SEMI_BROADCAST_KEY_CAP:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    t.column("c_custkey").to_numpy()
+                    for t in ray.get(cust.to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        class _SegSemiPrep:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                ks = self._k
+                ck = batch.column("o_custkey").to_numpy()
+                if ks.shape[0] == 0:
+                    hit = np.zeros(len(ck), dtype=bool)
+                else:
+                    pos = np.minimum(
+                        np.searchsorted(ks, ck), ks.shape[0] - 1
+                    )
+                    hit = ks[pos] == ck
+                mask = pa.array(hit)
+                return pa.table(
+                    {
+                        "o_orderkey": batch.column("o_orderkey").filter(
+                            mask
+                        ),
+                        "o_orderdate_epoch": pa.array(
+                            _epoch(batch).to_numpy()[hit], pa.int64()
+                        ),
+                    }
+                )
+
+        j1 = orders.map_batches(
+            _SegSemiPrep(keys_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        ).materialize()
+    else:
+        def o_prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "o_custkey": batch.column("o_custkey"),
+                    "o_orderdate_epoch": _epoch(batch),
+                }
+            )
+
+        j1 = orders.map_batches(
+            o_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).join(
+            cust,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_orderdate_epoch"]).materialize()
+
+    if j1.count() <= Q3_BROADCAST_ORDER_CAP:
+        tabs = [t for t in ray.get(j1.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            jt = pa.concat_tables(tabs)
+            okeys = jt.column("o_orderkey").to_numpy()
+            oep = jt.column("o_orderdate_epoch").to_numpy()
+        else:
+            okeys = np.empty(0, dtype=np.int64)
+            oep = np.empty(0, dtype=np.int64)
+        srt = np.argsort(okeys, kind="stable")
+        lut_ref = ray.put((okeys[srt], oep[srt]))
+
+        class _LRevBcast:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, ep = self._lut
+                lk = batch.column("l_orderkey").to_numpy()
+                if ks.shape[0] == 0:
+                    hit = np.zeros(len(lk), dtype=bool)
+                    pos_c = np.zeros(len(lk), dtype=np.int64)
+                else:
+                    pos_c = np.minimum(
+                        np.searchsorted(ks, lk), ks.shape[0] - 1
+                    )
+                    hit = ks[pos_c] == lk
+                f = batch.filter(pa.array(hit))
+                rev = pc.multiply(
+                    f.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+                )
+                return pa.table(
+                    {
+                        "l_orderkey": f.column("l_orderkey"),
+                        "o_orderdate_epoch": pa.array(
+                            ep[pos_c[hit]], pa.int64()
+                        ),
+                        "rev_cents": _cents(rev),
+                    }
+                )
+
+        li = _t_filtered(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"],
+            pads.field("l_shipdate") > cut,
+        ).map_batches(
+            _LRevBcast(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        agg = _grouped_sums(
+            li, ["l_orderkey", "o_orderdate_epoch"], ["rev_cents"],
+            "n_l", coalesce=True,
+        ).select_columns(
+            ["l_orderkey", "o_orderdate_epoch", "rev_cents"]
+        ).rename_columns(
+            ["l_orderkey", "o_orderdate_epoch", "revenue_cents"]
+        )
+        return agg.sort(
+            ["revenue_cents", "l_orderkey"], descending=[True, False]
+        ).limit(10)
 
     li = _t_filtered(
         sf_dir, "lineitem",

@@ -832,3 +832,28 @@ def test_emb_lsh_verify_paths_agree(ray_session):
         A.EMB_BROADCAST_PAIR_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_q3_plan_paths_agree(ray_session):
+    """q3_top_orders: the double-broadcast fast path and the
+    two-native-join scale path must produce identical top-10s."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return (
+            R.q3_top_orders(SF_DIR).to_pandas()
+            .sort_values(["revenue_cents", "l_orderkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True)
+        )
+
+    ref = run()
+    olds = (R.SEMI_BROADCAST_KEY_CAP, R.Q3_BROADCAST_ORDER_CAP)
+    try:
+        R.SEMI_BROADCAST_KEY_CAP = -1
+        R.Q3_BROADCAST_ORDER_CAP = -1  # force both native joins
+        alt = run()
+    finally:
+        R.SEMI_BROADCAST_KEY_CAP, R.Q3_BROADCAST_ORDER_CAP = olds
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
