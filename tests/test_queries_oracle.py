@@ -857,3 +857,26 @@ def test_q3_plan_paths_agree(ray_session):
         R.SEMI_BROADCAST_KEY_CAP, R.Q3_BROADCAST_ORDER_CAP = olds
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_ngram_exact_finalize_paths_agree(ray_session):
+    """ngram_jaccard_exact: the broadcast Jaccard finalize (candidate
+    pairs under the cap) and the two-hash-join scale path must produce
+    identical pair sets."""
+    from hexhamming_ray.pipelines import text as T
+
+    def run():
+        return (
+            T.ngram_jaccard_exact(SF_DIR).to_pandas()
+            .sort_values(["id_lo", "id_hi"]).reset_index(drop=True)
+        )
+
+    ref = run()
+    old = T.BROADCAST_PAIR_CAP
+    try:
+        T.BROADCAST_PAIR_CAP = -1  # force the join path
+        alt = run()
+    finally:
+        T.BROADCAST_PAIR_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
