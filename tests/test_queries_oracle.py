@@ -880,3 +880,25 @@ def test_ngram_exact_finalize_paths_agree(ray_session):
         T.BROADCAST_PAIR_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_priority_counts_paths_agree(ray_session):
+    """lineitem_priority_counts: the broadcast is_high lookup and the
+    native hash join must produce identical counts."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return (
+            R.lineitem_priority_counts(SF_DIR).to_pandas()
+            .sort_values("l_returnflag").reset_index(drop=True)
+        )
+
+    ref = run()
+    old = R.Q3_BROADCAST_ORDER_CAP
+    try:
+        R.Q3_BROADCAST_ORDER_CAP = -1  # force the join
+        alt = run()
+    finally:
+        R.Q3_BROADCAST_ORDER_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
