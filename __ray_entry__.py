@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantized_codes": A.embeddings_quantized_codes,
         "label_centroids": A.label_centroids,
         "knn_label_accuracy": A.knn_label_accuracy,
+        "graph_components": A.graph_components,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -1087,5 +1088,23 @@ def oracle_sql() -> dict[str, str]:
             " string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
             "  AS postings FROM pairs GROUP BY tok) "
             "SELECT tok, df, postings FROM g WHERE df BETWEEN 2 AND 385"
+        ),
+        # generic connected components: min-label transitive closure of
+        # the exact near-dup edge set via a recursive CTE; isolated
+        # nodes label themselves (the seed row provides vec_id itself)
+        "graph_components": (
+            "WITH RECURSIVE "
+            "E AS (SELECT a.vec_id AS id_lo, b.vec_id AS id_hi "
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            " WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            "  >= 0.45), "
+            "ed AS (SELECT id_lo AS a, id_hi AS b FROM E "
+            " UNION SELECT id_hi, id_lo FROM E), "
+            "reach(id, r) AS ("
+            " SELECT vec_id, vec_id FROM embeddings "
+            " UNION "
+            " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a) "
+            "SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS component "
+            "FROM reach GROUP BY id"
         ),
     }

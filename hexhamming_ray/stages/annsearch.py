@@ -1037,3 +1037,71 @@ def knn_label_accuracy(sf_dir: str, *, n_queries: int = 10, k: int = 5):
             "correct": pa.array([r[3] for r in rows], pa.bool_()),
         }
     )
+
+
+def graph_components(sf_dir: str, *, threshold: float = 0.45):
+    """Generic CONNECTED COMPONENTS over an explicit edge list — the
+    flagship's distributed union-find (state/unionfind.py) exposed as
+    a standalone query and put under a SQL VALUE oracle on a graph
+    with real multi-hop structure (a DuckDB recursive CTE computes the
+    min-label transitive closure of the same edges). Edges are the
+    exact embedding near-dup pairs (SQL-expressible); every vec_id is
+    a node; isolated nodes label themselves. (vec_id, component) with
+    component = min node id of the component.
+
+    Scale shape: the union-find loop is the ER pipeline's (symmetrize
+    -> sort -> local-UF rounds, single-block tail) — edges only, never
+    vectors. The label remap here is a broadcast lookup: labels are
+    bounded by 2x the edge count, and this query's edge generator is
+    the exact O(N^2) operator, so any feasible input keeps the label
+    table ray.put-sized (the ER pipeline's sorted-run remap is the
+    corpus-scale alternative, er.py)."""
+    import ray
+
+    from hexhamming_ray.pipelines.text import _gather_table
+    from hexhamming_ray.state.unionfind import connected_components
+
+    edges = embedding_near_dup_pairs(sf_dir, threshold=threshold)
+    labels = _gather_table(
+        connected_components(edges).materialize(),
+        pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())]),
+    )
+    nid = labels.column("node").to_numpy()
+    order = np.argsort(nid)
+    lut_ref = ray.put(
+        (nid[order], labels.column("cluster_id").to_numpy()[order])
+    )
+
+    class _LabelLookup:
+        def __init__(self, ref):
+            self.ref = ref
+            self._lut = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._lut is None:
+                self._lut = ray.get(self.ref)
+            ks, lab = self._lut
+            ids = batch.column("vec_id").to_numpy()
+            if ks.shape[0] == 0:
+                comp = ids
+            else:
+                pos = np.minimum(np.searchsorted(ks, ids), ks.shape[0] - 1)
+                comp = np.where(ks[pos] == ids, lab[pos], ids)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "component": pa.array(comp, pa.int64()),
+                }
+            )
+
+    from hexhamming_ray import read_num_blocks
+
+    path = f"{sf_dir}/embeddings.parquet"
+    nodes = ray.data.read_parquet(  # pruned: the id column only
+        path, columns=["vec_id"],
+        override_num_blocks=read_num_blocks(path),
+    )
+    return nodes.map_batches(
+        _LabelLookup(lut_ref), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )
