@@ -58,6 +58,11 @@ _EXTENDED = [
     "line_dedup_docs",
     "token_doc_freq",
     "dedup_keep_longest",
+    "chunk_docs",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "q3_top_orders",
+    "graph_components",
 ]
 
 
