@@ -222,6 +222,8 @@ DOC_QUERIES = [
     "docs_json_roundtrip", "docs_partitioned_sink",
     "weighted_sample_docs", "dedup_keep_longest", "scrub_docs",
     "line_dedup_docs", "token_doc_freq", "lang_confusion",
+    "chunk_docs", "dataset_split_docs", "pack_sequences",
+    "tfidf_top_terms", "inverted_index",
 ]
 
 
