@@ -2801,13 +2801,16 @@ def pack_sequences(sf_dir: str, *, budget: int = 2048,
         .materialize()
     )
 
-    # pass A: bucket totals -> driver (<= num_partitions rows) -> bases
+    # pass A: bucket totals -> driver (<= num_partitions rows) -> bases.
+    # Per-block partials are <= num_partitions rows each, so ONE concat
+    # block (blocks x buckets tiny rows, 24 B each) beats spinning the
+    # keyed exchange's aggregators; at extreme blocks x buckets scale,
+    # swap the repartition(1) for the keyed exchange.
     totals = (
         toks.map_batches(_combine_runs(["bucket"], ["n_tokens"]),
                          batch_format="pyarrow", zero_copy_batch=True,
                          batch_size=None)
-        .repartition(num_blocks=num_partitions, keys=["bucket"],
-                     sort=True)
+        .repartition(num_blocks=1)
         .map_batches(_combine_runs(["bucket"], ["n_tokens"]),
                      batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
