@@ -2625,20 +2625,27 @@ def lang_confusion(sf_dir: str):
     )
 
 
-def chunk_docs(sf_dir: str, *, chunk: int = 64):
+def chunk_docs(sf_dir: str, *, chunk: int = 64, stride: int | None = None):
     """Context-window chunking — the LLM pretraining 1->N explode:
-    split each document into consecutive ``chunk``-token windows.
-    (doc_id, chunk_id, n_chunk_tokens, chunk_text); 0-token docs emit
-    0 chunks.
+    split each document into ``chunk``-token windows starting every
+    ``stride`` tokens (default ``stride == chunk``: consecutive,
+    non-overlapping — the SQL-oracled configuration; ``stride <
+    chunk`` gives the overlapping windows an embedding pipeline wants,
+    tested against a Python reference). (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text); 0-token docs emit 0 chunks.
 
     Shape: pure per-batch flat-map, ZERO shuffle — chunking is
     embarrassingly parallel and must stay that way at 100 TB. Tokens
     never leave Arrow: whitespace split -> empty-edge filter (to match
-    the ``\\S+`` oracle) -> the non-overlapping windows tile the flat
+    the ``\\S+`` oracle) -> non-overlapping windows tile the flat
     token buffer exactly, so the chunk list array is rebuilt from
-    boundary offsets alone (no take/gather of token data) and the
-    chunk text is ONE vectorized ``binary_join`` per batch. Output
-    grows ~1x input text: consume with a sink, never take_all."""
+    boundary offsets alone (no take/gather of token data; overlapping
+    windows take one vectorized index gather instead) and the chunk
+    text is ONE vectorized ``binary_join`` per batch. Output grows
+    ~chunk/stride x input text: consume with a sink, never take_all."""
+    stride = chunk if stride is None else stride
+    if not 0 < stride <= chunk:
+        raise ValueError("stride must be in (0, chunk]")
 
     def f(batch: pa.Table) -> pa.Table:
         def empty() -> pa.Table:
@@ -2669,7 +2676,8 @@ def chunk_docs(sf_dir: str, *, chunk: int = 64):
             flat = flat.combine_chunks()
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
         L = np.bincount(doc_idx, minlength=n).astype(np.int64)
-        n_chunks = -(-L // chunk)  # ceil; L == 0 -> 0 chunks
+        # windows start at 0, stride, 2*stride ... while start < L
+        n_chunks = np.where(L > 0, (L - 1) // stride + 1, 0)
         total = int(n_chunks.sum())
         if total == 0:
             return empty()
@@ -2680,17 +2688,32 @@ def chunk_docs(sf_dir: str, *, chunk: int = 64):
             - np.repeat(cum[:-1], n_chunks)
         )
         doc_off = np.concatenate(([0], np.cumsum(L)))
-        starts = doc_off[doc_rep] + chunk_id * chunk
+        starts = doc_off[doc_rep] + chunk_id * stride
         ends = np.minimum(
             starts + chunk, doc_off[doc_rep] + L[doc_rep]
         )
-        # consecutive windows tile the filtered token buffer exactly
-        # (ends[i] == starts[i+1]), so boundaries ARE the list offsets
-        offsets = pa.array(
-            np.concatenate((starts, [doc_off[-1]])).astype(np.int32),
-            pa.int32(),
-        )
-        windows = pa.ListArray.from_arrays(offsets, flat)
+        if stride == chunk:
+            # consecutive windows tile the filtered token buffer
+            # exactly (ends[i] == starts[i+1]), so boundaries ARE the
+            # list offsets — zero-gather
+            offsets = pa.array(
+                np.concatenate((starts, [doc_off[-1]])).astype(np.int32),
+                pa.int32(),
+            )
+            windows = pa.ListArray.from_arrays(offsets, flat)
+        else:
+            # overlapping windows: one vectorized index gather
+            lens = ends - starts
+            out_cum = np.concatenate(([0], np.cumsum(lens)))
+            idx = (
+                np.repeat(starts, lens)
+                + np.arange(int(out_cum[-1]), dtype=np.int64)
+                - np.repeat(out_cum[:-1], lens)
+            )
+            windows = pa.ListArray.from_arrays(
+                pa.array(out_cum.astype(np.int32), pa.int32()),
+                flat.take(pa.array(idx)),
+            )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").take(pa.array(doc_rep)),

@@ -555,3 +555,59 @@ def test_media_frame_sample_injected_codec(ray_session):
     assert (out["media_id"] % 3 != 1).all()
     nonaudio = out[out["media_id"] % 3 != 1]
     assert (nonaudio.groupby("media_id").size() == 2).all()
+
+
+def test_chunk_docs_overlap_vs_reference(ray_session, tmp_path):
+    """chunk_docs with stride < chunk (overlapping windows) must match
+    a plain-Python sliding-window reference, including sub-stride docs,
+    empty docs, and whitespace edges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines.text import chunk_docs
+
+    rng = np.random.default_rng(7)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = ["", "  ", "one", "one two three"]
+    texts += [
+        " ".join(rng.choice(words, int(rng.integers(1, 40))))
+        for _ in range(60)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], np.int64), pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    chunk, stride = 8, 3
+    got = (
+        chunk_docs(str(tmp_path), chunk=chunk, stride=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split()
+        start, cid = 0, 0
+        while start < len(toks):
+            w = toks[start:start + chunk]
+            rows.append((i, cid, len(w), " ".join(w)))
+            start += stride
+            cid += 1
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "n_chunk_tokens",
+                       "chunk_text"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.groupby("doc_id").size() > 1).any()
