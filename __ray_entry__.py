@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": A.label_centroids,
         "knn_label_accuracy": A.knn_label_accuracy,
         "graph_components": A.graph_components,
+        "user_moving_sum": R.user_moving_sum,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -1106,5 +1107,15 @@ def oracle_sql() -> dict[str, str]:
             " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a) "
             "SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS component "
             "FROM reach GROUP BY id"
+        ),
+        # bounded ROWS frame; event_id breaks ts ties so the frame is
+        # deterministic in both engines
+        "user_moving_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            " AS moving_cents "
+            "FROM events"
         ),
     }

@@ -3503,3 +3503,65 @@ def user_daily_spine(sf_dir: str, *, num_partitions: int = 16):
         .map_batches(spine, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=None)
     )
+
+
+def user_moving_sum(sf_dir: str, *, k: int = 3,
+                    num_partitions: int = 16):
+    """Bounded ROWS-frame window — completes the frame family (RANGE
+    interval = ``rolling_user_window``, ROWS UNBOUNDED PRECEDING =
+    ``user_cumulative_value``): per event, the cent-sum of the current
+    row and the previous ``k`` rows of the same user in (ts, event_id)
+    order. (event_id, user_id, moving_cents). The ORDER BY is total
+    (event_id breaks ts ties), so the row frame is deterministic and
+    the SQL twin hashes exactly.
+
+    Shape: hash-repartition by user + ONE lexsort per block + a
+    run-reset cumsum; each row's frame sum is ``c[i] - c[j]`` with
+    ``j = max(i - k - 1, run_start - 1)`` — two vectorized gathers, no
+    per-row loop."""
+
+    def moving(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "moving_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy()
+        v = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        c = np.cumsum(v)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new, np.arange(n, dtype=np.int64), -1)
+        )
+        j = np.maximum(np.arange(n, dtype=np.int64) - (k + 1),
+                       run_start - 1)
+        base = np.where(j >= 0, c[np.maximum(j, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "moving_cents": pa.array(
+                    (c - base).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"],
+                     sort=True)
+        .map_batches(moving, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
