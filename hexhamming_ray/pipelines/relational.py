@@ -393,7 +393,7 @@ def distinct_order_customers(sf_dir: str, *, num_partitions: int = 8):
     unique count, then ``Dataset.sum`` over ``num_partitions`` scalar
     rows.  Distinct keys never reach the driver — only the per-block
     counts do — so key cardinality is bounded by block memory, not
-    driver memory. Under ``OUTER_BROADCAST_KEY_CAP`` (key domain from
+    driver memory. Under ``COALESCE_KEY_CAP`` (key domain from
     customer parquet metadata) the per-block partials — already <=
     |keys| rows each — coalesce into ONE block instead of spinning the
     keyed exchange's aggregators."""
@@ -414,7 +414,7 @@ def distinct_order_customers(sf_dir: str, *, num_partitions: int = 8):
     n_cust = _pq.ParquetFile(
         f"{sf_dir}/customer.parquet"
     ).metadata.num_rows
-    if n_cust <= OUTER_BROADCAST_KEY_CAP:
+    if n_cust <= COALESCE_KEY_CAP:
         part = part.repartition(num_blocks=1)
     else:
         part = part.repartition(
@@ -599,13 +599,7 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
                     self._k = ray.get(self.ref)
                 ks = self._k
                 ck = batch.column("o_custkey").to_numpy()
-                if ks.shape[0] == 0:
-                    hit = np.zeros(len(ck), dtype=bool)
-                else:
-                    pos = np.minimum(
-                        np.searchsorted(ks, ck), ks.shape[0] - 1
-                    )
-                    hit = ks[pos] == ck
+                _, hit = _lut_probe(ks, ck)
                 mask = pa.array(hit)
                 return pa.table(
                     {
@@ -665,14 +659,7 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
                     self._lut = ray.get(self.ref)
                 ks, ep = self._lut
                 lk = batch.column("l_orderkey").to_numpy()
-                if ks.shape[0] == 0:
-                    hit = np.zeros(len(lk), dtype=bool)
-                    pos_c = np.zeros(len(lk), dtype=np.int64)
-                else:
-                    pos_c = np.minimum(
-                        np.searchsorted(ks, lk), ks.shape[0] - 1
-                    )
-                    hit = ks[pos_c] == lk
+                pos_c, hit = _lut_probe(ks, lk)
                 f = batch.filter(pa.array(hit))
                 rev = pc.multiply(
                     f.column("l_extendedprice"),
@@ -698,7 +685,8 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
         )
         agg = _grouped_sums(
             li, ["l_orderkey", "o_orderdate_epoch"], ["rev_cents"],
-            "n_l", coalesce=True,
+            "n_l", coalesce=j1.count() <= COALESCE_KEY_CAP,
+            num_partitions=num_partitions,
         ).select_columns(
             ["l_orderkey", "o_orderdate_epoch", "rev_cents"]
         ).rename_columns(
@@ -814,15 +802,7 @@ def lineitem_priority_counts(sf_dir: str, *, cutoff: str = "1997-01-01",
                     self._lut = ray.get(self.ref)
                 ks, hi = self._lut
                 lk = batch.column("l_orderkey").to_numpy()
-                if ks.shape[0] == 0:
-                    return pa.table(
-                        {
-                            "l_returnflag": pa.array([], pa.string()),
-                            "is_high": pa.array([], pa.int64()),
-                        }
-                    )
-                pos = np.minimum(np.searchsorted(ks, lk), ks.shape[0] - 1)
-                hit = ks[pos] == lk  # inner-join semantics, no FK trust
+                pos, hit = _lut_probe(ks, lk)  # inner-join semantics
                 f = pa.array(hit)
                 return pa.table(
                     {
@@ -2234,6 +2214,26 @@ def orders_pivot(sf_dir: str):
 #: hash join is the scale path
 OUTER_BROADCAST_KEY_CAP = 2_000_000
 
+#: coalesce (repartition(1)) a partial-combined aggregate only while
+#: blocks x keys stays one-task-sized: each scan block contributes up
+#: to |keys| partial rows, so near the BROADCAST cap a coalesce would
+#: funnel blocks x 2M rows into one combine task — above this, the
+#: keyed exchange carries the partials even on the broadcast plan
+COALESCE_KEY_CAP = 200_000
+
+
+def _lut_probe(ks: np.ndarray, q: np.ndarray):
+    """Probe a SORTED key array: returns (pos, hit) where ``pos`` is
+    clamped into range and ``hit[i]`` says whether ``q[i]`` is present.
+    The one place the searchsorted-clamp-compare idiom lives — every
+    broadcast sorted-lookup UDF must use it (an unclamped searchsorted
+    IndexErrors on any key above the lut's max)."""
+    if ks.shape[0] == 0:
+        z = np.zeros(q.shape[0], dtype=np.int64)
+        return z, np.zeros(q.shape[0], dtype=bool)
+    pos = np.minimum(np.searchsorted(ks, q), ks.shape[0] - 1)
+    return pos, ks[pos] == q
+
 
 def _gather_int64_cols(ds, cols: list[str], sort_by: str):
     """Concatenate a small Dataset's int64 columns driver-side, sorted
@@ -2290,7 +2290,7 @@ def customer_order_counts(sf_dir: str, *, num_partitions: int = 8):
             batch_size=None,
         ),
         ["o_custkey"], ["one"], "n", num_partitions=num_partitions,
-        coalesce=broadcast,
+        coalesce=n_cust <= COALESCE_KEY_CAP,
     ).select_columns(["o_custkey", "one"])
 
     if broadcast:
@@ -2309,13 +2309,8 @@ def customer_order_counts(sf_dir: str, *, num_partitions: int = 8):
                     self._lut = ray.get(self.ref)
                 ks, ns = self._lut
                 ck = batch.column("c_custkey").to_numpy()
-                if ks.shape[0] == 0:
-                    n = np.zeros(len(batch), dtype=np.int64)
-                else:
-                    pos = np.minimum(
-                        np.searchsorted(ks, ck), ks.shape[0] - 1
-                    )
-                    n = np.where(ks[pos] == ck, ns[pos], 0)
+                pos, hit = _lut_probe(ks, ck)
+                n = np.where(hit, ns[pos], 0)
                 return pa.table(
                     {
                         "c_custkey": batch.column("c_custkey"),
@@ -2395,7 +2390,7 @@ def orders_above_cust_avg(sf_dir: str, *, num_partitions: int = 8):
             batch_size=None,
         ),
         ["o_custkey"], ["cents"], "n", num_partitions=num_partitions,
-        coalesce=broadcast,
+        coalesce=n_cust <= COALESCE_KEY_CAP,
     ).rename_columns(["k", "sum_cents", "n_orders"])
 
     if broadcast:
@@ -2415,11 +2410,11 @@ def orders_above_cust_avg(sf_dir: str, *, num_partitions: int = 8):
                 ks, ss, ns = self._lut
                 ck = batch.column("o_custkey").to_numpy()
                 p = _cents(batch.column("o_totalprice")).to_numpy()
-                if ks.shape[0] == 0:
-                    keep = np.zeros(len(batch), dtype=bool)
-                else:
-                    pos = np.searchsorted(ks, ck)  # always present
-                    keep = p * ns[pos] > ss[pos]
+                # every custkey is present when lut and fact share a
+                # snapshot, but probe defensively (inner-join miss =
+                # drop) — an unclamped gather would IndexError
+                pos, hit = _lut_probe(ks, ck)
+                keep = hit & (p * ns[pos] > ss[pos])
                 return pa.table(
                     {
                         "o_orderkey": batch.column("o_orderkey").filter(
@@ -2587,7 +2582,7 @@ def user_activity_full_outer(sf_dir: str, *, num_partitions: int = 8,
         n_cust = _pq.ParquetFile(
             f"{sf_dir}/customer.parquet"
         ).metadata.num_rows
-        if n_cust <= OUTER_BROADCAST_KEY_CAP:
+        if n_cust <= COALESCE_KEY_CAP:
             u = u.repartition(num_blocks=1)
         else:
             u = u.repartition(

@@ -1123,6 +1123,15 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     )
 
 
+def _jaccard_keep(c, na, nb, threshold):
+    """Shared Jaccard finalize for both ngram_jaccard_exact plans:
+    jac = |inter| / |union|, floored to x1000 — ONE place, so the
+    broadcast and join paths cannot drift."""
+    jac = c / (na + nb - c)
+    keep = jac >= threshold
+    return np.floor(jac[keep] * 1000).astype(np.int64), keep
+
+
 def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
                         df_cap: int = 64,
                         num_partitions: int | None = None):
@@ -1348,6 +1357,7 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
     # the CANDIDATE ids (candidate-bounded — the full size table, one
     # row per corpus doc, never reaches the driver) and compute Jaccard
     # in one vectorized pass, deleting both candidate hash joins.
+    inter = inter.materialize()  # count + gather: execute ONCE
     if inter.count() <= BROADCAST_PAIR_CAP:
         import ray
 
@@ -1382,17 +1392,13 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         c = it.column("inter").to_numpy().astype(np.float64)
         na = sn[np.searchsorted(sid, lo)].astype(np.float64)
         nb = sn[np.searchsorted(sid, hi)].astype(np.float64)
-        jac = c / (na + nb - c)
-        keep = jac >= threshold
+        jac_x1000, keep = _jaccard_keep(c, na, nb, threshold)
         return ray.data.from_arrow(
             pa.table(
                 {
                     "id_lo": pa.array(lo[keep], pa.int64()),
                     "id_hi": pa.array(hi[keep], pa.int64()),
-                    "jaccard_x1000": pa.array(
-                        np.floor(jac[keep] * 1000).astype(np.int64),
-                        pa.int64(),
-                    ),
+                    "jaccard_x1000": pa.array(jac_x1000, pa.int64()),
                 }
             )
         )
@@ -1404,15 +1410,12 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         c = batch.column("inter").to_numpy().astype(np.float64)
         na = batch.column("n_lo").to_numpy().astype(np.float64)
         nb = batch.column("n_hi").to_numpy().astype(np.float64)
-        jac = c / (na + nb - c)
-        keep = jac >= threshold
+        jac_x1000, keep = _jaccard_keep(c, na, nb, threshold)
         return pa.table(
             {
                 "id_lo": batch.column("id_lo").filter(pa.array(keep)),
                 "id_hi": batch.column("id_hi").filter(pa.array(keep)),
-                "jaccard_x1000": pa.array(
-                    np.floor(jac[keep] * 1000).astype(np.int64), pa.int64()
-                ),
+                "jaccard_x1000": pa.array(jac_x1000, pa.int64()),
             }
         )
 
@@ -2702,7 +2705,10 @@ def chunk_docs(sf_dir: str, *, chunk: int = 64, stride: int | None = None):
             )
             windows = pa.ListArray.from_arrays(offsets, flat)
         else:
-            # overlapping windows: one vectorized index gather
+            # overlapping windows: one vectorized index gather. Output
+            # tokens = block tokens x ~chunk/stride, which can pass
+            # 2^31 on a large block at extreme ratios — int64 offsets
+            # (LargeListArray) avoid the int32 overflow cliff
             lens = ends - starts
             out_cum = np.concatenate(([0], np.cumsum(lens)))
             idx = (
@@ -2710,8 +2716,8 @@ def chunk_docs(sf_dir: str, *, chunk: int = 64, stride: int | None = None):
                 + np.arange(int(out_cum[-1]), dtype=np.int64)
                 - np.repeat(out_cum[:-1], lens)
             )
-            windows = pa.ListArray.from_arrays(
-                pa.array(out_cum.astype(np.int32), pa.int32()),
+            windows = pa.LargeListArray.from_arrays(
+                pa.array(out_cum, pa.int64()),
                 flat.take(pa.array(idx)),
             )
         return pa.table(

@@ -1080,13 +1080,12 @@ def graph_components(sf_dir: str, *, threshold: float = 0.45):
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self._lut is None:
                 self._lut = ray.get(self.ref)
+            from hexhamming_ray.pipelines.relational import _lut_probe
+
             ks, lab = self._lut
             ids = batch.column("vec_id").to_numpy()
-            if ks.shape[0] == 0:
-                comp = ids
-            else:
-                pos = np.minimum(np.searchsorted(ks, ids), ks.shape[0] - 1)
-                comp = np.where(ks[pos] == ids, lab[pos], ids)
+            pos, hit = _lut_probe(ks, ids)
+            comp = np.where(hit, lab[pos], ids)
             return pa.table(
                 {
                     "vec_id": pa.array(ids, pa.int64()),
