@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_accuracy": A.knn_label_accuracy,
         "graph_components": A.graph_components,
         "user_moving_sum": R.user_moving_sum,
+        "fuzzy_decontaminate_docs": T.fuzzy_decontaminate_docs,
         # --- relational operator surface (SQL-oracled) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "orders_by_status": R.orders_by_status,
@@ -1117,5 +1118,31 @@ def oracle_sql() -> dict[str, str]:
             "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) "
             " AS moving_cents "
             "FROM events"
+        ),
+        # fuzzy decontamination: exact cross-set 3-gram Jaccard between
+        # training docs and the doc_id % 50 == 0 benchmark subset
+        "fuzzy_decontaminate_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "sh0 AS ( "
+            "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+            "  WHERE len(t) >= 3 "
+            "  UNION ALL "
+            "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+            "  WHERE len(t) BETWEEN 1 AND 2), "
+            "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+            "tr AS (SELECT * FROM shd WHERE doc_id % 50 <> 0), "
+            "be AS (SELECT * FROM shd WHERE doc_id % 50 = 0), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd "
+            "  GROUP BY doc_id), "
+            "inter AS (SELECT tr.doc_id AS doc_id, be.doc_id AS bench_id, "
+            "  COUNT(*) AS c FROM tr JOIN be USING (s) GROUP BY 1, 2) "
+            "SELECT inter.doc_id, inter.bench_id, "
+            "CAST(FLOOR(1000.0 * c / (sa.n + sb.n - c)) AS BIGINT) "
+            "  AS jaccard_x1000 "
+            "FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id "
+            "JOIN sizes sb ON sb.doc_id = inter.bench_id "
+            "WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.35"
         ),
     }

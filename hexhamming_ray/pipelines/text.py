@@ -3088,3 +3088,131 @@ def inverted_index(sf_dir: str, *, min_df: int = 2, max_df: int = 385,
         .map_batches(build_postings, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+def fuzzy_decontaminate_docs(sf_dir: str, *, threshold: float = 0.35):
+    """Document-level eval-leakage scan (FUZZY decontamination — the
+    cross-set near-dup filter LLM training runs beside the gram-overlap
+    scan): exact token-3-gram Jaccard between every TRAINING doc and
+    every BENCHMARK doc (the ``doc_id % 50 == 0`` subset — the same
+    split as :func:`decontaminate_docs`), kept at ``jaccard >=
+    threshold``. (doc_id, bench_id, jaccard_x1000 floored).
+
+    Shape — the decontaminate_docs asymmetry exploited for PAIRED
+    output: pass 1 gathers the benchmark docs' per-doc distinct gram
+    hashes into ONE sorted (gram -> bench doc) broadcast (bounded by
+    benchmark volume BY DESIGN — the benchmark is tiny relative to the
+    corpus); pass 2 streams the training corpus, and each batch
+    resolves its grams' bench postings with two searchsorteds + a
+    repeat/cumsum range expansion, counts (train, bench) pair hits
+    sparsely via ``np.unique`` (scratch bounded by matched-pair
+    volume — contamination — never train x bench), and keeps threshold
+    survivors. ZERO shuffles; gram identity is the shared 64-bit
+    shingle hash space (the oracled ngram pipelines' accepted
+    trade)."""
+    import ray
+
+    from hexhamming_ray.functions.hashing import shingle_hashes_batch
+
+    def bench_doc_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids % _BENCHMARK_MOD == 0
+        texts = [
+            t for t, k in zip(batch.column("text").to_pylist(), keep) if k
+        ]
+        values, counts = shingle_hashes_batch(texts)
+        return pa.table(
+            {
+                "g": pa.array(values, pa.uint64()),
+                "bench_id": pa.array(
+                    np.repeat(ids[keep], counts), pa.int64()
+                ),
+            }
+        )
+
+    bt = _gather_table(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bench_doc_grams, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        ),
+        pa.schema([("g", pa.uint64()), ("bench_id", pa.int64())]),
+    )
+    g_all = bt.column("g").to_numpy()
+    bid_all = bt.column("bench_id").to_numpy()
+    order = np.lexsort((bid_all, g_all))
+    bench_ids, nb = np.unique(bid_all, return_counts=True)
+    lut_ref = ray.put(
+        (g_all[order], bid_all[order], bench_ids, nb)
+    )
+
+    class _FuzzyScan:
+        def __init__(self, ref):
+            self.ref = ref
+            self._lut = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bench_id": pa.array([], pa.int64()),
+                    "jaccard_x1000": pa.array([], pa.int64()),
+                }
+            )
+            if self._lut is None:
+                self._lut = ray.get(self.ref)
+            g_s, bid_s, b_ids, b_n = self._lut
+            ids = batch.column("doc_id").to_numpy()
+            train = ids % _BENCHMARK_MOD != 0
+            if g_s.shape[0] == 0 or not train.any():
+                return empty
+            texts = [
+                t for t, k
+                in zip(batch.column("text").to_pylist(), train) if k
+            ]
+            tids = ids[train]
+            values, counts = shingle_hashes_batch(texts)
+            if values.shape[0] == 0:
+                return empty
+            doc_rep = np.repeat(
+                np.arange(tids.shape[0], dtype=np.int64), counts
+            )
+            lo = np.searchsorted(g_s, values, "left")
+            lens = np.searchsorted(g_s, values, "right") - lo
+            total = int(lens.sum())
+            if total == 0:
+                return empty
+            out_cum = np.concatenate(([0], np.cumsum(lens)))
+            pos = (
+                np.repeat(lo, lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(out_cum[:-1], lens)
+            )
+            pairs = np.stack(
+                [np.repeat(doc_rep, lens),
+                 np.searchsorted(b_ids, bid_s[pos])],
+                axis=1,
+            )
+            upairs, c = np.unique(pairs, axis=0, return_counts=True)
+            na = counts[upairs[:, 0]].astype(np.float64)
+            nbv = b_n[upairs[:, 1]].astype(np.float64)
+            jac = c / (na + nbv - c)
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        tids[upairs[keep, 0]], pa.int64()
+                    ),
+                    "bench_id": pa.array(
+                        b_ids[upairs[keep, 1]], pa.int64()
+                    ),
+                    "jaccard_x1000": pa.array(
+                        np.floor(jac[keep] * 1000).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _FuzzyScan(lut_ref), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None,
+    )

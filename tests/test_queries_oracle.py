@@ -223,7 +223,7 @@ DOC_QUERIES = [
     "weighted_sample_docs", "dedup_keep_longest", "scrub_docs",
     "line_dedup_docs", "token_doc_freq", "lang_confusion",
     "chunk_docs", "dataset_split_docs", "pack_sequences",
-    "tfidf_top_terms", "inverted_index",
+    "tfidf_top_terms", "inverted_index", "fuzzy_decontaminate_docs",
 ]
 
 
