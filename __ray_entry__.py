@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_above_p90_len": T.docs_above_p90_len,
         "decontaminate_docs": T.decontaminate_docs,
         "doc_line_stats": T.doc_line_stats,
+        "ngram_repetition_docs": T.ngram_repetition_docs,
         "docs_csv_roundtrip": T.docs_csv_roundtrip,
         "docs_json_roundtrip": T.docs_json_roundtrip,
         "docs_partitioned_sink": T.docs_partitioned_sink,
@@ -850,6 +851,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
             "CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines "
             "FROM l GROUP BY doc_id"
+        ),
+        # Gopher duplicated-bigram repetition signal; dup fraction in
+        # exact integer permille (// on both sides, no float hashed)
+        "ngram_repetition_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "bg AS ( "
+            "  SELECT doc_id, t[i] || ' ' || t[i+1] AS s "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i) "
+            "  WHERE len(t) >= 2), "
+            "cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM bg "
+            "  GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) "
+            "  AS n_dup, "
+            "1000 * CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) "
+            "  AS BIGINT) // CAST(SUM(c) AS BIGINT) AS dup_x1000 "
+            "FROM cnt GROUP BY doc_id"
         ),
         # scalar-subquery broadcast: strict > the exact discrete p90
         "docs_above_p90_len": (

@@ -616,3 +616,96 @@ def _shingle_chunk(
     keep[1:] = h[1:] != h[:-1]
     keep[w_off[:-1][gcnt > 0]] = True  # segment heads always survive
     return h[keep], np.bincount(doc_of_w[keep], minlength=n_docs).astype(np.int64)
+
+
+def bigram_repetition_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word-BIGRAM repetition counts for a batch of documents,
+    vectorized — the duplicated-n-gram quality signal of the Gopher
+    rules (Rae et al. 2021): a document whose bigram stream is
+    dominated by repeats is boilerplate/template text.
+
+    Returns ``(n_bigrams, n_dup)`` int64 arrays, one entry per input
+    text: ``n_bigrams[i]`` is the number of overlapping word bigrams
+    (``len(tokens) - 1``; 0 when the doc has < 2 tokens) and
+    ``n_dup[i]`` the number of bigram INSTANCES whose bigram occurs
+    >= 2 times within the document. Tokenization is ``str.split()``
+    (identical token streams to the DuckDB ``regexp_extract_all(text,
+    '\\S+')`` oracle), and bigram identity is byte equality of
+    ``tok[i] + ' ' + tok[i+1]`` via the same 64-bit polynomial window
+    hash the shingle explode uses (collisions would need two distinct
+    bigrams of one doc to collide in 64 mixed bits).
+    """
+    n_docs = len(texts)
+    n_big = np.zeros(n_docs, dtype=np.int64)
+    n_dup = np.zeros(n_docs, dtype=np.int64)
+    start = 0
+    while start < n_docs:
+        end = start
+        nbytes = 0
+        parts: list[bytes] = []
+        tokc: list[int] = []
+        while end < n_docs and (nbytes < _SHINGLE_CHUNK or end == start):
+            toks = texts[end].split()
+            joined = " ".join(toks).encode()
+            parts.append(joined)
+            tokc.append(len(toks))
+            nbytes += len(joined)
+            end += 1
+        b, d = _bigram_rep_chunk(parts, np.asarray(tokc, dtype=np.int64))
+        n_big[start:end] = b
+        n_dup[start:end] = d
+        start = end
+    return n_big, n_dup
+
+
+def _bigram_rep_chunk(
+    parts: list, tok_counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    n_docs = len(parts)
+    doc_lens = np.fromiter((len(p) for p in parts), np.int64, n_docs)
+    doc_off = np.concatenate([[0], np.cumsum(doc_lens)])
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+
+    gcnt = np.maximum(tok_counts - 1, 0)  # one window per adjacent pair
+    w_off = np.concatenate([[0], np.cumsum(gcnt)])
+    total_w = int(w_off[-1])
+    zeros = np.zeros(n_docs, dtype=np.int64)
+    if total_w == 0:
+        return gcnt.copy(), zeros
+
+    # token boundaries: same space-separator derivation as _shingle_chunk
+    sp1 = np.flatnonzero(buf == 0x20)
+    sp1 += 1
+    starts_nz = doc_off[:-1][doc_lens > 0]
+    token_starts = np.insert(sp1, np.searchsorted(sp1, starts_nz), starts_nz)
+    n_tok = token_starts.shape[0]
+    tok_end = np.empty(n_tok, dtype=np.int64)
+    if n_tok > 1:
+        tok_end[:-1] = token_starts[1:] - 1
+    tok_end[-1:] = doc_off[-1]
+    tok_cum = np.concatenate([[0], np.cumsum(tok_counts)])
+    nz = tok_counts > 0
+    tok_end[tok_cum[1:][nz] - 1] = doc_off[1:][nz]
+
+    # window [start of tok i, end of tok i+1) — covers "tok_i tok_{i+1}"
+    doc_of_w = np.repeat(np.arange(n_docs, dtype=np.int64), gcnt)
+    intra = np.arange(total_w, dtype=np.int64) - np.repeat(w_off[:-1], gcnt)
+    ti = tok_cum[doc_of_w] + intra
+    h = _window_hashes(buf, token_starts[ti], tok_end[ti + 1])
+
+    # duplicate-instance count per doc: sort each doc SEGMENT in place
+    # (windows are doc-contiguous), then one adjacent-equality sweep —
+    # an instance is a dup iff it equals a neighbour in sorted order
+    wo = w_off.tolist()
+    for i in range(n_docs):
+        a, b = wo[i], wo[i + 1]
+        if b - a > 1:
+            h[a:b].sort()
+    eq_prev = np.zeros(total_w, dtype=bool)
+    eq_prev[1:] = h[1:] == h[:-1]
+    eq_prev[w_off[:-1][gcnt > 0]] = False  # never compare across docs
+    dup = eq_prev.copy()
+    dup[:-1] |= eq_prev[1:]  # first element of a run of equals is a dup too
+    return gcnt.copy(), np.bincount(
+        doc_of_w, weights=dup, minlength=n_docs
+    ).astype(np.int64)

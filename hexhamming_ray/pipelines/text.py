@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 from hexhamming_ray.functions import text as T
 from hexhamming_ray.functions.hashing import (
     band_keys_from_minhash,
+    bigram_repetition_batch,
     minhash_bytes_batch,
     simhash_batch,
 )
@@ -69,6 +70,40 @@ def quality_scores(sf_dir: str):
                 "n_digits": q["n_digits"],
                 "n_punct": q["n_punct"],
                 "quality_ok": q["quality_ok"],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def ngram_repetition_docs(sf_dir: str):
+    """(doc_id, n_bigrams, n_dup, dup_x1000) — the duplicated-n-gram
+    document-quality signal (Gopher repetition rules): per document,
+    the total overlapping word-bigram count, the number of bigram
+    instances whose bigram occurs >= 2 times in the doc, and the dup
+    fraction in exact integer permille (``1000 * n_dup // n_bigrams``
+    — integer division on BOTH sides, so no float enters the oracle
+    hash). Docs with < 2 tokens have no bigrams and are excluded,
+    mirroring the oracle's ``len(t) >= 2`` guard.
+
+    Scale shape: a pure per-batch map over the vectorized polynomial
+    window hasher (``bigram_repetition_batch``) — the statistic is
+    per-document, so it is exact with ZERO shuffle at any corpus size.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        nb, nd = bigram_repetition_batch(
+            batch.column("text").to_pylist())
+        keep = nb > 0
+        nb, nd = nb[keep], nd[keep]
+        return pa.table(
+            {
+                "doc_id": pc.array_filter(
+                    batch.column("doc_id"), pa.array(keep)),
+                "n_bigrams": pa.array(nb),
+                "n_dup": pa.array(nd),
+                "dup_x1000": pa.array(1000 * nd // nb),
             }
         )
 

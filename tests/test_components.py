@@ -611,3 +611,27 @@ def test_chunk_docs_overlap_vs_reference(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got.groupby("doc_id").size() > 1).any()
+
+
+def test_bigram_repetition_batch_matches_python_reference():
+    """The vectorized bigram dup counter vs a Counter-based reference
+    on a randomized corpus including the tokenizer edge cases."""
+    from collections import Counter
+
+    import numpy as np
+
+    from hexhamming_ray.functions.hashing import bigram_repetition_batch
+
+    rng = np.random.default_rng(7)
+    words = ["a", "bb", "ccc", "über", "中文", "x1", "the"]
+    texts = ["", "  \t ", "solo", "two toks", "r r r r", "a  b\ta b"]
+    for _ in range(200):
+        k = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(words, k)))
+    nb, nd = bigram_repetition_batch(texts)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bigs = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        c = Counter(bigs)
+        assert nb[i] == len(bigs)
+        assert nd[i] == sum(v for v in c.values() if v >= 2)

@@ -224,6 +224,7 @@ DOC_QUERIES = [
     "line_dedup_docs", "token_doc_freq", "lang_confusion",
     "chunk_docs", "dataset_split_docs", "pack_sequences",
     "tfidf_top_terms", "inverted_index", "fuzzy_decontaminate_docs",
+    "ngram_repetition_docs",
 ]
 
 
