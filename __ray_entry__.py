@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": R.orders_cube,
         "event_value_quartiles": R.event_value_quartiles,
         "user_cumulative_value": R.user_cumulative_value,
+        "user_retention": R.user_retention,
         "events_dayofweek": R.events_dayofweek,
         "part_name_features": R.part_name_features,
         "cms_user_event_counts": R.cms_user_event_counts,
@@ -797,6 +798,21 @@ def oracle_sql() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id "
             "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events"
+        ),
+        # week-over-week cohort retention over distinct (user, epoch
+        # week) pairs; weeks are epoch_us // one-week-of-us on both
+        # sides so the buckets match exactly
+        "user_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "  epoch_us(ts) // 604800000000 AS wk FROM events), "
+            "act AS (SELECT wk, COUNT(*) AS n_active FROM uw "
+            "  GROUP BY wk), "
+            "ret AS (SELECT a.wk, COUNT(*) AS n_retained FROM uw a "
+            "  JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1 "
+            "  GROUP BY a.wk) "
+            "SELECT act.wk, CAST(act.n_active AS BIGINT) AS n_active, "
+            "CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained "
+            "FROM act LEFT JOIN ret USING (wk)"
         ),
         "events_dayofweek": (
             "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, "

@@ -2694,6 +2694,85 @@ def user_cumulative_value(sf_dir: str, *, num_partitions: int = 16):
     )
 
 
+def user_retention(sf_dir: str, *, num_partitions: int = 16):
+    """Week-over-week user retention: per epoch week, the number of
+    distinct active users and how many of them are also active the
+    FOLLOWING week. (wk, n_active, n_retained) — the cohort-retention
+    report every product-analytics pipeline carries.
+
+    Shape: per-block partial distinct (user, week) FIRST (the exchange
+    carries at most users x weeks rows per block, never raw events),
+    ONE user-keyed exchange so each user's week set lands whole in one
+    block, then a single lexsort pass per block marks retained pairs
+    (distinct sorted weeks: retained iff the user's next distinct week
+    is wk + 1) and combines them to per-week partials. The week key
+    space is tiny, so the finalize is one coalesced run-combine — no
+    second keyed exchange.
+    """
+    WK_US = 604_800_000_000  # microseconds per epoch week
+
+    def _pairs(batch: pa.Table):
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        wk = batch.column("ts").cast(pa.int64()).to_numpy() // WK_US
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        return uid[new], wk[new]
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "wk": pa.array([], pa.int64())})
+        uid, wk = _pairs(batch)
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "wk": pa.array(wk, pa.int64())})
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"wk": pa.array([], pa.int64()),
+                          "n_active": pa.array([], pa.int64()),
+                          "n_retained": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        # re-distinct: the same user's pairs arrive from many input
+        # blocks; after the user-keyed exchange they all sit here
+        uid = batch.column("user_id").to_numpy()
+        wk = batch.column("wk").to_numpy()
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        uid, wk = uid[new], wk[new]
+        ret = np.zeros(len(uid), dtype=np.int64)
+        ret[:-1] = ((uid[1:] == uid[:-1]) & (wk[1:] == wk[:-1] + 1))
+        o2 = np.argsort(wk, kind="stable")
+        w2, r2 = wk[o2], ret[o2]
+        starts = np.flatnonzero(
+            np.r_[True, w2[1:] != w2[:-1]])
+        return pa.table({
+            "wk": pa.array(w2[starts], pa.int64()),
+            "n_active": pa.array(
+                np.diff(np.r_[starts, len(w2)]), pa.int64()),
+            "n_retained": pa.array(
+                np.add.reduceat(r2, starts), pa.int64()),
+        })
+
+    return (
+        _t(sf_dir, "events", ["user_id", "ts"], hash_shuffle=True)
+        .map_batches(partial_distinct, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["user_id"],
+                     sort=True)
+        .map_batches(block_partials, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(
+            _combine_runs(["wk"], ["n_active", "n_retained"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None)
+    )
+
+
 def events_dayofweek(sf_dir: str):
     """Date-function surface: event counts by day of week (0=Sunday,
     DuckDB dayofweek convention — Arrow's day_of_week with

@@ -146,7 +146,7 @@ EVENT_QUERIES = [
     "top_users_heavyhitter", "user_cumulative_value",
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
     "event_lag_lead", "user_first_last_event", "events_hopping_6h",
-    "user_daily_spine", "user_moving_sum",
+    "user_daily_spine", "user_moving_sum", "user_retention",
 ]
 
 
