@@ -1096,7 +1096,8 @@ class _ShinglePairVerify:
 
 
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        checkpoint_dir: str | None = None):
     """Near-dup pairs with EXACT token-3-gram Jaccard >= threshold:
     MinHash-LSH proposes candidates (cheap, approximate), then the
     exact set Jaccard verifies — the estimate filters, the exact value
@@ -1113,14 +1114,27 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     ``NGRAM_BROADCAST_CAP`` candidate pairs, only the CANDIDATE
     documents are shingled (semi-filter at the read by broadcast id
     set — the corpus-wide shingle pass and both join exchanges
-    disappear) and one broadcast-lookup map verifies."""
+    disappear) and one broadcast-lookup map verifies.
+
+    ``checkpoint_dir``: above the cap the per-doc shingle table is
+    CORPUS-sized and consumed twice (lo join, hi join). By default it
+    is pinned in the object store (spillable); pass a directory to
+    write it once as partitioned Parquet with a lineage manifest —
+    both joins then stream from disk, a killed run resumes past the
+    shingling pass, and nothing corpus-sized stays plasma-resident
+    (the exact treatment ``minhash_dup_pairs`` gives its signature
+    table; VERDICT r03 next-step #2)."""
+    from hexhamming_ray.state.checkpoint import Checkpointer
+
     num_partitions = num_partitions or _default_partitions()
-    cands = minhash_dup_pairs(sf_dir, threshold=0.3).select_columns(
-        ["id_lo", "id_hi"]
-    ).materialize()
+    cands = minhash_dup_pairs(
+        sf_dir, threshold=0.3, checkpoint_dir=checkpoint_dir
+    ).select_columns(["id_lo", "id_hi"]).materialize()
     if cands.count() <= NGRAM_BROADCAST_CAP:
         return _ngram_verify_broadcast(sf_dir, cands, threshold)
-    sh = _shingle_table(sf_dir).materialize()
+    sh = Checkpointer(checkpoint_dir).stage(
+        "ngram_shingles", lambda: _shingle_table(sf_dir)
+    )
     j = _join_col(cands, sh, "id_lo", "sh_lo", "sh",
                   num_partitions).materialize()
     j = _join_col(j, sh, "id_hi", "sh_hi", "sh", num_partitions)

@@ -1039,6 +1039,13 @@ def knn_label_accuracy(sf_dir: str, *, n_queries: int = 10, k: int = 5):
     )
 
 
+# Label rows (two int64s each) the driver will gather + ray.put for
+# the broadcast remap: 20M rows ~ 320 MB — same order as the ER
+# pipeline's build_clusters broadcast_limit. Above it the sort-based
+# tagged-union remap runs at any label-table size.
+GRAPH_LABEL_BROADCAST_CAP = 20_000_000
+
+
 def graph_components(sf_dir: str, *, threshold: float = 0.45):
     """Generic CONNECTED COMPONENTS over an explicit edge list — the
     flagship's distributed union-find (state/unionfind.py) exposed as
@@ -1051,56 +1058,106 @@ def graph_components(sf_dir: str, *, threshold: float = 0.45):
 
     Scale shape: the union-find loop is the ER pipeline's (symmetrize
     -> sort -> local-UF rounds, single-block tail) — edges only, never
-    vectors. The label remap here is a broadcast lookup: labels are
-    bounded by 2x the edge count, and this query's edge generator is
-    the exact O(N^2) operator, so any feasible input keeps the label
-    table ray.put-sized (the ER pipeline's sorted-run remap is the
-    corpus-scale alternative, er.py)."""
+    vectors. The label remap is SIZE-SWITCHED like every broadcast
+    plan in the repo (VERDICT r03 #3): under
+    ``GRAPH_LABEL_BROADCAST_CAP`` label rows the table is gathered
+    once and broadcast (one searchsorted gather per batch); above it
+    the ER pipeline's sort-based tagged-union remap
+    (state/unionfind.py `_remap_column`) runs with the driver holding
+    NOTHING — the correct default for an arbitrary 100 TB edge list.
+    A forced-fallback test pins both paths value-equal."""
     import ray
 
-    from hexhamming_ray.pipelines.text import _gather_table
+    from hexhamming_ray import read_num_blocks
     from hexhamming_ray.state.unionfind import connected_components
 
     edges = embedding_near_dup_pairs(sf_dir, threshold=threshold)
-    labels = _gather_table(
-        connected_components(edges).materialize(),
-        pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())]),
-    )
-    nid = labels.column("node").to_numpy()
-    order = np.argsort(nid)
-    lut_ref = ray.put(
-        (nid[order], labels.column("cluster_id").to_numpy()[order])
-    )
-
-    class _LabelLookup:
-        def __init__(self, ref):
-            self.ref = ref
-            self._lut = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self._lut is None:
-                self._lut = ray.get(self.ref)
-            from hexhamming_ray.pipelines.relational import _lut_probe
-
-            ks, lab = self._lut
-            ids = batch.column("vec_id").to_numpy()
-            pos, hit = _lut_probe(ks, ids)
-            comp = np.where(hit, lab[pos], ids)
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "component": pa.array(comp, pa.int64()),
-                }
-            )
-
-    from hexhamming_ray import read_num_blocks
+    labels = connected_components(edges).materialize()
 
     path = f"{sf_dir}/embeddings.parquet"
     nodes = ray.data.read_parquet(  # pruned: the id column only
         path, columns=["vec_id"],
         override_num_blocks=read_num_blocks(path),
     )
-    return nodes.map_batches(
-        _LabelLookup(lut_ref), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=None,
+
+    if labels.count() <= GRAPH_LABEL_BROADCAST_CAP:
+        from hexhamming_ray.pipelines.text import _gather_table
+
+        tbl = _gather_table(
+            labels,
+            pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())]),
+        )
+        nid = tbl.column("node").to_numpy()
+        order = np.argsort(nid)
+        lut_ref = ray.put(
+            (nid[order], tbl.column("cluster_id").to_numpy()[order])
+        )
+
+        class _LabelLookup:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                from hexhamming_ray.pipelines.relational import _lut_probe
+
+                ks, lab = self._lut
+                ids = batch.column("vec_id").to_numpy()
+                pos, hit = _lut_probe(ks, ids)
+                comp = np.where(hit, lab[pos], ids)
+                return pa.table(
+                    {
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "component": pa.array(comp, pa.int64()),
+                    }
+                )
+
+        return nodes.map_batches(
+            _LabelLookup(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+
+    # scale path: distributed remap — labels become a (src, dst)
+    # mapping dataset, nodes carry themselves as payload, one tagged
+    # union + sorted-run rewrite assigns components; unmapped nodes
+    # (isolated) keep their own id. Nothing label- or corpus-sized
+    # ever reaches the driver.
+    from hexhamming_ray.state.unionfind import _remap_column
+
+    def as_mapping(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("node").cast(pa.int64()),
+                "dst": batch.column("cluster_id").cast(pa.int64()),
+            }
+        )
+
+    mapping = labels.map_batches(
+        as_mapping, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def dup_id(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").cast(pa.int64())
+        return pa.table({"comp": vid, "vec_id": vid})
+
+    ids = nodes.map_batches(
+        dup_id, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    remapped = _remap_column(ids, "comp", "vec_id", mapping)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "component": batch.column("comp").cast(pa.int64()),
+            }
+        )
+
+    return remapped.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )

@@ -139,6 +139,31 @@ def test_near_dup_join_strategies_agree(ray_session, fn_name, cap_name):
     assert len(broadcast) > 0  # the corpus plants real near-dups
 
 
+def test_graph_components_remap_strategies_agree(ray_session):
+    """graph_components' size-switched label remap: the broadcast
+    lookup (default at test scale) and the distributed sort-based
+    tagged-union remap (the above-cap scale path, driver holds
+    nothing) must produce IDENTICAL components."""
+    from hexhamming_ray.stages import annsearch as A
+
+    def run():
+        return (
+            A.graph_components(SF_DIR).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True)
+        )
+
+    broadcast = run()
+    old = A.GRAPH_LABEL_BROADCAST_CAP
+    try:
+        A.GRAPH_LABEL_BROADCAST_CAP = -1  # force the distributed remap
+        dist = run()
+    finally:
+        A.GRAPH_LABEL_BROADCAST_CAP = old
+    pd.testing.assert_frame_equal(broadcast, dist)
+    # real multi-hop structure: some nodes remapped off their own id
+    assert (broadcast["component"] != broadcast["vec_id"]).any()
+
+
 EVENT_QUERIES = [
     "event_gaps", "asof_view_clicks", "rolling_user_window",
     "user_sessions", "top_event_per_user", "event_rank_in_user",
