@@ -96,6 +96,9 @@ for _p in range(8):
     _bits = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
     _HISTLUT[_p * 256 : (_p + 1) * 256, _p * 8 : (_p + 1) * 8] = _bits
 _POFF = (np.arange(8, dtype=np.uint16) * 256)[None, :]
+# docs per grouped-histogram matmul: caps the bincount range at
+# _HIST_GROUP*2048 bins (~8 MB int64) independent of batch doc count
+_HIST_GROUP = 512
 
 
 class _SimhashScratch:
@@ -115,6 +118,9 @@ class _SimhashScratch:
             wcap = max(nwin, 1 << 18, self.wcap * 2)
             self.g = np.empty(wcap, dtype=np.uint64)
             self.offs = np.empty((wcap, 8), dtype=np.uint16)
+            # (doc, bin) keys for the grouped histogram matmul
+            self.key = np.empty(wcap * 8, dtype=np.int64)
+            self.docbase = np.empty(wcap * 8, dtype=np.int64)
             self.wcap = wcap
 
 
@@ -128,19 +134,94 @@ def _scratch() -> _SimhashScratch:
     return _SCRATCH
 
 
-def _sampled_windows(contents: list[bytes]):
-    """Shared shingle extractor: content-defined-sampled byte-8-gram
-    window hashes for a batch. Returns (hv, seg_starts, seg_ends) with
-    hv the concatenated sampled window hashes (uint64) and the segment
-    bounds per document (empty segments for docs shorter than 8 bytes),
-    or None when the batch has no windows at all."""
+def _view_from_contents(contents: list[bytes]):
+    """list[bytes] -> the (buf, lens, starts) contiguous view the hash
+    cores consume (ONE join; the legacy entry-point adapter)."""
     n = len(contents)
     lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n)
-    if n == 0 or int(lens.sum()) == 0:
-        return None
+    if n == 0:
+        return (np.empty(0, dtype=np.uint8), lens,
+                np.empty(0, dtype=np.int64))
     buf = np.frombuffer(b"".join(contents), dtype=np.uint8)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
+    return buf, lens, starts
+
+
+def utf8_view(col):
+    """Arrow string/binary column -> (buf uint8, lens int64, starts
+    int64) directly over the column's flattened value buffer —
+    ZERO-COPY, no per-document Python string/bytes objects (VERDICT
+    r03 #4: the ``[t.encode() for t in to_pylist()]`` re-encode copied
+    every document through Python objects in the hottest stage of the
+    flagship; a string column's data buffer already IS the utf-8
+    stream ``encode()`` would produce).
+
+    Docs are contiguous in ``buf`` (Arrow guarantees monotone offsets
+    with no gaps), which the window kernels' boundary invalidation
+    relies on. Null slots are fill_null'ed to empty first (rare; costs
+    a rebuild only when nulls exist)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return (np.empty(0, dtype=np.uint8),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    if col.null_count:
+        fill = b"" if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type) else ""
+        col = pc.fill_null(col, fill)
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+        odt, osz = np.int64, 8
+    else:
+        odt, osz = np.int32, 4
+    bufs = col.buffers()
+    off = np.frombuffer(
+        bufs[1], dtype=odt, count=n + 1, offset=col.offset * osz
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    base = off[0]
+    return data[base:off[-1]], np.diff(off), off[:-1] - base
+
+
+def _chunk_ranges(lens: np.ndarray, limit: int):
+    """Index ranges of cumulative byte size <= limit (an oversized doc
+    forms its own range). Keeps per-call scratch/temporary arrays at a
+    fixed small size: large fresh allocations page-fault serially
+    across workers in this environment (measured: an 8x-content
+    fingerprint stage stopped scaling with CPUs entirely until
+    sub-batching was added)."""
+    n = lens.shape[0]
+    start = 0
+    total = 0
+    ll = lens.tolist()
+    for i in range(n):
+        if i > start and total + ll[i] > limit:
+            yield start, i
+            start = i
+            total = 0
+        total += ll[i]
+    if start < n:
+        yield start, n
+
+
+def _sampled_windows(buf, lens, starts):
+    """Shared shingle extractor: content-defined-sampled byte-8-gram
+    window hashes for a batch given its contiguous (buf, lens, starts)
+    view. Returns (hv, docv, seg_starts, seg_ends) with hv the
+    concatenated sampled window hashes (uint64) and the segment bounds
+    per document (empty segments for docs shorter than 8 bytes), or
+    None when the batch has no windows at all."""
+    n = lens.shape[0]
+    if n == 0 or int(lens.sum()) == 0:
+        return None
     nwin_doc = np.maximum(lens - 7, 0)
     total_win = int(nwin_doc.sum())
     if total_win == 0:
@@ -201,17 +282,30 @@ def _select_windows(buf, lens, starts, nwin_doc, n, sc):
 def minhash_bytes_batch(
     contents: list[bytes], num_perm: int = 64, seed: int = 42
 ) -> np.ndarray:
+    """list[bytes] adapter over :func:`minhash_view`."""
+    return minhash_view(*_view_from_contents(contents),
+                        num_perm=num_perm, seed=seed)
+
+
+def minhash_view(buf, lens, starts, num_perm: int = 64,
+                 seed: int = 42) -> np.ndarray:
     """Sub-batched wrapper over the one-permutation MinHash core (same
-    fixed-scratch rationale as simhash_batch)."""
-    n = len(contents)
+    fixed-scratch rationale as simhash_view) taking the contiguous
+    (buf, lens, starts) view — feed it :func:`utf8_view` of an Arrow
+    string column for the zero-copy path."""
+    n = lens.shape[0]
     out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for s0, s1 in _chunk_by_bytes(contents, _SUBBATCH_BYTES):
-        out[s0:s1] = _minhash_bytes_core(contents[s0:s1], num_perm, seed)
+    for s0, s1 in _chunk_ranges(lens, _SUBBATCH_BYTES):
+        b0 = int(starts[s0])
+        b1 = b0 + int(lens[s0:s1].sum())
+        out[s0:s1] = _minhash_core_view(
+            buf[b0:b1], lens[s0:s1], starts[s0:s1] - b0, num_perm, seed
+        )
     return out
 
 
-def _minhash_bytes_core(
-    contents: list[bytes], num_perm: int = 64, seed: int = 42
+def _minhash_core_view(
+    buf, lens, starts, num_perm: int = 64, seed: int = 42
 ) -> np.ndarray:
     """One-permutation MinHash over byte-8-gram shingles -> (N, num_perm)
     uint64 (num_perm must be a power of two).
@@ -223,10 +317,10 @@ def _minhash_bytes_core(
     is memory-bandwidth-bound). Empty buckets are densified by circular
     borrow from the nearest filled bucket (rotation densification);
     documents without windows keep the all-max sentinel signature."""
-    n = len(contents)
+    n = lens.shape[0]
     maxv = np.iinfo(np.uint64).max
     sigs = np.full((n, num_perm), maxv, dtype=np.uint64)
-    sw = _sampled_windows(contents)
+    sw = _sampled_windows(buf, lens, starts)
     if sw is None:
         return sigs
     hv, docv, seg_starts, seg_ends = sw
@@ -259,39 +353,31 @@ def _minhash_bytes_core(
     return sigs
 
 
-def _chunk_by_bytes(contents: list[bytes], limit: int):
-    """Split a document list into runs of cumulative size <= limit (a
-    single oversized document forms its own run). Keeps per-call
-    scratch/temporary arrays at a fixed small size: large fresh
-    allocations page-fault serially across workers in this environment
-    (measured: an 8x-content fingerprint stage stopped scaling with
-    CPUs entirely until sub-batching was added)."""
-    start = 0
-    total = 0
-    for i, c in enumerate(contents):
-        if i > start and total + len(c) > limit:
-            yield start, i
-            start = i
-            total = 0
-        total += len(c)
-    if start < len(contents):
-        yield start, len(contents)
-
-
 _SUBBATCH_BYTES = 1 << 20
 
 
 def simhash_batch(contents: list[bytes]) -> np.ndarray:
-    """256-bit simhash per document -> (N, 32) uint8. Processes in
-    ~1 MB content sub-batches through fixed-size scratch."""
-    n = len(contents)
+    """list[bytes] adapter over :func:`simhash_view`."""
+    return simhash_view(*_view_from_contents(contents))
+
+
+def simhash_view(buf, lens, starts) -> np.ndarray:
+    """256-bit simhash per document -> (N, 32) uint8, from the
+    contiguous (buf, lens, starts) view (:func:`utf8_view` of an Arrow
+    string column for the zero-copy path). Processes in ~1 MB content
+    sub-batches through fixed-size scratch."""
+    n = lens.shape[0]
     out = np.zeros((n, FP_BYTES), dtype=np.uint8)
-    for s0, s1 in _chunk_by_bytes(contents, _SUBBATCH_BYTES):
-        out[s0:s1] = _simhash_batch_core(contents[s0:s1])
+    for s0, s1 in _chunk_ranges(lens, _SUBBATCH_BYTES):
+        b0 = int(starts[s0])
+        b1 = b0 + int(lens[s0:s1].sum())
+        out[s0:s1] = _simhash_core_view(
+            buf[b0:b1], lens[s0:s1], starts[s0:s1] - b0
+        )
     return out
 
 
-def _simhash_batch_core(contents: list[bytes]) -> np.ndarray:
+def _simhash_core_view(buf, lens, starts) -> np.ndarray:
     """256-bit simhash per document -> (N, 32) uint8.
 
     Majority vote per bit position over four salted splitmix64 lanes of
@@ -299,16 +385,10 @@ def _simhash_batch_core(contents: list[bytes]) -> np.ndarray:
     than 8 bytes get the all-zero sentinel fingerprint (they are handled
     by the exact sha256 path, never near-dup scored).
     """
-    n = len(contents)
+    n = lens.shape[0]
     out = np.zeros((n, FP_BYTES), dtype=np.uint8)
-    if n == 0:
+    if n == 0 or int(lens.sum()) == 0:
         return out
-    lens = np.fromiter((len(c) for c in contents), dtype=np.int64, count=n)
-    if int(lens.sum()) == 0:
-        return out
-    buf = np.frombuffer(b"".join(contents), dtype=np.uint8)
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
     nwin_doc = np.maximum(lens - 7, 0)
     total_win = int(nwin_doc.sum())
     if total_win == 0:
@@ -326,6 +406,10 @@ def _simhash_batch_core(contents: list[bytes]) -> np.ndarray:
         counts = np.empty((n, 4, 64), dtype=np.float32)
         g = sc.g[:m]
         offs = sc.offs[:m]
+        # lane-independent (doc * 2048) base per flattened window byte
+        sc.docbase[: m * 8].reshape(m, 8)[:] = (
+            docv * np.int64(2048)
+        )[:, None]
         for lane in range(4):
             np.bitwise_xor(hv, _LANE_SALTS[lane], out=g)
             g ^= g >> np.uint64(30)
@@ -336,15 +420,29 @@ def _simhash_batch_core(contents: list[bytes]) -> np.ndarray:
             gb = g.view(np.uint8).reshape(m, 8)
             np.add(gb, _POFF, out=offs, casting="unsafe")
             flat = offs.reshape(-1)
-            for d in range(n):
-                s8, e8 = seg_starts[d] * 8, seg_ends[d] * 8
+            # grouped (doc, bin) bincount + ONE BLAS matmul per group
+            # replaces a per-doc bincount loop (2 Python calls/doc/lane
+            # dominated small-doc batches). Bit-identical: _HISTLUT is
+            # 0/1 and histogram counts are small integers, so every
+            # float32 dot is an exact integer regardless of summation
+            # order. Group size caps the bincount range at
+            # _HIST_GROUP*2048 bins so the scratch stays fixed-size.
+            for d0 in range(0, n, _HIST_GROUP):
+                d1 = min(d0 + _HIST_GROUP, n)
+                s8 = seg_starts[d0] * 8
+                e8 = seg_ends[d1 - 1] * 8
                 if s8 == e8:
-                    counts[d, lane] = 0.0
+                    counts[d0:d1, lane] = 0.0
                     continue
-                hist = np.bincount(flat[s8:e8], minlength=2048).astype(
-                    np.float32
+                k = sc.key[: e8 - s8]
+                np.subtract(
+                    sc.docbase[s8:e8], np.int64(d0 * 2048), out=k
                 )
-                counts[d, lane] = hist @ _HISTLUT
+                np.add(k, flat[s8:e8], out=k, casting="unsafe")
+                hist = np.bincount(
+                    k, minlength=(d1 - d0) * 2048
+                ).astype(np.float32).reshape(d1 - d0, 2048)
+                counts[d0:d1, lane] = hist @ _HISTLUT
     maj = (counts.reshape(n, 256) * 2 > wcounts[:, None]).astype(np.uint8)
     packed = np.packbits(maj, axis=1, bitorder="big")
     nonzero = wcounts > 0
@@ -356,6 +454,18 @@ def sha256_batch(contents: list[bytes]) -> list[str]:
     """Hex sha256 digest per document (per-row invariant vs the
     reference corpus, BASELINE.json input_hint)."""
     return [hashlib.sha256(c).hexdigest() for c in contents]
+
+
+def sha256_view(buf, lens, starts) -> list[str]:
+    """Hex sha256 per document from the contiguous view — the digest
+    loop is irreducibly per-doc (hashlib), but each doc is fed as a
+    zero-copy memoryview slice of the Arrow buffer instead of a
+    freshly copied bytes object."""
+    mv = memoryview(buf)
+    return [
+        hashlib.sha256(mv[s:s + l]).hexdigest()
+        for s, l in zip(starts.tolist(), lens.tolist())
+    ]
 
 
 def stable_id(repo: str, path: str, commit: str) -> int:

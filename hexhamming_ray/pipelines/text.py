@@ -18,8 +18,6 @@ from hexhamming_ray.functions import text as T
 from hexhamming_ray.functions.hashing import (
     band_keys_from_minhash,
     bigram_repetition_batch,
-    minhash_bytes_batch,
-    simhash_batch,
 )
 
 
@@ -287,9 +285,13 @@ def simhash_docs(sf_dir: str):
     """(doc_id, simhash_hex) — 256-bit simhash fingerprints."""
 
     def f(batch: pa.Table) -> pa.Table:
-        raw = [t.encode() for t in batch.column("text").to_pylist()]
-        fps = simhash_batch(raw)
-        hexes = [fp.tobytes().hex() for fp in fps]
+        from hexhamming_ray.functions.hashing import simhash_view, utf8_view
+
+        # zero-copy: hash the string column's utf-8 buffer directly
+        # (identical bytes to the per-doc encode() this replaces)
+        fps = simhash_view(*utf8_view(batch.column("text")))
+        allhex = fps.tobytes().hex()  # one hex pass, sliced per doc
+        hexes = [allhex[i * 64:(i + 1) * 64] for i in range(fps.shape[0])]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -320,14 +322,18 @@ class _MinhashSig:
         self.num_perm = num_perm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raw = [t.encode() for t in batch.column("text").to_pylist()]
-        sigs = minhash_bytes_batch(raw, num_perm=self.num_perm)
+        from hexhamming_ray.functions.hashing import minhash_view, utf8_view
+
+        # zero-copy: hash the string column's utf-8 buffer directly
+        sigs = minhash_view(
+            *utf8_view(batch.column("text")), num_perm=self.num_perm
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "sig": pa.FixedSizeBinaryArray.from_buffers(
                     pa.binary(self.num_perm * 8),
-                    len(raw),
+                    sigs.shape[0],
                     [None, pa.py_buffer(sigs.tobytes())],
                 ),
             }
