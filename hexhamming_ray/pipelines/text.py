@@ -543,12 +543,17 @@ class _SigPairVerify:
             import ray
 
             self._lut = ray.get(self.lut_ref)
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
         sid_, mat_ = self._lut
         lo = batch.column("id_lo").to_numpy()
         hi = batch.column("id_hi").to_numpy()
-        agree = (
-            mat_[np.searchsorted(sid_, lo)] == mat_[np.searchsorted(sid_, hi)]
-        ).mean(axis=1)
+        # _lut_probe invariant (clamped + membership-checked): every
+        # candidate id has a signature row by construction
+        plo, hlo = _lut_probe(sid_, lo)
+        phi, hhi = _lut_probe(sid_, hi)
+        assert hlo.all() and hhi.all(), "candidate id missing from sig lut"
+        agree = (mat_[plo] == mat_[phi]).mean(axis=1)
         keep = agree >= self.threshold
         return pa.table(
             {
@@ -1070,11 +1075,15 @@ class _ShinglePairVerify:
             import ray
 
             self._lut = ray.get(self.lut_ref)
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
         sid, off, flat = self._lut
         blo = batch.column("id_lo").to_numpy()
         bhi = batch.column("id_hi").to_numpy()
-        ilo = np.searchsorted(sid, blo)
-        ihi = np.searchsorted(sid, bhi)
+        # _lut_probe invariant: every candidate id was shingled
+        ilo, hlo = _lut_probe(sid, blo)
+        ihi, hhi = _lut_probe(sid, bhi)
+        assert hlo.all() and hhi.all(), "candidate id missing from shingle lut"
         n = len(blo)
         jac = np.zeros(n)
         for i in range(n):
@@ -1444,9 +1453,15 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         sid = st.column("doc_id").to_numpy()
         order = np.argsort(sid)
         sid, sn = sid[order], st.column("n_kept").to_numpy()[order]
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
         c = it.column("inter").to_numpy().astype(np.float64)
-        na = sn[np.searchsorted(sid, lo)].astype(np.float64)
-        nb = sn[np.searchsorted(sid, hi)].astype(np.float64)
+        # _lut_probe invariant: every candidate id has a size row
+        plo, hlo = _lut_probe(sid, lo)
+        phi, hhi = _lut_probe(sid, hi)
+        assert hlo.all() and hhi.all(), "candidate id missing from size lut"
+        na = sn[plo].astype(np.float64)
+        nb = sn[phi].astype(np.float64)
         jac_x1000, keep = _jaccard_keep(c, na, nb, threshold)
         return ray.data.from_arrow(
             pa.table(
@@ -1575,6 +1590,38 @@ def top_tokens_per_lang(sf_dir: str, *, k: int = 10,
             }
         )
 
+    def _topk_runs(t: pa.Table, *, with_rank: bool) -> pa.Table:
+        # house-style finalizer (same lexsort + run-rank pass as
+        # tfidf_top_terms): sort (lang asc, n desc, tok asc), rank =
+        # position since the lang-run start, keep rnk <= k. Replaces
+        # two pandas sort/groupby-head round-trips that copied the
+        # vocabulary-sized stream per block (VERDICT r03 #5).
+        n_rows = len(t)
+        if n_rows == 0:
+            return (
+                t.append_column("rnk", pa.array([], pa.int64()))
+                if with_rank else t
+            )
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        cnt = t.column("n").to_numpy()
+        order = np.lexsort((tok, -cnt, lang))
+        lang_s = lang[order]
+        new = np.zeros(n_rows, dtype=bool)
+        new[0] = True
+        new[1:] = lang_s[1:] != lang_s[:-1]
+        starts = np.flatnonzero(new)
+        rnk = (
+            np.arange(n_rows, dtype=np.int64)
+            - np.repeat(starts, np.diff(np.r_[starts, n_rows]))
+            + 1
+        )
+        keep = rnk <= k
+        out = t.take(pa.array(order[keep]))
+        if with_rank:
+            out = out.append_column("rnk", pa.array(rnk[keep], pa.int64()))
+        return out
+
     def final_sum_topk(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table(
@@ -1585,29 +1632,17 @@ def top_tokens_per_lang(sf_dir: str, *, k: int = 10,
                 }
             )
         c = batch.group_by(["lang", "tok"]).aggregate([("n", "sum")])
-        df = c.to_pandas()
-        df = df.rename(columns={"n_sum": "n"}).sort_values(
-            ["lang", "n", "tok"], ascending=[True, False, True]
-        )
-        df = df.groupby("lang", sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).select(
-            ["lang", "tok", "n"]
-        )
-
-    def merge_rank(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["lang", "n", "tok"], ascending=[True, False, True]
-        )
-        df = df.groupby("lang", sort=False).head(k)
-        df["rnk"] = df.groupby("lang", sort=False).cumcount() + 1
-        return pa.table(
+        c = pa.table(
             {
-                "lang": pa.array(df["lang"], pa.string()),
-                "tok": pa.array(df["tok"], pa.string()),
-                "n": pa.array(df["n"].to_numpy(), pa.int64()),
-                "rnk": pa.array(df["rnk"].to_numpy(), pa.int64()),
+                "lang": c.column("lang"),
+                "tok": c.column("tok"),
+                "n": c.column("n_sum").cast(pa.int64()),
             }
         )
+        return _topk_runs(c, with_rank=False)
+
+    def merge_rank(batch: pa.Table) -> pa.Table:
+        return _topk_runs(batch, with_rank=True)
 
     return (
         _docs(sf_dir, ["lang", "text"], hash_shuffle=True)
@@ -2753,12 +2788,13 @@ def chunk_docs(sf_dir: str, *, chunk: int = 64, stride: int | None = None):
         if stride == chunk:
             # consecutive windows tile the filtered token buffer
             # exactly (ends[i] == starts[i+1]), so boundaries ARE the
-            # list offsets — zero-gather
+            # list offsets — zero-gather. int64 offsets (LargeList)
+            # like the stride branch: a block whose token count passes
+            # 2^31 would silently wrap an int32 cast (ADVICE r03)
             offsets = pa.array(
-                np.concatenate((starts, [doc_off[-1]])).astype(np.int32),
-                pa.int32(),
+                np.concatenate((starts, [doc_off[-1]])), pa.int64()
             )
-            windows = pa.ListArray.from_arrays(offsets, flat)
+            windows = pa.LargeListArray.from_arrays(offsets, flat)
         else:
             # overlapping windows: one vectorized index gather. Output
             # tokens = block tokens x ~chunk/stride, which can pass
@@ -2885,21 +2921,40 @@ def pack_sequences(sf_dir: str, *, budget: int = 2048,
         .materialize()
     )
 
-    # pass A: bucket totals -> driver (<= num_partitions rows) -> bases.
-    # Per-block partials are <= num_partitions rows each, so ONE concat
-    # block (blocks x buckets tiny rows, 24 B each) beats spinning the
-    # keyed exchange's aggregators; at extreme blocks x buckets scale,
-    # swap the repartition(1) for the keyed exchange.
-    totals = (
-        toks.map_batches(_combine_runs(["bucket"], ["n_tokens"]),
-                         batch_format="pyarrow", zero_copy_batch=True,
-                         batch_size=None)
-        .repartition(num_blocks=1)
-        .map_batches(_combine_runs(["bucket"], ["n_tokens"]),
-                     batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
-        .take_all()
+    # pass A: bucket totals -> driver (<= n_buckets rows) -> bases.
+    # Per-block partials are <= n_buckets rows each, so under
+    # COALESCE_KEY_CAP buckets ONE concat block (blocks x buckets tiny
+    # rows, 24 B each) beats spinning the keyed exchange's aggregators;
+    # above the cap (sparse doc_id domains can make bucket count >>
+    # num_partitions) the keyed exchange carries the partials instead
+    # of funneling blocks x buckets rows into one task (ADVICE r03).
+    # The bucket-count bound comes from parquet doc_id column stats.
+    from hexhamming_ray.pipelines.relational import COALESCE_KEY_CAP
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+        idx = meta.schema.to_arrow_schema().get_field_index("doc_id")
+        maxid = max(
+            meta.row_group(g).column(idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        n_buckets_bound = maxid // span + 1
+    except Exception:
+        n_buckets_bound = COALESCE_KEY_CAP + 1  # stats missing: exchange
+    partials = toks.map_batches(
+        _combine_runs(["bucket"], ["n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
+    if n_buckets_bound <= COALESCE_KEY_CAP:
+        partials = partials.repartition(num_blocks=1)
+    else:
+        partials = partials.repartition(
+            num_blocks=num_partitions, keys=["bucket"], sort=True
+        )
+    totals = partials.map_batches(
+        _combine_runs(["bucket"], ["n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).take_all()
     buckets = np.array(sorted(r["bucket"] for r in totals), np.int64)
     sums = np.array(
         [r["n_tokens"] for r in sorted(totals, key=lambda r: r["bucket"])],
@@ -2984,10 +3039,13 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 5,
     """Per-document top-``k`` terms by tf-idf. Float idf is a cross-
     engine hash hazard, so the score is the integer surrogate
     ``tfidf_s = tf * (n_docs * 1_000_000 // df)`` — deterministic and
-    bit-identical in SQL (the micro-unit trick from label_centroids;
-    n_docs * 1e6 must fit int64, so at >9e12-doc corpus scale swap the
-    multiplier for a float score and drop the value oracle).
-    (doc_id, tok, tf, df, tfidf_s, rnk), ties broken by tok asc.
+    bit-identical in SQL (the micro-unit trick from label_centroids).
+    Overflow bound: the FULL product ``max_tf * n_docs * 1e6 // df``
+    must fit int64 (numpy would silently wrap where DuckDB BIGINT
+    raises — ADVICE r03), so the score stage asserts it; beyond that
+    scale swap the multiplier for a float score and drop the value
+    oracle. (doc_id, tok, tf, df, tfidf_s, rnk), ties broken by tok
+    asc.
 
     Shape: per-block distinct (doc, tok, tf) partials collapse the
     corpus-sized token stream to distinct-pairs-sized rows BEFORE any
@@ -3027,6 +3085,14 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 5,
         lens = np.diff(np.r_[starts, n])
         df = np.repeat(lens, lens).astype(np.int64)
         idf_s = (np.int64(n_docs) * 1_000_000) // df
+        # guard the FULL bound (max_tf * n_docs * 1e6 // df): numpy
+        # int64 wraps silently where the DuckDB oracle would raise,
+        # so rankings could silently diverge (ADVICE r03)
+        max_tf = int(tf.max()) if n else 0
+        assert max_tf * (n_docs * 1_000_000) < 2 ** 63, (
+            "tfidf_s would overflow int64 "
+            f"(max_tf={max_tf}, n_docs={n_docs}); use a float score"
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc, pa.int64()),

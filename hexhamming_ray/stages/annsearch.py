@@ -478,14 +478,18 @@ class _CosPairVerify:
             import ray
 
             self._lut = ray.get(self.lut_ref)
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
         vid, mat = self._lut
         lo = batch.column("id_lo").to_numpy()
         hi = batch.column("id_hi").to_numpy()
-        cos = np.einsum(
-            "ij,ij->i",
-            mat[np.searchsorted(vid, lo)],
-            mat[np.searchsorted(vid, hi)],
-        )
+        # repo invariant: broadcast sorted lookups go through
+        # _lut_probe (clamped + membership-checked); every candidate
+        # id has a vector row by construction, assert keeps it true
+        plo, hlo = _lut_probe(vid, lo)
+        phi, hhi = _lut_probe(vid, hi)
+        assert hlo.all() and hhi.all(), "candidate id missing from vector lut"
+        cos = np.einsum("ij,ij->i", mat[plo], mat[phi])
         keep = cos >= self.threshold
         return pa.table(
             {

@@ -139,6 +139,30 @@ def test_near_dup_join_strategies_agree(ray_session, fn_name, cap_name):
     assert len(broadcast) > 0  # the corpus plants real near-dups
 
 
+def test_pack_sequences_coalesce_paths_agree(ray_session):
+    """pack_sequences pass A is cap-gated (ADVICE r03): the one-block
+    coalesce (default at test scale) and the keyed-exchange fallback
+    must produce IDENTICAL offsets."""
+    from hexhamming_ray.pipelines import relational as R
+    from hexhamming_ray.pipelines import text as T
+
+    def run():
+        return (
+            T.pack_sequences(SF_DIR).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+
+    coalesced = run()
+    old = R.COALESCE_KEY_CAP
+    try:
+        R.COALESCE_KEY_CAP = -1  # force the keyed exchange
+        exchanged = run()
+    finally:
+        R.COALESCE_KEY_CAP = old
+    pd.testing.assert_frame_equal(coalesced, exchanged)
+    assert len(coalesced) > 0
+
+
 def test_graph_components_remap_strategies_agree(ray_session):
     """graph_components' size-switched label remap: the broadcast
     lookup (default at test scale) and the distributed sort-based
