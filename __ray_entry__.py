@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_heavyhitter": R.top_users_heavyhitter,
         "order_price_quantile_sketch_exact":
             R.order_price_quantile_sketch_exact,
+        # --- new this round (no prior driver row either) ---
+        "cms_user_event_counts_exact": R.cms_user_event_counts_exact,
+        "media_frame_index": _media_frame_index_q,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -185,6 +188,12 @@ def _media_frame_sample_q(sf_dir: str):
     from hexhamming_ray.stages.multimodal import media_frame_sample
 
     return media_frame_sample(500)
+
+
+def _media_frame_index_q(sf_dir: str):
+    from hexhamming_ray.stages.multimodal import media_frame_index
+
+    return media_frame_index(500)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -597,6 +606,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY user_id "
             "ORDER BY n_events DESC, user_id LIMIT 20"
+        ),
+        # media frame-sample explode arithmetic: with the stub demuxer
+        # and the id-derived synthetic media table, frame_no and
+        # frame_bytes are pure integer functions of media_id (payload
+        # len = LEAST(32*((i%7)+1), 64+(i%129)); kind = i%3; step =
+        # len//4 since len >= 32; window = step since step >= 8)
+        "media_frame_index": (
+            "WITH m AS ("
+            " SELECT i AS media_id, i % 3 AS kmod, "
+            "  LEAST(32 * ((i % 7) + 1), 64 + (i % 129)) AS len "
+            " FROM generate_series(0, 499) AS t(i)"
+            "), img AS ("
+            " SELECT media_id, CAST(0 AS BIGINT) AS frame_no, "
+            "  CAST(len AS BIGINT) AS frame_bytes FROM m WHERE kmod = 0"
+            "), vid AS ("
+            " SELECT media_id, CAST(g.j AS BIGINT) AS frame_no, "
+            "  CAST(LEAST(GREATEST(len // 4, 8), "
+            "             len - g.j * GREATEST(len // 4, 1)) AS BIGINT)"
+            "   AS frame_bytes "
+            " FROM m CROSS JOIN generate_series(0, 3) AS g(j) "
+            " WHERE kmod = 2 AND g.j < LEAST(4, GREATEST(1, "
+            "   len // GREATEST(len // 4, 1)))"
+            ") SELECT * FROM img UNION ALL SELECT * FROM vid"
+        ),
+        # CMS at the collision-free width: point estimates ARE the
+        # exact counts of the exact top-20 users
+        "cms_user_event_counts_exact": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_n "
+            "FROM events GROUP BY user_id "
+            "ORDER BY est_n DESC, user_id LIMIT 20"
         ),
         # LAG window: gap to the same user's previous event
         "event_gaps": (

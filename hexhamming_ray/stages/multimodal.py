@@ -260,6 +260,21 @@ class FrameSampler:
         )
 
 
+def media_frame_index(n_media: int = 500, *, k: int = 4):
+    """SQL-value-oracled twin of :func:`media_frame_sample` (VERDICT
+    r03 #7): same synthetic media table, same FrameSampler actor-pool
+    explode, but projected to (media_id, frame_no, frame_bytes) — with
+    the deterministic stub demuxer those columns are pure integer
+    arithmetic over media_id (payload length =
+    min(32*((i%7)+1), 64+(i%129)), step = len//k, window = max(8,
+    step)), which a DuckDB generate_series CTE reproduces exactly. The
+    distributed stage is identical; only the opaque frame_payload
+    column (unhashable across engines) is dropped."""
+    return media_frame_sample(n_media, k=k).select_columns(
+        ["media_id", "frame_no", "frame_bytes"]
+    )
+
+
 def media_frame_sample(n_media: int = 1000, *, k: int = 4, codec=None):
     """Demo pipeline: synthetic media table -> actor-pool frame
     sampling (the decode/frame-sample multimodal stage). Returns
