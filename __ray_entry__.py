@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new this round (no prior driver row either) ---
         "cms_user_event_counts_exact": R.cms_user_event_counts_exact,
         "media_frame_index": _media_frame_index_q,
+        "dup_span_docs": T.dup_span_docs,
+        "shuffle_docs": T.shuffle_docs,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -606,6 +608,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY user_id "
             "ORDER BY n_events DESC, user_id LIMIT 20"
+        ),
+        # cross-doc duplicated token-8-gram spans (Lee et al. 2021
+        # substring-dedup signal); short docs fall back to the whole
+        # joined text as one span (the shingle contract)
+        "dup_span_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "g0 AS ( "
+            "  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-7)) AS g(i) "
+            "  WHERE len(t) >= 8 "
+            "  UNION ALL "
+            "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+            "  WHERE len(t) BETWEEN 1 AND 7), "
+            "gd AS (SELECT DISTINCT doc_id, s FROM g0), "
+            "df AS (SELECT s, COUNT(*) AS nd FROM gd GROUP BY s) "
+            "SELECT gd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+            "CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_shared, "
+            "1000 * CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) "
+            "  AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS shared_x1000 "
+            "FROM gd JOIN df USING (s) GROUP BY gd.doc_id"
+        ),
+        # deterministic global shuffle: rank in (md5(doc_id), doc_id)
+        # order — digest byte order == hex string order
+        "shuffle_docs": (
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER ("
+            " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+            ") AS BIGINT) AS shuffle_pos FROM documents"
         ),
         # media frame-sample explode arithmetic: with the stub demuxer
         # and the id-derived synthetic media table, frame_no and

@@ -622,17 +622,17 @@ def _window_hashes(buf: np.ndarray, l: np.ndarray, r: np.ndarray) -> np.ndarray:
 
 
 def shingle_hashes_batch(
-    texts: list,
+    texts: list, n: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted-unique 64-bit token-3-gram shingle hashes for a BATCH of
-    documents, vectorized.
+    """Sorted-unique 64-bit token-``n``-gram shingle hashes for a
+    BATCH of documents, vectorized.
 
     Returns ``(values, counts)``: ``values`` is the per-doc sorted
     unique uint64 hashes concatenated in doc order, ``counts[i]`` the
     number of hashes for ``texts[i]``. Semantics match the round-1
-    frozenset contract: docs with < 3 tokens contribute their joined
-    token string as the single shingle; empty/whitespace-only docs
-    contribute none. Tokenization is exactly ``str.split()`` (any
+    frozenset contract: docs with < ``n`` tokens contribute their
+    joined token string as the single shingle; empty/whitespace-only
+    docs contribute none. Tokenization is exactly ``str.split()`` (any
     unicode whitespace), so the DuckDB oracles' gram sets are
     reproduced bit-for-bit at the SET level.
     """
@@ -654,7 +654,9 @@ def shingle_hashes_batch(
             tokc.append(len(toks))
             nbytes += len(joined)
             end += 1
-        vals, cnts = _shingle_chunk(parts, np.asarray(tokc, dtype=np.int64))
+        vals, cnts = _shingle_chunk(
+            parts, np.asarray(tokc, dtype=np.int64), n
+        )
         values_parts.append(vals)
         counts_out[start:end] = cnts
         start = end
@@ -667,7 +669,7 @@ def shingle_hashes_batch(
 
 
 def _shingle_chunk(
-    parts: list, tok_counts: np.ndarray
+    parts: list, tok_counts: np.ndarray, n: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
     n_docs = len(parts)
     doc_lens = np.fromiter((len(p) for p in parts), np.int64, n_docs)
@@ -675,7 +677,11 @@ def _shingle_chunk(
     buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
 
     # gram-window counts per doc (frozenset-fallback semantics)
-    gcnt = np.where(tok_counts == 0, 0, np.where(tok_counts < 3, 1, tok_counts - 2))
+    gcnt = np.where(
+        tok_counts == 0,
+        0,
+        np.where(tok_counts < n, 1, tok_counts - (n - 1)),
+    )
     w_off = np.concatenate([[0], np.cumsum(gcnt)])
     total_w = int(w_off[-1])
     if total_w == 0:
@@ -706,9 +712,13 @@ def _shingle_chunk(
     doc_of_w = np.repeat(np.arange(n_docs, dtype=np.int64), gcnt)
     intra = np.arange(total_w, dtype=np.int64) - np.repeat(w_off[:-1], gcnt)
     ti = np.minimum(tok_cum[doc_of_w] + intra, n_tok - 1)
-    short = (tok_counts < 3)[doc_of_w]
+    short = (tok_counts < n)[doc_of_w]
     l = np.where(short, doc_off[doc_of_w], token_starts[ti])
-    r = np.where(short, doc_off[doc_of_w + 1], tok_end[np.minimum(ti + 2, n_tok - 1)])
+    r = np.where(
+        short,
+        doc_off[doc_of_w + 1],
+        tok_end[np.minimum(ti + (n - 1), n_tok - 1)],
+    )
 
     h = _window_hashes(buf, l, r)
 

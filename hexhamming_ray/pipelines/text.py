@@ -2613,6 +2613,117 @@ def line_dedup_docs(sf_dir: str, *, num_partitions: int | None = None):
     return out.rename_columns(["doc_id", "n_lines", "kept_lines"])
 
 
+def dup_span_docs(sf_dir: str, *, n: int = 8,
+                  num_partitions: int | None = None):
+    """Cross-document duplicated-SPAN detection — the substring-level
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better") at token-``n``-gram granularity:
+    for each document, how many of its DISTINCT token-8-gram spans
+    also occur in at least one OTHER document (docs shorter than
+    ``n`` tokens contribute their whole joined text as one span, the
+    shingle-contract fallback). (doc_id, n_spans, n_shared,
+    shared_x1000) with shared_x1000 = 1000 * n_shared // n_spans.
+
+    Shape (the line_dedup two-exchange design): the explode emits slim
+    (span_hash, doc_id) distinct-per-doc rows — 16 bytes, span text
+    never moves; exchange 1 on the hash co-locates every doc sharing a
+    span (run length = containing-doc count, rows are per-doc
+    distinct); per-(block, doc) partial counts then meet in a
+    cap-gated coalesce or a second keyed exchange on doc_id. Same
+    64-bit collision trade as the other gram pipelines."""
+    from hexhamming_ray.functions.hashing import shingle_hashes_batch
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy()
+        values, counts = shingle_hashes_batch(
+            batch.column("text").to_pylist(), n
+        )
+        return pa.table(
+            {
+                "g": pa.array(values.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            }
+        )
+
+    def mark_shared(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_spans_p": pa.array([], pa.int64()),
+                    "n_shared_p": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.column("g").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        order = np.argsort(g, kind="stable")
+        g_s, doc_s = g[order], doc[order]
+        new = np.zeros(m, dtype=bool)
+        new[0] = True
+        new[1:] = g_s[1:] != g_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, m])
+        shared = np.repeat(lens >= 2, lens)  # rows are per-doc distinct
+        u, inv = np.unique(doc_s, return_inverse=True)
+        tot = np.bincount(inv, minlength=u.shape[0])
+        shr = np.bincount(inv[shared], minlength=u.shape[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_spans_p": pa.array(tot.astype(np.int64), pa.int64()),
+                "n_shared_p": pa.array(shr.astype(np.int64), pa.int64()),
+            }
+        )
+
+    part = (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(explode, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["g"], sort=True)
+        .map_batches(mark_shared, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    import pyarrow.parquet as _pq
+
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+    if n_docs <= LINE_DEDUP_COALESCE_CAP:
+        part = part.repartition(num_blocks=1)
+    else:
+        part = part.repartition(
+            num_blocks=num_partitions, keys=["doc_id"], sort=True
+        )
+    merged = part.map_batches(
+        _combine_runs(["doc_id"], ["n_spans_p", "n_shared_p"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_spans_p").to_numpy()
+        sh = batch.column("n_shared_p").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_spans": pa.array(ns, pa.int64()),
+                "n_shared": pa.array(sh, pa.int64()),
+                "shared_x1000": pa.array(
+                    1000 * sh // np.maximum(ns, 1), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def token_doc_freq(sf_dir: str, *, min_df: int = 5,
                    num_partitions: int | None = None):
     """Vocabulary statistics for tokenizer training: per token, the
@@ -2861,6 +2972,119 @@ def dataset_split_docs(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def shuffle_docs(sf_dir: str, *, num_partitions: int | None = None):
+    """Deterministic global training-order shuffle: each document's
+    1-based position in a reproducible pseudo-random permutation —
+    rank in (md5(doc_id), doc_id) order. Unlike
+    ``Dataset.random_shuffle`` (block-layout dependent), the position
+    is a pure function of the corpus content, so the training order is
+    identical on every run, any cluster size, and resumable mid-epoch.
+    (doc_id, shuffle_pos).
+
+    Shape: NO global sort operator — the pack_sequences distributed
+    prefix sum applied to RANK assignment. Keys are the two big-endian
+    uint64 halves of the md5 digest (byte order == hex-string order,
+    so the SQL ``ORDER BY md5(..)`` oracle matches exactly); bucket =
+    first digest byte, giving 256 ordered key ranges by construction.
+    Pass A: per-block bucket histograms -> one tiny coalesce (256
+    rows/block bound) -> the driver holds O(256) exclusive-prefix
+    bases. Pass B: bucket-keyed exchange of 24-byte rows (text never
+    moves), one lexsort by (k1, k2, doc_id) per block + run-reset
+    cumcount + base[bucket]."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy()
+        # id-only md5 loop (metadata path, same as dataset_split_docs)
+        dig = b"".join(
+            hashlib.md5(str(int(i)).encode()).digest() for i in ids
+        )
+        k = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
+        k1 = k[:, 0].astype(np.uint64)
+        k2 = k[:, 1].astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k1": pa.array(k1, pa.uint64()),
+                "k2": pa.array(k2, pa.uint64()),
+                "bucket": pa.array(
+                    (k1 >> np.uint64(56)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    keyed = (
+        _docs(sf_dir, ["doc_id"], hash_shuffle=True)
+        .map_batches(key_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()  # consumed twice: histogram pass + rank pass
+    )
+
+    def bucket_hist(batch: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            batch.column("bucket").to_numpy(), minlength=256
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(256, dtype=np.int64)),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    totals = (
+        keyed.map_batches(bucket_hist, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)  # <= 256 rows per block by construction
+        .map_batches(_combine_runs(["bucket"], ["cnt"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .take_all()
+    )
+    counts = np.zeros(256, dtype=np.int64)
+    for r in totals:
+        counts[r["bucket"]] = r["cnt"]
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shuffle_pos": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch.column("doc_id").to_numpy()
+        k1 = batch.column("k1").to_numpy()
+        k2 = batch.column("k2").to_numpy()
+        bk = batch.column("bucket").to_numpy()
+        order = np.lexsort((ids, k2, k1))
+        bk_s = bk[order]
+        new = np.zeros(m, dtype=bool)
+        new[0] = True
+        new[1:] = bk_s[1:] != bk_s[:-1]  # buckets contiguous in k1 order
+        starts = np.flatnonzero(new)
+        within = np.arange(m, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, m])
+        )
+        pos = bases[bk_s] + within + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "shuffle_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return (
+        keyed.repartition(num_blocks=min(num_partitions, 256),
+                          keys=["bucket"], sort=True)
+        .map_batches(rank_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
     )
 
 
