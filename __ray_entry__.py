@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_index": _media_frame_index_q,
         "dup_span_docs": T.dup_span_docs,
         "shuffle_docs": T.shuffle_docs,
+        "doc_rarity_scores": T.doc_rarity_scores,
+        "bpe_pair_counts": T.bpe_pair_counts,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -630,6 +632,33 @@ def oracle_sql() -> dict[str, str]:
             "1000 * CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) "
             "  AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS shared_x1000 "
             "FROM gd JOIN df USING (s) GROUP BY gd.doc_id"
+        ),
+        # per-doc vocabulary rarity over distinct tokens (df-based
+        # quality signal); integer-surrogate mean
+        "doc_rarity_scores": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "td AS (SELECT DISTINCT doc_id, tok "
+            "  FROM toks, UNNEST(t) AS u(tok)), "
+            "dfs AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY tok) "
+            "SELECT td.doc_id, CAST(COUNT(*) AS BIGINT) "
+            "  AS n_distinct_toks, "
+            "CAST(MIN(df) AS BIGINT) AS min_df, "
+            "1000 * CAST(SUM(df) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
+            "  AS mean_df_x1000 "
+            "FROM td JOIN dfs USING (tok) GROUP BY td.doc_id"
+        ),
+        # corpus-wide top adjacent token pairs (first BPE merge step)
+        "bpe_pair_counts": (
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "bg AS (SELECT t[i] || ' ' || t[i+1] AS pair "
+            "  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i) "
+            "  WHERE len(t) >= 2) "
+            "SELECT pair, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) "
+            "  AS BIGINT) AS rnk "
+            "FROM bg GROUP BY pair ORDER BY n DESC, pair LIMIT 50"
         ),
         # deterministic global shuffle: rank in (md5(doc_id), doc_id)
         # order — digest byte order == hex string order

@@ -2613,6 +2613,229 @@ def line_dedup_docs(sf_dir: str, *, num_partitions: int | None = None):
     return out.rename_columns(["doc_id", "n_lines", "kept_lines"])
 
 
+def doc_rarity_scores(sf_dir: str, *, num_partitions: int | None = None):
+    """Per-document vocabulary-rarity quality signal: how "common" a
+    document's vocabulary is corpus-wide — documents whose tokens are
+    mostly corpus-rare are disproportionately OCR noise / codes /
+    boilerplate IDs (the df-based cousin of the Gopher frequency
+    rules). Per doc over its DISTINCT tokens: count, the minimum
+    document frequency, and the integer-surrogate mean df
+    (doc_id, n_distinct_toks, min_df, mean_df_x1000 =
+    1000 * sum(df) // n_distinct_toks).
+
+    Shape (the tfidf two-exchange design): per-block distinct
+    (doc, tok) partials collapse the corpus-sized token stream to
+    distinct-pairs rows BEFORE any movement -> exchange 1 on tok
+    (df = run length IN PARTITION — no df table gathered or
+    broadcast; rows leave as slim (doc_id, df) int64 pairs, token
+    text dropped) -> exchange 2 on doc_id -> vectorized per-run
+    sum/min/count finalize. Driver holds nothing."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def doc_tok(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy()
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "tok": toks.flatten(),
+            }
+        )
+        t = t.filter(pc.not_equal(t.column("tok"), ""))
+        # in-block distinct (a doc's tokens live in one batch, so this
+        # IS the exact per-doc distinct)
+        return t.group_by(["doc_id", "tok"]).aggregate([])
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        tok = batch.column("tok").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy()
+        order = np.argsort(tok, kind="stable")
+        tok_s, doc_s = tok[order], doc[order]
+        new = np.zeros(m, dtype=bool)
+        new[0] = True
+        new[1:] = tok_s[1:] != tok_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, m])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s, pa.int64()),
+                "df": pa.array(np.repeat(lens, lens), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_distinct_toks": pa.array([], pa.int64()),
+                    "min_df": pa.array([], pa.int64()),
+                    "mean_df_x1000": pa.array([], pa.int64()),
+                }
+            )
+        doc = batch.column("doc_id").to_numpy()
+        df = batch.column("df").to_numpy()
+        order = np.argsort(doc, kind="stable")
+        doc_s, df_s = doc[order], df[order]
+        new = np.zeros(m, dtype=bool)
+        new[0] = True
+        new[1:] = doc_s[1:] != doc_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, m])
+        csum = np.cumsum(df_s)
+        tot = csum[np.r_[starts[1:], m] - 1] - np.where(
+            starts > 0, csum[starts - 1], 0
+        )
+        mins = np.minimum.reduceat(df_s, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s[starts], pa.int64()),
+                "n_distinct_toks": pa.array(lens, pa.int64()),
+                "min_df": pa.array(mins, pa.int64()),
+                "mean_df_x1000": pa.array(
+                    1000 * tot // lens, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(doc_tok, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["tok"], sort=True)
+        .map_batches(df_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["doc_id"],
+                     sort=True)
+        .map_batches(finalize, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def bpe_pair_counts(sf_dir: str, *, k: int = 50,
+                    num_partitions: int | None = None):
+    """The first iteration of BPE-style tokenizer training at the
+    word level: the ``k`` most frequent ADJACENT token pairs
+    corpus-wide (the pair a merge step would fuse), deterministic
+    tie-break (count desc, pair asc). (pair, n, rnk).
+
+    Shape (the top_tokens_per_lang design, pairs instead of tokens):
+    per-block adjacent-pair explode — one vectorized
+    binary_join_element_wise over the flattened token buffer with
+    cross-document boundaries masked, then an IN-BLOCK Arrow
+    hash-aggregate combiner so only pair-vocabulary-sized partials
+    move -> ONE keyed exchange on pair -> per-block final sum +
+    partial top-k -> single tiny merge block."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def pair_count(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        keep_tok = pc.not_equal(flat, "")
+        flat = flat.filter(keep_tok)
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # non-empty token counts per doc (empty edge tokens dropped)
+        keep_np = keep_tok.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64), counts
+        )[keep_np]
+        L = np.bincount(doc_idx, minlength=len(batch)).astype(np.int64)
+        m = int(L.sum())
+        if m < 2:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # adjacent pairs: positions whose successor is the same doc
+        ends = np.cumsum(L) - 1  # last token index of each doc
+        ends = ends[(ends >= 0) & (ends < m - 1)]
+        valid = np.ones(m - 1, dtype=bool)
+        valid[ends] = False
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, m - 1), flat.slice(1, m - 1), " "
+        )
+        t = pa.table({"pair": pairs}).filter(pa.array(valid))
+        c = t.group_by(["pair"]).aggregate([("pair", "count")])
+        return pa.table(
+            {
+                "pair": c.column("pair"),
+                "n": c.column("pair_count").cast(pa.int64()),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        c = batch.group_by(["pair"]).aggregate([("n", "sum")])
+        t = pa.table(
+            {
+                "pair": c.column("pair"),
+                "n": c.column("n_sum").cast(pa.int64()),
+            }
+        )
+        m = len(t)
+        pair = t.column("pair").to_numpy(zero_copy_only=False)
+        cnt = t.column("n").to_numpy()
+        order = np.lexsort((pair, -cnt))
+        keep = order[:k]
+        return t.take(pa.array(keep))
+
+    def merge_rank(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        pair = batch.column("pair").to_numpy(zero_copy_only=False)
+        cnt = batch.column("n").to_numpy()
+        order = np.lexsort((pair, -cnt))[:k]
+        out = batch.take(pa.array(order))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(pair_count, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["pair"], sort=True)
+        .map_batches(final_topk, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)  # <= k rows per block
+        .map_batches(merge_rank, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
 def dup_span_docs(sf_dir: str, *, n: int = 8,
                   num_partitions: int | None = None):
     """Cross-document duplicated-SPAN detection — the substring-level
