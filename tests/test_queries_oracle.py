@@ -273,7 +273,8 @@ DOC_QUERIES = [
     "line_dedup_docs", "token_doc_freq", "lang_confusion",
     "chunk_docs", "dataset_split_docs", "pack_sequences",
     "tfidf_top_terms", "inverted_index", "fuzzy_decontaminate_docs",
-    "ngram_repetition_docs",
+    "ngram_repetition_docs", "dup_span_docs", "shuffle_docs",
+    "doc_rarity_scores", "bpe_pair_counts",
 ]
 
 
