@@ -63,6 +63,11 @@ _EXTENDED = [
     "tfidf_top_terms",
     "q3_top_orders",
     "graph_components",
+    # round-4 additions
+    "dup_span_docs",
+    "shuffle_docs",
+    "doc_rarity_scores",
+    "bpe_pair_counts",
 ]
 
 
