@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs": T.shuffle_docs,
         "doc_rarity_scores": T.doc_rarity_scores,
         "bpe_pair_counts": T.bpe_pair_counts,
+        "embedding_dedup_survivors": A.embedding_dedup_survivors,
+        "event_percent_rank": R.event_percent_rank,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -632,6 +634,32 @@ def oracle_sql() -> dict[str, str]:
             "1000 * CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) "
             "  AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS shared_x1000 "
             "FROM gd JOIN df USING (s) GROUP BY gd.doc_id"
+        ),
+        # semantic-dedup survivors: the min-id representative of each
+        # cosine near-dup component (component label == own id)
+        "embedding_dedup_survivors": (
+            "WITH RECURSIVE "
+            "E AS (SELECT a.vec_id AS id_lo, b.vec_id AS id_hi "
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            " WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            "  >= 0.45), "
+            "ed AS (SELECT id_lo AS a, id_hi AS b FROM E "
+            " UNION SELECT id_hi, id_lo FROM E), "
+            "reach(id, r) AS ("
+            " SELECT vec_id, vec_id FROM embeddings "
+            " UNION "
+            " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a) "
+            "SELECT id AS vec_id FROM reach GROUP BY id "
+            "HAVING id = MIN(r)"
+        ),
+        # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)
+        "event_percent_rank": (
+            "SELECT event_id, user_id, "
+            "1000 * (CAST(ROW_NUMBER() OVER w AS BIGINT) - 1) // "
+            "GREATEST(CAST(COUNT(*) OVER ("
+            " PARTITION BY user_id) AS BIGINT) - 1, 1) AS pr_x1000 "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id)"
         ),
         # per-doc vocabulary rarity over distinct tokens (df-based
         # quality signal); integer-surrogate mean

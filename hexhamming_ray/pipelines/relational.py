@@ -1845,6 +1845,60 @@ def event_rank_in_user(sf_dir: str, *, num_partitions: int = 16):
     )
 
 
+def event_percent_rank(sf_dir: str, *, num_partitions: int = 16):
+    """Integer-surrogate PERCENT_RANK per user: each event's relative
+    position by (value desc, event_id asc) scaled to permille,
+    ``pr_x1000 = 1000 * (rn - 1) // (n - 1)`` (single-event users get
+    0 — the SQL convention). ROW_NUMBER-based so ties order
+    deterministically; the `//` surrogate keeps floats out of the
+    driver hash like every rank/ratio query here.
+    (event_id, user_id, pr_x1000).
+
+    Shape: the shared windowed-op partitioning — hash-repartition by
+    user + ONE lexsort + cumcount-since-run-start + run-length
+    denominator per block. Zero per-row Python."""
+
+    def pr(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "pr_x1000": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        vm = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, -vm, uid))
+        uid, eid = uid[order], eid[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, n])
+        rn0 = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        denom = np.repeat(np.maximum(lens - 1, 1), lens)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "pr_x1000": pa.array(1000 * rn0 // denom, pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            pr, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
 class _SupplierNationLookup:
     """Broadcast-join UDF for q5: supplier->nationkey (the supplier
     dimension is SF x 10k rows — the classic broadcast-sized side) plus

@@ -1043,6 +1043,33 @@ def knn_label_accuracy(sf_dir: str, *, n_queries: int = 10, k: int = 5):
     )
 
 
+def embedding_dedup_survivors(sf_dir: str, *, threshold: float = 0.45):
+    """The semantic-dedup ACTION over embedding near-dup clusters: the
+    rows a curation pipeline KEEPS — one canonical representative (the
+    min vec_id) per cosine near-dup component, isolated vectors kept
+    as their own representative. (vec_id,).
+
+    Shape: component labels come from :func:`graph_components`
+    (edges-only distributed union-find, size-switched label remap);
+    the survivor test ``component == vec_id`` is one vectorized
+    equality filter per batch — by construction the component label IS
+    the min node id, so no extra grouping pass is needed."""
+    import pyarrow.compute as pc
+
+    comp = graph_components(sf_dir, threshold=threshold)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.equal(batch.column("component"), batch.column("vec_id"))
+        )
+        return t.select(["vec_id"])
+
+    return comp.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 # Label rows (two int64s each) the driver will gather + ray.put for
 # the broadcast remap: 20M rows ~ 320 MB — same order as the ER
 # pipeline's build_clusters broadcast_limit. Above it the sort-based

@@ -196,6 +196,7 @@ EVENT_QUERIES = [
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
     "event_lag_lead", "user_first_last_event", "events_hopping_6h",
     "user_daily_spine", "user_moving_sum", "user_retention",
+    "event_percent_rank",
 ]
 
 
@@ -611,6 +612,7 @@ def adversarial_emb_dir(tmp_path_factory):
     # point where approximation vanishes, under the exact oracles
     "knn_lsh_exhaustive", "knn_ivf_exhaustive",
     "embedding_near_dup_lsh_exhaustive",
+    "embedding_dedup_survivors",
 ])
 def test_vector_queries_on_adversarial_embeddings(
     ray_session, adversarial_emb_dir, name
