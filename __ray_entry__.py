@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": T.bpe_pair_counts,
         "embedding_dedup_survivors": A.embedding_dedup_survivors,
         "event_percent_rank": R.event_percent_rank,
+        "asof_next_purchase": R.asof_next_purchase,
+        "lineitem_price_qty_cov": R.lineitem_price_qty_cov,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -651,6 +653,32 @@ def oracle_sql() -> dict[str, str]:
             " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a) "
             "SELECT id AS vec_id FROM reach GROUP BY id "
             "HAVING id = MIN(r)"
+        ),
+        # forward as-of: first purchase strictly after each click in
+        # total (ts, event_id) order
+        "asof_next_purchase": (
+            "SELECT c.event_id AS click_event_id, c.user_id, "
+            "p.event_id AS purchase_event_id, "
+            "epoch_us(p.ts) - epoch_us(c.ts) AS lead_us "
+            "FROM events c, LATERAL ("
+            " SELECT event_id, ts FROM events p "
+            " WHERE p.user_id = c.user_id AND p.event_type = 'purchase' "
+            "  AND (p.ts > c.ts OR (p.ts = c.ts "
+            "       AND p.event_id > c.event_id)) "
+            " ORDER BY p.ts, p.event_id LIMIT 1) p "
+            "WHERE c.event_type = 'click'"
+        ),
+        # exact integer covariance numerator per return flag
+        "lineitem_price_qty_cov": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+            "  AS BIGINT) AS sum_price_cents, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) * SUM(CAST(ROUND(l_extendedprice * 100) "
+            "   AS BIGINT) * CAST(l_quantity AS BIGINT)) "
+            " - SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+            "   * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cov_num "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)
         "event_percent_rank": (

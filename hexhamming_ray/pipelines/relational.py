@@ -1845,6 +1845,128 @@ def event_rank_in_user(sf_dir: str, *, num_partitions: int = 16):
     )
 
 
+def asof_next_purchase(sf_dir: str, *, num_partitions: int = 16):
+    """FORWARD as-of join (completes the as-of family —
+    ``asof_view_clicks`` is the backward direction): for every
+    'click', the FIRST 'purchase' by the same user strictly after it
+    in (ts, event_id) order. Clicks with no following purchase drop
+    (inner as-of). (click_event_id, user_id, purchase_event_id,
+    lead_us).
+
+    Same composition as the backward op: hash-repartition by user_id +
+    one vectorized pass per block — here a REVERSED
+    ``np.minimum.accumulate`` carry propagates the next purchase index
+    backward, shifted one slot so 'strictly after' holds even on equal
+    timestamps (total (ts, event_id) tie order, pinned so the LATERAL
+    oracle is deterministic)."""
+
+    def asof(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "click_event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "purchase_event_id": pa.array([], pa.int64()),
+                "lead_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        ts = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        et = batch.column("event_type")
+        is_click = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_purch = pc.equal(et, "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        is_click, is_purch = is_click[order], is_purch[order]
+        idx = np.arange(n, dtype=np.int64)
+        nxt = np.where(is_purch, idx, n)
+        carry = np.minimum.accumulate(nxt[::-1])[::-1]
+        after = np.full(n, n, dtype=np.int64)
+        after[:-1] = carry[1:]  # strictly-after shift
+        valid = is_click & (after < n)
+        # a carried purchase from a LATER user has a different uid
+        valid[valid] &= uid[after[valid]] == uid[valid]
+        if not valid.any():
+            return empty
+        p = after[valid]
+        return pa.table(
+            {
+                "click_event_id": pa.array(eid[valid], pa.int64()),
+                "user_id": pa.array(uid[valid], pa.int64()),
+                "purchase_event_id": pa.array(eid[p], pa.int64()),
+                "lead_us": pa.array(ts[p] - ts[valid], pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"], sort=True)
+        .map_batches(
+            asof, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def lineitem_price_qty_cov(sf_dir: str):
+    """Statistical aggregate surface: per return flag, the EXACT
+    integer covariance numerator of (price cents, quantity) —
+    ``cov_num = n * sum(x*y) - sum(x) * sum(y)`` (population
+    covariance = cov_num / n^2, left to the caller: the division is
+    where floats enter). All sums are exact int64 (bound: n * max_x *
+    max_y * n must fit 2^63 — ~2e18 at sf0.1 against the 9.2e18
+    ceiling; at larger scale, aggregate per-partition and combine
+    numerators in Python ints or decimal).
+    (l_returnflag, n, sum_price_cents, sum_qty, cov_num).
+
+    Shape: products computed in the scan, per-block partial-combine to
+    3 rows, coalesce — ZERO exchange."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("l_extendedprice")).to_numpy()
+        q = batch.column("l_quantity").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "x": pa.array(x, pa.int64()),
+                "q": pa.array(q, pa.int64()),
+                "xq": pa.array(x * q, pa.int64()),
+            }
+        )
+
+    ds = _t(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    out = _grouped_sums(ds, ["l_returnflag"], ["x", "q", "xq"], "n",
+                        coalesce=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        sx = batch.column("x").to_numpy()
+        sq = batch.column("q").to_numpy()
+        sxq = batch.column("xq").to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": pa.array(n, pa.int64()),
+                "sum_price_cents": pa.array(sx, pa.int64()),
+                "sum_qty": pa.array(sq, pa.int64()),
+                "cov_num": pa.array(n * sxq - sx * sq, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def event_percent_rank(sf_dir: str, *, num_partitions: int = 16):
     """Integer-surrogate PERCENT_RANK per user: each event's relative
     position by (value desc, event_id asc) scaled to permille,

@@ -196,7 +196,7 @@ EVENT_QUERIES = [
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
     "event_lag_lead", "user_first_last_event", "events_hopping_6h",
     "user_daily_spine", "user_moving_sum", "user_retention",
-    "event_percent_rank",
+    "event_percent_rank", "asof_next_purchase",
 ]
 
 
