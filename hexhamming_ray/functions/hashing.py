@@ -97,8 +97,12 @@ for _p in range(8):
     _HISTLUT[_p * 256 : (_p + 1) * 256, _p * 8 : (_p + 1) * 8] = _bits
 _POFF = (np.arange(8, dtype=np.uint16) * 256)[None, :]
 # docs per grouped-histogram matmul: caps the bincount range at
-# _HIST_GROUP*2048 bins (~8 MB int64) independent of batch doc count
+# _HIST_GROUP*2048 bins independent of batch doc count
 _HIST_GROUP = 512
+# sub-batches with at least this many docs take the grouped path (avg
+# doc < ~1 KB at the 1 MB sub-batch size); below it the per-doc
+# bincount loop wins on memory traffic — see the regime-switch comment
+_HIST_GROUPED_MIN_DOCS = 2048
 
 
 class _SimhashScratch:
@@ -118,10 +122,17 @@ class _SimhashScratch:
             wcap = max(nwin, 1 << 18, self.wcap * 2)
             self.g = np.empty(wcap, dtype=np.uint64)
             self.offs = np.empty((wcap, 8), dtype=np.uint16)
-            # (doc, bin) keys for the grouped histogram matmul
-            self.key = np.empty(wcap * 8, dtype=np.int64)
-            self.docbase = np.empty(wcap * 8, dtype=np.int64)
             self.wcap = wcap
+            self.kcap = 0
+
+    def ensure_keys(self, nwin: int) -> None:
+        # (doc, bin) keys for the grouped histogram matmul — allocated
+        # only when the tiny-doc grouped path actually runs
+        if nwin > getattr(self, "kcap", 0):
+            kcap = max(nwin, 1 << 18, getattr(self, "kcap", 0) * 2)
+            self.key = np.empty(kcap * 8, dtype=np.int64)
+            self.docbase = np.empty(kcap * 8, dtype=np.int64)
+            self.kcap = kcap
 
 
 _SCRATCH: _SimhashScratch | None = None
@@ -406,10 +417,25 @@ def _simhash_core_view(buf, lens, starts) -> np.ndarray:
         counts = np.empty((n, 4, 64), dtype=np.float32)
         g = sc.g[:m]
         offs = sc.offs[:m]
-        # lane-independent (doc * 2048) base per flattened window byte
-        sc.docbase[: m * 8].reshape(m, 8)[:] = (
-            docv * np.int64(2048)
-        )[:, None]
+        # REGIME SWITCH (both branches bit-identical — _HISTLUT is 0/1
+        # and histogram counts are small integers, so every float32 dot
+        # is an exact integer regardless of summation order):
+        # - many tiny docs: grouped (doc, bin) bincount + one BLAS
+        #   matmul per group — the per-doc path's 2 Python calls per
+        #   doc per lane dominate (~2.5x measured on 15-byte docs).
+        # - few large docs (the ER corpus regime): per-doc bincounts —
+        #   the grouped path's int64 key build is two extra full passes
+        #   at 8 bytes/entry over u16 data (~6x the memory traffic),
+        #   which saturates the shared bus at high worker counts
+        #   (measured: fingerprint stage 26.5 s -> 35 s at 16 CPUs on
+        #   the 60k/scale-24 corpus when grouped ran unconditionally).
+        grouped = n >= _HIST_GROUPED_MIN_DOCS
+        if grouped:
+            sc.ensure_keys(m)
+            # lane-independent (doc * 2048) base per flat window byte
+            sc.docbase[: m * 8].reshape(m, 8)[:] = (
+                docv * np.int64(2048)
+            )[:, None]
         for lane in range(4):
             np.bitwise_xor(hv, _LANE_SALTS[lane], out=g)
             g ^= g >> np.uint64(30)
@@ -420,13 +446,17 @@ def _simhash_core_view(buf, lens, starts) -> np.ndarray:
             gb = g.view(np.uint8).reshape(m, 8)
             np.add(gb, _POFF, out=offs, casting="unsafe")
             flat = offs.reshape(-1)
-            # grouped (doc, bin) bincount + ONE BLAS matmul per group
-            # replaces a per-doc bincount loop (2 Python calls/doc/lane
-            # dominated small-doc batches). Bit-identical: _HISTLUT is
-            # 0/1 and histogram counts are small integers, so every
-            # float32 dot is an exact integer regardless of summation
-            # order. Group size caps the bincount range at
-            # _HIST_GROUP*2048 bins so the scratch stays fixed-size.
+            if not grouped:
+                for d in range(n):
+                    s8, e8 = seg_starts[d] * 8, seg_ends[d] * 8
+                    if s8 == e8:
+                        counts[d, lane] = 0.0
+                        continue
+                    hist = np.bincount(
+                        flat[s8:e8], minlength=2048
+                    ).astype(np.float32)
+                    counts[d, lane] = hist @ _HISTLUT
+                continue
             for d0 in range(0, n, _HIST_GROUP):
                 d1 = min(d0 + _HIST_GROUP, n)
                 s8 = seg_starts[d0] * 8
