@@ -281,10 +281,16 @@ def main() -> None:
         return
 
     if args.scaling:
-        results = {}
-        for cpus in (args.cpus_lo, args.cpus_hi):
-          best = None
-          for _rep in range(args.reps):
+        # arms INTERLEAVED per rep (lo, hi, lo, hi, ...), not all-lo
+        # then all-hi: the host VM's external load drifts on multi-
+        # minute scales, and a window shift BETWEEN the two phases
+        # skews the ratio the bar tests (observed: identical code read
+        # 0.796 then 0.699 an hour apart). Pairing the arms inside the
+        # same window keeps the numerator and denominator in the same
+        # tenancy regime; min-of-reps per arm stays the estimator.
+        results = {args.cpus_lo: None, args.cpus_hi: None}
+        for _rep in range(args.reps):
+          for cpus in (args.cpus_lo, args.cpus_hi):
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -312,9 +318,8 @@ def main() -> None:
                     f"{proc.stderr[-4000:]}"
                 )
             run = json.loads(lines[-1])
-            if best is None or run["wall_sec"] < best["wall_sec"]:
-                best = run
-          results[cpus] = best
+            if results[cpus] is None or run["wall_sec"] < results[cpus]["wall_sec"]:
+                results[cpus] = run
         lo, hi = args.cpus_lo, args.cpus_hi
         t_lo = results[lo]["wall_sec"]
         t_hi = results[hi]["wall_sec"]
