@@ -99,6 +99,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percent_rank": R.event_percent_rank,
         "asof_next_purchase": R.asof_next_purchase,
         "lineitem_price_qty_cov": R.lineitem_price_qty_cov,
+        # --- round-4 second batch: classic TPC-H query shapes ---
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q4_order_priority": R.q4_order_priority,
+        "q10_returned_revenue": R.q10_returned_revenue,
+        "q14_promo_effect": R.q14_promo_effect,
+        "q16_brand_size_suppliers": R.q16_brand_size_suppliers,
+        "q18_large_orders": R.q18_large_orders,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+        "docs_except_all": T.docs_except_all,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -679,6 +688,95 @@ def oracle_sql() -> dict[str, str]:
             " - SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
             "   * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cov_num "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        # TPC-H Q6: multi-predicate scalar revenue sum
+        "q6_forecast_revenue": (
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount "
+            " * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
+        ),
+        # TPC-H Q4: EXISTS semi join + grouped count per priority
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o_orderdate < TIMESTAMP '1997-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            " WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority"
+        ),
+        # TPC-H Q10: returned-item revenue top-k (ties -> c_custkey asc)
+        "q10_returned_revenue": (
+            "SELECT c_custkey, c_name, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "WHERE l_returnflag = 'R' "
+            "AND l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+        ),
+        # TPC-H Q14: promo revenue share, integer permille
+        "q14_promo_effect": (
+            "SELECT promo_cents, total_cents, "
+            "CAST((1000 * promo_cents) // total_cents AS BIGINT) "
+            " AS promo_permille FROM ("
+            "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+            " CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            " AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l_shipdate < TIMESTAMP '1997-10-01')"
+        ),
+        # TPC-H Q16: distinct suppliers per (brand, size), one type
+        # excluded
+        "q16_brand_size_suppliers": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_type <> 'PROMO' "
+            "GROUP BY p_brand, p_size"
+        ),
+        # TPC-H Q18: large-volume orders (HAVING on the grouped sum,
+        # integer x100 threshold; ties -> o_orderkey asc)
+        "q18_large_orders": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_total_cents, "
+            "sum_qty_x100 FROM orders JOIN ("
+            "SELECT l_orderkey, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            " AS sum_qty_x100 "
+            "FROM lineitem GROUP BY l_orderkey "
+            "HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) "
+            " > 20000) q ON o_orderkey = q.l_orderkey "
+            "ORDER BY sum_qty_x100 DESC, o_orderkey LIMIT 100"
+        ),
+        # TPC-H Q19: disjunctive (brand, size, quantity) band revenue
+        "q19_disjunctive_revenue": (
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice "
+            " * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            " AS revenue_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+            " AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+            " AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            " AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        # bag-semantics EXCEPT ALL (duplicates survive per count diff)
+        "docs_except_all": (
+            "SELECT lang, source FROM documents WHERE n_chars > 300 "
+            "EXCEPT ALL "
+            "SELECT lang, source FROM documents WHERE lang = 'en'"
         ),
         # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)
         "event_percent_rank": (

@@ -3828,3 +3828,892 @@ def user_moving_sum(sf_dir: str, *, k: int = 3,
         .map_batches(moving, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second batch: the remaining classic TPC-H query shapes, each
+# re-expressed in the house physical-plan vocabulary (pruned pushdown
+# reads, broadcast-or-join cap switches, partial-combine aggregation).
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(sf_dir: str, *, year: int = 1997,
+                        disc_lo: float = 0.05, disc_hi: float = 0.07,
+                        max_qty: float = 24.0):
+    """TPC-H Q6-style forecast revenue: ONE global scalar sum over a
+    multi-predicate slice of lineitem. (revenue_cents,) — 1 row.
+
+    Shape: every predicate (ship year, discount band, quantity cap) is
+    pushed into the parquet read — row groups that cannot match never
+    leave storage — and the sum is a per-block single-row partial +
+    one concat block. ZERO shuffle at any corpus size; the exchange
+    volume is n_blocks rows of 8 bytes."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo = _dt.datetime(year, 1, 1)
+    hi = _dt.datetime(year + 1, 1, 1)
+    expr = (
+        (pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_discount") >= disc_lo)
+        & (pads.field("l_discount") <= disc_hi)
+        & (pads.field("l_quantity") < max_qty)
+    )
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        cents = _cents(
+            pc.multiply(
+                batch.column("l_extendedprice"), batch.column("l_discount")
+            )
+        ).to_numpy()
+        return pa.table(
+            {"revenue_cents": pa.array([int(cents.sum())], pa.int64())}
+        )
+
+    return (
+        _t_filtered(
+            sf_dir, "lineitem", ["l_extendedprice", "l_discount"], expr
+        )
+        .map_batches(
+            block_sum, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "revenue_cents": pa.array(
+                        [int(b.column("revenue_cents").to_numpy().sum())],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+    )
+
+
+def q4_order_priority(sf_dir: str, *, date_lo: str = "1997-07-01",
+                      date_hi: str = "1997-10-01",
+                      num_partitions: int = 8):
+    """TPC-H Q4-style order-priority check: count orders per priority
+    in a quarter where EXISTS a returned lineitem for the order.
+    (o_orderpriority, n_orders).
+
+    Shape: the lineitem side is pruned at the read (returnflag = 'R',
+    only l_orderkey leaves storage) and collapsed to per-block DISTINCT
+    keys BEFORE anything moves. Under ``SEMI_BROADCAST_KEY_CAP``
+    (gated on the orders row count from parquet metadata — an upper
+    bound on distinct orderkeys) the distinct keys broadcast as one
+    sorted exact lookup fused into the orders scan: zero exchange.
+    Above it the partial-distinct key table goes through the native
+    left_semi hash join — the scale path. The final grouped count is
+    5 keys: partial-combine + coalesce."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    np.unique(batch.column("l_orderkey").to_numpy()),
+                    pa.int64(),
+                )
+            }
+        )
+
+    rkeys = _t_filtered(
+        sf_dir, "lineitem", ["l_orderkey"],
+        pads.field("l_returnflag") == "R",
+    ).map_batches(
+        partial_distinct, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    orders = _t_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+        (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    if n_orders <= SEMI_BROADCAST_KEY_CAP:
+        ks = np.unique(
+            _gather_int64_cols(rkeys, ["l_orderkey"], "l_orderkey")[
+                "l_orderkey"
+            ]
+        )
+        ks_ref = ray.put(ks)
+
+        class _ExistsSemi:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                ok = batch.column("o_orderkey").to_numpy()
+                _, hit = _lut_probe(self._k, ok)
+                return batch.filter(pa.array(hit)).select(
+                    ["o_orderpriority"]
+                )
+
+        kept = orders.map_batches(
+            _ExistsSemi(ks_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        kept = orders.join(
+            rkeys,
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        ).select_columns(["o_orderpriority"])
+
+    return _grouped_sums(
+        kept, ["o_orderpriority"], [], "n_orders", coalesce=True
+    )
+
+
+#: gather-and-broadcast the (o_orderkey -> o_custkey) mapping when the
+#: orders table fits; above it the native hash join is the scale path
+Q10_BROADCAST_ORDER_CAP = 2_000_000
+
+
+def q10_returned_revenue(sf_dir: str, *, year: int = 1998, k: int = 20,
+                         num_partitions: int = 8):
+    """TPC-H Q10-style returned-item report: top-k customers by revenue
+    of returned lineitems in one year.
+    (c_custkey, c_name, revenue_cents) — k rows, ties broken by
+    c_custkey ascending (pinned in both engine and oracle).
+
+    Shape: lineitem pruned at the read (returnflag + ship-year
+    pushdown); the l_orderkey -> o_custkey decoration broadcasts the
+    orders key pair as a sorted lookup under
+    ``Q10_BROADCAST_ORDER_CAP``, with the native inner hash join as
+    the above-cap path. Grouped sum partial-combines per customer,
+    top-k runs as per-block partial top-k + one tiny merge, and the k
+    names are fetched by a driver-local predicate-pushdown read
+    (join-after-top-k: the customer table never joins the fact
+    stream)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    lo = _dt.datetime(year, 1, 1)
+    hi = _dt.datetime(year + 1, 1, 1)
+
+    n_cust = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+    coalesce = n_cust <= TOPK_COALESCE_CAP
+    li = _t_filtered(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+        (pads.field("l_returnflag") == "R")
+        & (pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+        hash_shuffle=not coalesce,
+    )
+
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    if n_orders <= Q10_BROADCAST_ORDER_CAP:
+        lut = _gather_int64_cols(
+            _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            ["o_orderkey", "o_custkey"], "o_orderkey",
+        )
+        lut_ref = ray.put((lut["o_orderkey"], lut["o_custkey"]))
+
+        class _CustLookup:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, ck = self._lut
+                lk = batch.column("l_orderkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                f = batch.filter(pa.array(hit))
+                rev = pc.multiply(
+                    f.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+                )
+                return pa.table(
+                    {
+                        "o_custkey": pa.array(ck[pos[hit]], pa.int64()),
+                        "rev_cents": _cents(rev),
+                    }
+                )
+
+        facts = li.map_batches(
+            _CustLookup(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        def l_prep(batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            return pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey"),
+                    "rev_cents": _cents(rev),
+                }
+            )
+
+        facts = li.map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).join(
+            _t(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+               hash_shuffle=True),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ).select_columns(["o_custkey", "rev_cents"])
+
+    per_cust = _grouped_sums(
+        facts, ["o_custkey"], ["rev_cents"], "n_l",
+        coalesce=coalesce,
+        num_partitions=num_partitions,
+    ).select_columns(["o_custkey", "rev_cents"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        cents = batch.column("rev_cents").to_numpy()
+        keys = batch.column("o_custkey").to_numpy()
+        order = np.lexsort((keys, -cents))[:k]
+        return batch.take(pa.array(order))
+
+    top = (
+        per_cust.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    )
+    top.sort(key=lambda r: (-int(r["rev_cents"]), int(r["o_custkey"])))
+    keys = [int(r["o_custkey"]) for r in top]
+    import pyarrow.dataset as pds
+
+    names = pds.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(keys),
+    ).to_pylist()
+    name_by_key = {int(r["c_custkey"]): r["c_name"] for r in names}
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array(
+                [name_by_key[c] for c in keys], pa.string()
+            ),
+            "revenue_cents": pa.array(
+                [int(r["rev_cents"]) for r in top], pa.int64()
+            ),
+        }
+    )
+
+
+#: broadcast the part dimension's (partkey -> attrs) arrays when the
+#: table fits; above it the native inner hash join is the scale path
+PART_BROADCAST_KEY_CAP = 5_000_000
+
+
+def q14_promo_effect(sf_dir: str, *, month: str = "1997-09"):
+    """TPC-H Q14-style promotion effect: the promo share of one
+    month's revenue, in exact integers.
+    (promo_cents, total_cents, promo_permille) — 1 row;
+    promo_permille = (1000 * promo_cents) // total_cents (floor
+    division in both engine and oracle — no float ratio is hashed).
+
+    Shape: lineitem pruned to the month at the read; the part
+    dimension broadcasts as a sorted (p_partkey -> is_promo) lookup
+    under ``PART_BROADCAST_KEY_CAP`` (native inner join above it);
+    per-block single-row (promo, total) partials + one concat block.
+    Zero exchange on the broadcast path."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    y, m = (int(x) for x in month.split("-"))
+    lo = _dt.datetime(y, m, 1)
+    hi = _dt.datetime(y + (m == 12), m % 12 + 1, 1)
+
+    li = _t_filtered(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount"],
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        p = int(batch.column("promo_cents").to_numpy().sum())
+        t = int(batch.column("total_cents").to_numpy().sum())
+        return pa.table(
+            {
+                "promo_cents": pa.array([p], pa.int64()),
+                "total_cents": pa.array([t], pa.int64()),
+                "promo_permille": pa.array(
+                    [(1000 * p) // t if t else 0], pa.int64()
+                ),
+            }
+        )
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= PART_BROADCAST_KEY_CAP:
+        pt = pa.concat_tables(
+            [
+                t for t in ray.get(
+                    _t(sf_dir, "part", ["p_partkey", "p_type"])
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        )
+        pk = pt.column("p_partkey").to_numpy()
+        promo = pc.equal(pt.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        srt = np.argsort(pk, kind="stable")
+        lut_ref = ray.put((pk[srt], promo[srt]))
+
+        class _PromoSum:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, promo = self._lut
+                lk = batch.column("l_partkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                f = batch.filter(pa.array(hit))
+                cents = _cents(
+                    pc.multiply(
+                        f.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), f.column("l_discount")
+                        ),
+                    )
+                ).to_numpy()
+                is_p = promo[pos[hit]]
+                return pa.table(
+                    {
+                        "promo_cents": pa.array(
+                            [int(cents[is_p].sum())], pa.int64()
+                        ),
+                        "total_cents": pa.array(
+                            [int(cents.sum())], pa.int64()
+                        ),
+                    }
+                )
+
+        partial = li.map_batches(
+            _PromoSum(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        def l_prep(batch: pa.Table) -> pa.Table:
+            cents = _cents(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(
+                        pa.scalar(1.0), batch.column("l_discount")
+                    ),
+                )
+            )
+            return pa.table(
+                {
+                    "l_partkey": batch.column("l_partkey"),
+                    "cents": cents,
+                }
+            )
+
+        joined = li.map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).join(
+            _t(sf_dir, "part", ["p_partkey", "p_type"],
+               hash_shuffle=True),
+            join_type="inner",
+            num_partitions=8,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def block_sums(batch: pa.Table) -> pa.Table:
+            cents = batch.column("cents").to_numpy()
+            is_p = pc.equal(batch.column("p_type"), "PROMO").to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "promo_cents": pa.array(
+                        [int(cents[is_p].sum())], pa.int64()
+                    ),
+                    "total_cents": pa.array(
+                        [int(cents.sum())], pa.int64()
+                    ),
+                }
+            )
+
+        partial = joined.map_batches(
+            block_sums, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    return partial.repartition(num_blocks=1).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def q16_brand_size_suppliers(sf_dir: str, *, exclude_type: str = "PROMO",
+                             num_partitions: int = 8):
+    """TPC-H Q16-style supplier-relationship count: distinct suppliers
+    per (p_brand, p_size) over the lineitem relation, excluding one
+    part type. (p_brand, p_size, n_suppliers).
+
+    Shape: the part dimension is pruned at the read (type exclusion
+    pushed down, three columns) and broadcasts as a sorted
+    (p_partkey -> brand_id, p_size) lookup under
+    ``PART_BROADCAST_KEY_CAP`` — brand_id is the integer suffix of
+    'Brand#N', parsed vectorized, so the lookup arrays stay int64 and
+    the brand string is reconstructed only on the final key-domain
+    rows. Fact rows collapse to per-block DISTINCT
+    (brand, size, supplier) triples before ONE keyed exchange; the
+    distinct count is a run length per (brand, size) in partition.
+    Above the cap the native inner hash join feeds the same distinct
+    machinery — the scale path."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    def _brand_ids(col) -> np.ndarray:
+        return pc.cast(
+            pc.utf8_slice_codeunits(col, 6, 32), pa.int64()
+        ).to_numpy()
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        b = batch.column("brand_id").to_numpy()
+        s = batch.column("p_size").to_numpy()
+        k = batch.column("l_suppkey").to_numpy()
+        u = np.unique(np.stack([b, s, k], axis=1), axis=0)
+        return pa.table(
+            {
+                "brand_id": pa.array(u[:, 0], pa.int64()),
+                "p_size": pa.array(u[:, 1], pa.int64()),
+                "l_suppkey": pa.array(u[:, 2], pa.int64()),
+            }
+        )
+
+    def count_distinct(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "p_brand": pa.array([], pa.string()),
+                    "p_size": pa.array([], pa.int64()),
+                    "n_suppliers": pa.array([], pa.int64()),
+                }
+            )
+        b = batch.column("brand_id").to_numpy()
+        s = batch.column("p_size").to_numpy()
+        k = batch.column("l_suppkey").to_numpy()
+        u = np.unique(np.stack([b, s, k], axis=1), axis=0)
+        heads = np.empty(len(u), dtype=bool)
+        heads[0] = True
+        heads[1:] = (u[1:, 0] != u[:-1, 0]) | (u[1:, 1] != u[:-1, 1])
+        starts = np.flatnonzero(heads)
+        brand = pc.binary_join_element_wise(
+            pa.array(["Brand#"] * len(starts), pa.string()),
+            pc.cast(pa.array(u[starts, 0], pa.int64()), pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "p_brand": brand,
+                "p_size": pa.array(u[starts, 1], pa.int64()),
+                "n_suppliers": pa.array(
+                    np.diff(np.r_[starts, len(u)]), pa.int64()
+                ),
+            }
+        )
+
+    part = _t_filtered(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_size"],
+        pads.field("p_type") != exclude_type,
+    )
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= PART_BROADCAST_KEY_CAP:
+        tabs = [
+            t for t in ray.get(part.to_arrow_refs()) if t.num_rows
+        ]
+        if tabs:
+            pt = pa.concat_tables(tabs)
+            pk = pt.column("p_partkey").to_numpy()
+            bid = _brand_ids(pt.column("p_brand"))
+            psz = pt.column("p_size").to_numpy().astype(np.int64)
+        else:
+            pk = np.empty(0, dtype=np.int64)
+            bid = np.empty(0, dtype=np.int64)
+            psz = np.empty(0, dtype=np.int64)
+        srt = np.argsort(pk, kind="stable")
+        lut_ref = ray.put((pk[srt], bid[srt], psz[srt]))
+
+        class _PartAttrs:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, bid, psz = self._lut
+                lk = batch.column("l_partkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                sup = batch.column("l_suppkey").to_numpy()[hit]
+                idx = pos[hit]
+                u = np.unique(
+                    np.stack(
+                        [bid[idx], psz[idx], sup], axis=1
+                    ),
+                    axis=0,
+                )
+                return pa.table(
+                    {
+                        "brand_id": pa.array(u[:, 0], pa.int64()),
+                        "p_size": pa.array(u[:, 1], pa.int64()),
+                        "l_suppkey": pa.array(u[:, 2], pa.int64()),
+                    }
+                )
+
+        triples = _t(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+            hash_shuffle=True,
+        ).map_batches(
+            _PartAttrs(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "brand_id": pa.array(
+                        _brand_ids(batch.column("p_brand")), pa.int64()
+                    ),
+                    "p_size": pa.array(
+                        batch.column("p_size").to_numpy().astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "l_suppkey": batch.column("l_suppkey"),
+                }
+            )
+
+        triples = _t(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+            hash_shuffle=True,
+        ).join(
+            part,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).map_batches(
+            partial_distinct, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+
+    return (
+        triples.repartition(
+            num_blocks=num_partitions, keys=["brand_id", "p_size"],
+            sort=True,
+        )
+        .map_batches(
+            count_distinct, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def q18_large_orders(sf_dir: str, *, min_qty_x100: int = 20_000,
+                     k: int = 100, num_partitions: int = 8):
+    """TPC-H Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds a threshold, top-k by quantity.
+    (o_orderkey, o_custkey, o_total_cents, sum_qty_x100) — ties broken
+    by o_orderkey ascending, pinned in both engine and oracle.
+
+    Shape: the HAVING aggregate runs as partial-combine over
+    (l_orderkey, qty_x100) with the keyed exchange gated on the orders
+    row count (``COALESCE_KEY_CAP``); the threshold filter and partial
+    top-k run per block so the merge sees <= k rows per block; the
+    surviving <= k order rows are decorated by a driver-local
+    predicate-pushdown read of orders (join-after-top-k)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray  # noqa: F401  (house import pattern)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "qty_x100": pc.round(
+                    pc.multiply(batch.column("l_quantity"), 100),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ).cast(pa.int64()),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+            hash_shuffle=True).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    per_order = _grouped_sums(
+        li, ["l_orderkey"], ["qty_x100"], "n_l",
+        coalesce=n_orders <= COALESCE_KEY_CAP,
+        num_partitions=num_partitions,
+    ).select_columns(["l_orderkey", "qty_x100"])
+
+    def filter_topk(batch: pa.Table) -> pa.Table:
+        q = batch.column("qty_x100").to_numpy()
+        keep = q > min_qty_x100
+        batch = batch.filter(pa.array(keep))
+        if len(batch) <= k:
+            return batch
+        q = batch.column("qty_x100").to_numpy()
+        okey = batch.column("l_orderkey").to_numpy()
+        order = np.lexsort((okey, -q))[:k]
+        return batch.take(pa.array(order))
+
+    top = (
+        per_order.map_batches(
+            filter_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            filter_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    )
+    top.sort(key=lambda r: (-int(r["qty_x100"]), int(r["l_orderkey"])))
+    keys = [int(r["l_orderkey"]) for r in top]
+    qty_by_key = {int(r["l_orderkey"]): int(r["qty_x100"]) for r in top}
+    import pyarrow.dataset as pds
+
+    rows = pds.dataset(f"{sf_dir}/orders.parquet").to_table(
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=pads.field("o_orderkey").isin(keys) if keys else
+        (pads.field("o_orderkey") < 0),
+    )
+    ok = rows.column("o_orderkey").to_numpy()
+    ck = rows.column("o_custkey").to_numpy()
+    cents = _cents(rows.column("o_totalprice")).to_numpy()
+    srt = np.argsort(ok, kind="stable")
+    pos = srt[np.searchsorted(ok[srt], np.asarray(keys, dtype=np.int64))] \
+        if keys else np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array(ck[pos], pa.int64()),
+            "o_total_cents": pa.array(cents[pos], pa.int64()),
+            "sum_qty_x100": pa.array(
+                [qty_by_key[x] for x in keys], pa.int64()
+            ),
+        }
+    )
+
+
+#: (brand suffix, max size, qty lo, qty hi) disjunctive revenue bands
+Q19_BANDS = (
+    (1, 5, 1.0, 11.0),
+    (2, 10, 10.0, 20.0),
+    (3, 15, 20.0, 30.0),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str, *, num_partitions: int = 8):
+    """TPC-H Q19-style discounted revenue under an OR-of-ANDs
+    predicate: three (brand, size-range, quantity-range) bands.
+    (revenue_cents,) — 1 row.
+
+    Shape: BOTH sides are pruned at the read — part to the three
+    candidate brands (brand + size pushdown is the union bound of the
+    bands), lineitem to the union quantity range. The surviving part
+    rows broadcast as a sorted (p_partkey -> brand_id, p_size) lookup
+    under ``PART_BROADCAST_KEY_CAP``; each batch evaluates the band
+    disjunction vectorized and emits one partial-sum row. Native inner
+    join above the cap — the scale path."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    brands = ["Brand#%d" % b for b, _, _, _ in Q19_BANDS]
+    max_size = max(s for _, s, _, _ in Q19_BANDS)
+    qty_lo = min(lo for _, _, lo, _ in Q19_BANDS)
+    qty_hi = max(hi for _, _, _, hi in Q19_BANDS)
+
+    part = _t_filtered(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_size"],
+        pads.field("p_brand").isin(brands)
+        & (pads.field("p_size") <= max_size)
+        & (pads.field("p_size") >= 1),
+    )
+    li = _t_filtered(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        (pads.field("l_quantity") >= qty_lo)
+        & (pads.field("l_quantity") <= qty_hi),
+    )
+
+    def _band_mask(bid: np.ndarray, psz: np.ndarray,
+                   qty: np.ndarray) -> np.ndarray:
+        m = np.zeros(bid.shape[0], dtype=bool)
+        for b, smax, lo, hi in Q19_BANDS:
+            m |= (
+                (bid == b) & (psz >= 1) & (psz <= smax)
+                & (qty >= lo) & (qty <= hi)
+            )
+        return m
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(batch.column("revenue_cents").to_numpy().sum())],
+                    pa.int64(),
+                )
+            }
+        )
+
+    def _bids(col) -> np.ndarray:
+        return pc.cast(
+            pc.utf8_slice_codeunits(col, 6, 32), pa.int64()
+        ).to_numpy()
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= PART_BROADCAST_KEY_CAP:
+        tabs = [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            pt = pa.concat_tables(tabs)
+            pk = pt.column("p_partkey").to_numpy()
+            bid = _bids(pt.column("p_brand"))
+            psz = pt.column("p_size").to_numpy().astype(np.int64)
+        else:
+            pk = np.empty(0, dtype=np.int64)
+            bid = np.empty(0, dtype=np.int64)
+            psz = np.empty(0, dtype=np.int64)
+        srt = np.argsort(pk, kind="stable")
+        lut_ref = ray.put((pk[srt], bid[srt], psz[srt]))
+
+        class _BandSum:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, bid, psz = self._lut
+                lk = batch.column("l_partkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                f = batch.filter(pa.array(hit))
+                idx = pos[hit]
+                m = _band_mask(
+                    bid[idx], psz[idx],
+                    f.column("l_quantity").to_numpy(),
+                )
+                f = f.filter(pa.array(m))
+                cents = _cents(
+                    pc.multiply(
+                        f.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), f.column("l_discount")
+                        ),
+                    )
+                ).to_numpy()
+                return pa.table(
+                    {
+                        "revenue_cents": pa.array(
+                            [int(cents.sum())], pa.int64()
+                        )
+                    }
+                )
+
+        partial = li.map_batches(
+            _BandSum(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        joined = li.join(
+            part,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
+
+        def block_sum(batch: pa.Table) -> pa.Table:
+            m = _band_mask(
+                _bids(batch.column("p_brand")),
+                batch.column("p_size").to_numpy().astype(np.int64),
+                batch.column("l_quantity").to_numpy(),
+            )
+            f = batch.filter(pa.array(m))
+            cents = _cents(
+                pc.multiply(
+                    f.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+                )
+            ).to_numpy()
+            return pa.table(
+                {
+                    "revenue_cents": pa.array(
+                        [int(cents.sum())], pa.int64()
+                    )
+                }
+            )
+
+        partial = joined.map_batches(
+            block_sum, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    return partial.repartition(num_blocks=1).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -3784,3 +3784,75 @@ def fuzzy_decontaminate_docs(sf_dir: str, *, threshold: float = 0.35):
         _FuzzyScan(lut_ref), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
     )
+
+
+def _bag_except_all(a, b, key_cols: list[str], num_partitions: int):
+    """Distributed EXCEPT ALL (bag semantics): each key survives
+    max(0, count_in_a - count_in_b) times. Works on arbitrary input
+    Datasets sharing ``key_cols``.
+
+    Shape: each side tags rows with per-side unit counts, the tagged
+    union partial-combines per block (one row per key per block — the
+    multiset analog of the partial-distinct rule), ONE keyed exchange
+    co-locates each key's partials, and the finalize emits each key
+    np.repeat'd by its clamped count difference. The exchange carries
+    key-domain rows, never the input multisets."""
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    def tag(ca: int, cb: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {k: batch.column(k) for k in key_cols}
+            cols["cnt_a"] = pa.array(np.full(n, ca, dtype=np.int64))
+            cols["cnt_b"] = pa.array(np.full(n, cb, dtype=np.int64))
+            return pa.table(cols)
+
+        return f
+
+    combine = _combine_runs(key_cols, ["cnt_a", "cnt_b"])
+    tagged = (
+        a.map_batches(tag(1, 0), batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None)
+        .union(
+            b.map_batches(tag(0, 1), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        )
+        .map_batches(combine, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=key_cols, sort=True)
+        .map_batches(combine, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = np.maximum(
+            batch.column("cnt_a").to_numpy()
+            - batch.column("cnt_b").to_numpy(),
+            0,
+        )
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), d)
+        return batch.select(key_cols).take(pa.array(idx, pa.int64()))
+
+    return tagged.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def docs_except_all(sf_dir: str, *, min_chars: int = 300,
+                    lang: str = "en",
+                    num_partitions: int | None = None):
+    """EXCEPT ALL over documents (bag semantics, completing the set-op
+    family next to docs_intersect / docs_except): the (lang, source)
+    multiset of long documents minus the (lang, source) multiset of
+    one language's documents — duplicates preserved per the count
+    difference. (lang, source) — exploded rows."""
+    num_partitions = num_partitions or _default_partitions()
+    a = _docs(sf_dir, ["lang", "source", "n_chars"],
+              hash_shuffle=True).filter(
+        expr=f"n_chars > {min_chars}"
+    ).select_columns(["lang", "source"])
+    b = _docs(sf_dir, ["lang", "source"], hash_shuffle=True).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["lang", "source"])
+    return _bag_except_all(a, b, ["lang", "source"], num_partitions)

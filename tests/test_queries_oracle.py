@@ -957,3 +957,119 @@ def test_priority_counts_paths_agree(ray_session):
         R.Q3_BROADCAST_ORDER_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_q4_semi_paths_agree(ray_session):
+    """q4_order_priority: the broadcast sorted-lookup EXISTS filter and
+    the native left_semi join must produce identical counts."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q4_order_priority(SF_DIR)))
+
+    ref = run()
+    old = R.SEMI_BROADCAST_KEY_CAP
+    try:
+        R.SEMI_BROADCAST_KEY_CAP = -1  # force the native left_semi join
+        alt = run()
+    finally:
+        R.SEMI_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) == 5
+
+
+def test_q10_join_paths_agree(ray_session):
+    """q10_returned_revenue: the broadcast (orderkey -> custkey) lookup
+    + coalesced combine and the native hash join + keyed exchange must
+    produce the identical top-k."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q10_returned_revenue(SF_DIR)))
+
+    ref = run()
+    olds = (R.Q10_BROADCAST_ORDER_CAP, R.TOPK_COALESCE_CAP)
+    try:
+        R.Q10_BROADCAST_ORDER_CAP = -1  # force the native join
+        R.TOPK_COALESCE_CAP = -1        # force the keyed exchange
+        alt = run()
+    finally:
+        R.Q10_BROADCAST_ORDER_CAP, R.TOPK_COALESCE_CAP = olds
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) == 20
+
+
+def test_q14_part_join_paths_agree(ray_session):
+    """q14_promo_effect: the broadcast (partkey -> is_promo) lookup and
+    the native inner join must produce identical sums."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q14_promo_effect(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1  # force the native join
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert int(ref["total_cents"][0]) > 0
+
+
+def test_q16_part_join_paths_agree(ray_session):
+    """q16_brand_size_suppliers: broadcast part-attrs lookup vs native
+    inner join feeding the same distinct machinery."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q16_brand_size_suppliers(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
+
+
+def test_q18_exchange_paths_agree(ray_session):
+    """q18_large_orders: the coalesced per-order combine and the keyed
+    exchange must produce the identical top-k."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q18_large_orders(SF_DIR)))
+
+    ref = run()
+    old = R.COALESCE_KEY_CAP
+    try:
+        R.COALESCE_KEY_CAP = -1  # force the keyed exchange
+        alt = run()
+    finally:
+        R.COALESCE_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
+
+
+def test_q19_part_join_paths_agree(ray_session):
+    """q19_disjunctive_revenue: broadcast band lookup vs native join
+    evaluating the same OR-of-ANDs predicate."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q19_disjunctive_revenue(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert int(ref["revenue_cents"][0]) > 0
