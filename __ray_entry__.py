@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": R.q18_large_orders,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "docs_except_all": T.docs_except_all,
+        "docs_intersect_all": T.docs_intersect_all,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -776,6 +777,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_except_all": (
             "SELECT lang, source FROM documents WHERE n_chars > 300 "
             "EXCEPT ALL "
+            "SELECT lang, source FROM documents WHERE lang = 'en'"
+        ),
+        "docs_intersect_all": (
+            "SELECT lang, source FROM documents WHERE n_chars > 300 "
+            "INTERSECT ALL "
             "SELECT lang, source FROM documents WHERE lang = 'en'"
         ),
         # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)

@@ -3786,16 +3786,18 @@ def fuzzy_decontaminate_docs(sf_dir: str, *, threshold: float = 0.35):
     )
 
 
-def _bag_except_all(a, b, key_cols: list[str], num_partitions: int):
-    """Distributed EXCEPT ALL (bag semantics): each key survives
-    max(0, count_in_a - count_in_b) times. Works on arbitrary input
-    Datasets sharing ``key_cols``.
+def _bag_set_op(a, b, key_cols: list[str], num_partitions: int,
+                op: str):
+    """Distributed bag-semantics set op: EXCEPT ALL (each key survives
+    max(0, count_in_a - count_in_b) times) or INTERSECT ALL (min of the
+    two counts). Works on arbitrary input Datasets sharing
+    ``key_cols``.
 
     Shape: each side tags rows with per-side unit counts, the tagged
     union partial-combines per block (one row per key per block — the
     multiset analog of the partial-distinct rule), ONE keyed exchange
     co-locates each key's partials, and the finalize emits each key
-    np.repeat'd by its clamped count difference. The exchange carries
+    np.repeat'd by its surviving multiplicity. The exchange carries
     key-domain rows, never the input multisets."""
     from hexhamming_ray.pipelines.relational import _combine_runs
 
@@ -3825,10 +3827,11 @@ def _bag_except_all(a, b, key_cols: list[str], num_partitions: int):
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        d = np.maximum(
-            batch.column("cnt_a").to_numpy()
-            - batch.column("cnt_b").to_numpy(),
-            0,
+        ca = batch.column("cnt_a").to_numpy()
+        cb = batch.column("cnt_b").to_numpy()
+        d = (
+            np.maximum(ca - cb, 0) if op == "except"
+            else np.minimum(ca, cb)
         )
         idx = np.repeat(np.arange(len(batch), dtype=np.int64), d)
         return batch.select(key_cols).take(pa.array(idx, pa.int64()))
@@ -3837,6 +3840,17 @@ def _bag_except_all(a, b, key_cols: list[str], num_partitions: int):
         finalize, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def _docs_bag_sides(sf_dir: str, min_chars: int, lang: str):
+    a = _docs(sf_dir, ["lang", "source", "n_chars"],
+              hash_shuffle=True).filter(
+        expr=f"n_chars > {min_chars}"
+    ).select_columns(["lang", "source"])
+    b = _docs(sf_dir, ["lang", "source"], hash_shuffle=True).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["lang", "source"])
+    return a, b
 
 
 def docs_except_all(sf_dir: str, *, min_chars: int = 300,
@@ -3848,11 +3862,17 @@ def docs_except_all(sf_dir: str, *, min_chars: int = 300,
     one language's documents — duplicates preserved per the count
     difference. (lang, source) — exploded rows."""
     num_partitions = num_partitions or _default_partitions()
-    a = _docs(sf_dir, ["lang", "source", "n_chars"],
-              hash_shuffle=True).filter(
-        expr=f"n_chars > {min_chars}"
-    ).select_columns(["lang", "source"])
-    b = _docs(sf_dir, ["lang", "source"], hash_shuffle=True).filter(
-        expr=f"lang == '{lang}'"
-    ).select_columns(["lang", "source"])
-    return _bag_except_all(a, b, ["lang", "source"], num_partitions)
+    a, b = _docs_bag_sides(sf_dir, min_chars, lang)
+    return _bag_set_op(a, b, ["lang", "source"], num_partitions, "except")
+
+
+def docs_intersect_all(sf_dir: str, *, min_chars: int = 300,
+                       lang: str = "en",
+                       num_partitions: int | None = None):
+    """INTERSECT ALL over documents (bag semantics): each (lang,
+    source) key survives min(count_in_a, count_in_b) times.
+    (lang, source) — exploded rows."""
+    num_partitions = num_partitions or _default_partitions()
+    a, b = _docs_bag_sides(sf_dir, min_chars, lang)
+    return _bag_set_op(a, b, ["lang", "source"], num_partitions,
+                       "intersect")
