@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "docs_except_all": T.docs_except_all,
         "docs_intersect_all": T.docs_intersect_all,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q17_small_qty_revenue": R.q17_small_qty_revenue,
+        "q22_idle_rich_customers": R.q22_idle_rich_customers,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -783,6 +786,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source FROM documents WHERE n_chars > 300 "
             "INTERSECT ALL "
             "SELECT lang, source FROM documents WHERE lang = 'en'"
+        ),
+        # TPC-H Q15: argmax with ties (scalar MAX subquery)
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS total_rev_cents "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_rev_cents "
+            "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+            "WHERE total_rev_cents = (SELECT MAX(total_rev_cents) "
+            " FROM rev)"
+        ),
+        # TPC-H Q17: correlated per-part average threshold,
+        # decorrelated to 5 * qty_x100 * n < sum_qty_x100 (exact ints)
+        "q17_small_qty_revenue": (
+            "WITH pq AS (SELECT l_partkey AS pk, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) "
+            " AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#5' GROUP BY l_partkey) "
+            "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) "
+            " AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_small "
+            "FROM lineitem JOIN pq ON l_partkey = pq.pk "
+            "WHERE 5 * CAST(ROUND(l_quantity * 100) AS BIGINT) * pq.n "
+            " < pq.s"
+        ),
+        # TPC-H Q22: NOT EXISTS + global scalar subquery, decorrelated
+        # to an integer cross-multiply (bal * n > sum <=> bal > avg)
+        "q22_idle_rich_customers": (
+            "WITH pos AS (SELECT "
+            "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) "
+            " AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer WHERE c_acctbal > 0 "
+            "AND c_nationkey % 2 = 1) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cust, "
+            "CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) "
+            " AS BIGINT) AS total_bal_cents "
+            "FROM customer, pos WHERE c_nationkey % 2 = 1 "
+            "AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            " WHERE o_custkey = c_custkey "
+            " AND o_orderdate >= TIMESTAMP '2001-01-01') "
+            "GROUP BY c_nationkey"
         ),
         # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)
         "event_percent_rank": (

@@ -4717,3 +4717,435 @@ def q19_disjunctive_revenue(sf_dir: str, *, num_partitions: int = 8):
         final, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def q15_top_supplier(sf_dir: str, *, date_lo: str = "1997-01-01",
+                     date_hi: str = "1997-04-01",
+                     num_partitions: int = 8):
+    """TPC-H Q15-style top supplier: the supplier(s) whose quarterly
+    revenue EQUALS the global maximum (argmax with ties — the scalar
+    subquery ``= (SELECT MAX(...))`` shape).
+    (s_suppkey, s_name, total_rev_cents), sorted by s_suppkey.
+
+    Shape: per-supplier revenue via partial-combine (coalesce gated on
+    the supplier row count); the argmax runs WITHOUT a sort or a
+    gather — each block keeps only rows equal to its block max (any
+    global-max row is necessarily its block's max, so this is an exact
+    superset filter), the ≤ n_blocks survivors meet in one block, and
+    the global filter reruns there. Names are fetched by a
+    driver-local pushdown read (join-after-argmax)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray  # noqa: F401
+
+    lo = _dt.datetime.fromisoformat(date_lo)
+    hi = _dt.datetime.fromisoformat(date_hi)
+
+    n_supp = _pq.ParquetFile(
+        f"{sf_dir}/supplier.parquet"
+    ).metadata.num_rows
+    coalesce = n_supp <= TOPK_COALESCE_CAP
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    li = _t_filtered(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+        hash_shuffle=not coalesce,
+    ).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    per_supp = _grouped_sums(
+        li, ["l_suppkey"], ["rev_cents"], "n_l",
+        coalesce=coalesce, num_partitions=num_partitions,
+    ).select_columns(["l_suppkey", "rev_cents"])
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        rev = batch.column("rev_cents").to_numpy()
+        return batch.filter(pa.array(rev == rev.max()))
+
+    top = (
+        per_supp.map_batches(
+            block_argmax, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            block_argmax, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    )
+    top.sort(key=lambda r: int(r["l_suppkey"]))
+    keys = [int(r["l_suppkey"]) for r in top]
+    import pyarrow.dataset as pds
+
+    names = pds.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys) if keys
+        else (pads.field("s_suppkey") < 0),
+    ).to_pylist()
+    name_by_key = {int(r["s_suppkey"]): r["s_name"] for r in names}
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array(
+                [name_by_key[k] for k in keys], pa.string()
+            ),
+            "total_rev_cents": pa.array(
+                [int(r["rev_cents"]) for r in top], pa.int64()
+            ),
+        }
+    )
+
+
+def q17_small_qty_revenue(sf_dir: str, *, brand: str = "Brand#5",
+                          num_partitions: int = 8):
+    """TPC-H Q17-style small-quantity revenue: total revenue of one
+    brand's lineitems whose quantity is below 0.2 x the part's average
+    quantity — the correlated-scalar-subquery shape, decorrelated to a
+    per-part aggregate and an EXACT integer cross-multiply
+    (5 * qty_x100 * n < sum_qty_x100 <=> qty < 0.2 * avg; no float
+    average is ever computed). (revenue_cents, n_small) — 1 row.
+
+    Shape: the brand's partkeys broadcast as a sorted lookup under
+    ``PART_BROADCAST_KEY_CAP`` and semi-filter BOTH lineitem passes
+    map-side (pass 1: per-part (sum_qty, n) partial-combine; pass 2:
+    threshold filter + single-row revenue partials). The per-part
+    aggregate — bounded by the brand's part count — broadcasts back as
+    a lut; above the cap both sides flow through native inner joins
+    (the scale path), and the final sum is still single-row partials +
+    one concat block."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    dim = _t_filtered(
+        sf_dir, "part", ["p_partkey"],
+        pads.field("p_brand") == brand,
+    ).materialize()
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(batch.column("revenue_cents").to_numpy().sum())],
+                    pa.int64(),
+                ),
+                "n_small": pa.array(
+                    [int(batch.column("n_small").to_numpy().sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= PART_BROADCAST_KEY_CAP:
+        pks = np.sort(
+            np.concatenate(
+                [
+                    t.column("p_partkey").to_numpy()
+                    for t in ray.get(dim.to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        pks_ref = ray.put(pks)
+
+        class _BrandSemiQty:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                lk = batch.column("l_partkey").to_numpy()
+                _, hit = _lut_probe(self._k, lk)
+                f = batch.filter(pa.array(hit))
+                return pa.table(
+                    {
+                        "l_partkey": f.column("l_partkey"),
+                        "qty_x100": pc.round(
+                            pc.multiply(f.column("l_quantity"), 100),
+                            ndigits=0,
+                            round_mode="half_towards_infinity",
+                        ).cast(pa.int64()),
+                    }
+                )
+
+        qty = _t(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity"]
+        ).map_batches(
+            _BrandSemiQty(pks_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        per_part = _grouped_sums(
+            qty, ["l_partkey"], ["qty_x100"], "n_l", coalesce=True
+        )
+        lut = _gather_int64_cols(
+            per_part, ["l_partkey", "qty_x100", "n_l"], "l_partkey"
+        )
+        lut_ref = ray.put(
+            (lut["l_partkey"], lut["qty_x100"], lut["n_l"])
+        )
+
+        class _SmallQtySum:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, s, n = self._lut
+                lk = batch.column("l_partkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                f = batch.filter(pa.array(hit))
+                idx = pos[hit]
+                q = pc.round(
+                    pc.multiply(f.column("l_quantity"), 100),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ).cast(pa.int64()).to_numpy()
+                small = 5 * q * n[idx] < s[idx]
+                cents = _cents(f.column("l_extendedprice")).to_numpy()
+                return pa.table(
+                    {
+                        "revenue_cents": pa.array(
+                            [int(cents[small].sum())], pa.int64()
+                        ),
+                        "n_small": pa.array(
+                            [int(small.sum())], pa.int64()
+                        ),
+                    }
+                )
+
+        partial = _t(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(
+            _SmallQtySum(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        return partial.repartition(num_blocks=1).map_batches(
+            final, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    # scale path: native inner joins on both passes
+    def l_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty_x100": pc.round(
+                    pc.multiply(batch.column("l_quantity"), 100),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ).cast(pa.int64()),
+                "price_cents": _cents(batch.column("l_extendedprice")),
+            }
+        )
+
+    facts = _t(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+        hash_shuffle=True,
+    ).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).join(
+        dim,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    ).materialize()
+
+    per_part = _grouped_sums(
+        facts.select_columns(["l_partkey", "qty_x100"]),
+        ["l_partkey"], ["qty_x100"], "n_l",
+        coalesce=False, num_partitions=num_partitions,
+    ).rename_columns(["pk", "sum_qty_x100", "n_l"])
+
+    joined = facts.join(
+        per_part,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("pk",),
+    )
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        q = batch.column("qty_x100").to_numpy()
+        s = batch.column("sum_qty_x100").to_numpy()
+        n = batch.column("n_l").to_numpy()
+        small = 5 * q * n < s
+        cents = batch.column("price_cents").to_numpy()
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(cents[small].sum())], pa.int64()
+                ),
+                "n_small": pa.array([int(small.sum())], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(
+        block_sum, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).repartition(num_blocks=1).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def q22_idle_rich_customers(sf_dir: str, *, cutoff: str = "2001-01-01",
+                            num_partitions: int = 8):
+    """TPC-H Q22-style global-sales-opportunity report: customers in
+    the odd-nationkey group whose balance is above the group's average
+    POSITIVE balance and who have placed no order since ``cutoff`` —
+    the NOT EXISTS + global-scalar-subquery shape, decorrelated to one
+    broadcast (sum, n) pair and an exact integer cross-multiply
+    (bal_cents * n > sum_cents <=> bal > avg).
+    (nationkey, n_cust, total_bal_cents).
+
+    Shape: the scalar aggregate is per-block single-row partials over
+    the pruned customer read (ZERO shuffle); the recent-order keys are
+    pruned at the read (date pushdown, one column), collapsed to
+    per-block DISTINCT, and broadcast as a sorted anti lookup under
+    ``SEMI_BROADCAST_KEY_CAP`` (native left_anti hash join above —
+    the scale path); the final per-nation count+sum coalesces over the
+    25-key nation domain."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def odd_prep(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        keep = (nk % 2) == 1
+        f = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": f.column("c_custkey"),
+                "nationkey": pa.array(
+                    f.column("c_nationkey").to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+                "bal_cents": _cents(f.column("c_acctbal")),
+            }
+        )
+
+    odd = cust.map_batches(
+        odd_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()  # consumed twice: scalar partials + the filter
+
+    # global scalar: sum/count of POSITIVE balances (single-row
+    # partials -> one concat block -> two ints on the driver)
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        b = batch.column("bal_cents").to_numpy()
+        b = b[b > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(b.sum())], pa.int64()),
+                "n": pa.array([int(b.shape[0])], pa.int64()),
+            }
+        )
+
+    parts = odd.map_batches(
+        pos_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()
+    s_pos = sum(int(r["s"]) for r in parts)
+    n_pos = sum(int(r["n"]) for r in parts)
+
+    recent = _t_filtered(
+        sf_dir, "orders", ["o_custkey"],
+        pads.field("o_orderdate") >= cut,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pa.array(
+                    np.unique(b.column("o_custkey").to_numpy()),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    n_cust_rows = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+    if n_cust_rows <= SEMI_BROADCAST_KEY_CAP:
+        ks = np.unique(
+            _gather_int64_cols(recent, ["o_custkey"], "o_custkey")[
+                "o_custkey"
+            ]
+        )
+        ks_ref = ray.put(ks)
+
+        class _RichIdle:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                bal = batch.column("bal_cents").to_numpy()
+                ck = batch.column("c_custkey").to_numpy()
+                _, hit = _lut_probe(self._k, ck)
+                keep = (~hit) & (bal * n_pos > s_pos)
+                return batch.filter(pa.array(keep)).select(
+                    ["nationkey", "bal_cents"]
+                )
+
+        kept = odd.map_batches(
+            _RichIdle(ks_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        def rich(batch: pa.Table) -> pa.Table:
+            bal = batch.column("bal_cents").to_numpy()
+            return batch.filter(pa.array(bal * n_pos > s_pos))
+
+        kept = odd.map_batches(
+            rich, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).join(
+            recent,
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        ).select_columns(["nationkey", "bal_cents"])
+
+    return _grouped_sums(
+        kept, ["nationkey"], ["bal_cents"], "n_cust", coalesce=True
+    ).select_columns(
+        ["nationkey", "n_cust", "bal_cents"]
+    ).rename_columns(["nationkey", "n_cust", "total_bal_cents"])

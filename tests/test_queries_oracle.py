@@ -1073,3 +1073,61 @@ def test_q19_part_join_paths_agree(ray_session):
         R.PART_BROADCAST_KEY_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert int(ref["revenue_cents"][0]) > 0
+
+
+def test_q15_coalesce_paths_agree(ray_session):
+    """q15_top_supplier: the coalesced per-supplier combine and the
+    keyed exchange must produce the identical argmax set."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q15_top_supplier(SF_DIR)))
+
+    ref = run()
+    old = R.TOPK_COALESCE_CAP
+    try:
+        R.TOPK_COALESCE_CAP = -1  # force the keyed exchange
+        alt = run()
+    finally:
+        R.TOPK_COALESCE_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) >= 1
+
+
+def test_q17_part_join_paths_agree(ray_session):
+    """q17_small_qty_revenue: the broadcast (brand partkeys + per-part
+    aggregate) lookups and the double native-join plan must produce
+    identical sums."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q17_small_qty_revenue(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1  # force the join plan
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert int(ref["n_small"][0]) > 0
+
+
+def test_q22_anti_paths_agree(ray_session):
+    """q22_idle_rich_customers: the broadcast sorted anti lookup and
+    the native left_anti join must keep the identical customers."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q22_idle_rich_customers(SF_DIR)))
+
+    ref = run()
+    old = R.SEMI_BROADCAST_KEY_CAP
+    try:
+        R.SEMI_BROADCAST_KEY_CAP = -1  # force the left_anti join
+        alt = run()
+    finally:
+        R.SEMI_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
