@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q17_small_qty_revenue": R.q17_small_qty_revenue,
         "q22_idle_rich_customers": R.q22_idle_rich_customers,
+        "q21_lone_late_suppliers": R.q21_lone_late_suppliers,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -834,6 +835,23 @@ def oracle_sql() -> dict[str, str]:
             " WHERE o_custkey = c_custkey "
             " AND o_orderdate >= TIMESTAMP '2001-01-01') "
             "GROUP BY c_nationkey"
+        ),
+        # TPC-H Q21: group-level EXISTS + NOT EXISTS (the only late
+        # supplier on multi-supplier orders); late = shipped > 90 days
+        # after the order date
+        "q21_lone_late_suppliers": (
+            "WITH ls AS (SELECT DISTINCT l_orderkey AS ok, "
+            " l_suppkey AS sk, "
+            " (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late "
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "per AS (SELECT ok, COUNT(DISTINCT sk) AS n_supp, "
+            " COUNT(DISTINCT sk) FILTER (late) AS n_late, "
+            " MIN(sk) FILTER (late) AS late_sk FROM ls GROUP BY ok) "
+            "SELECT s_suppkey, s_name, numwait FROM supplier JOIN "
+            "(SELECT late_sk, CAST(COUNT(*) AS BIGINT) AS numwait "
+            " FROM per WHERE n_supp >= 2 AND n_late = 1 "
+            " GROUP BY late_sk) q ON s_suppkey = late_sk "
+            "ORDER BY numwait DESC, s_suppkey LIMIT 10"
         ),
         # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)
         "event_percent_rank": (

@@ -5149,3 +5149,197 @@ def q22_idle_rich_customers(sf_dir: str, *, cutoff: str = "2001-01-01",
     ).select_columns(
         ["nationkey", "n_cust", "bal_cents"]
     ).rename_columns(["nationkey", "n_cust", "total_bal_cents"])
+
+
+def q21_lone_late_suppliers(sf_dir: str, *, late_days: int = 90,
+                            k: int = 10, num_partitions: int = 8):
+    """TPC-H Q21-style waiting-orders report: suppliers who were the
+    ONLY late supplier on multi-supplier orders — the group-level
+    EXISTS + NOT EXISTS shape (late himself; no OTHER supplier late;
+    order has >= 2 suppliers). Late = shipped more than ``late_days``
+    after the order date (exact integer microsecond compare).
+    (s_suppkey, s_name, numwait) — top-k by count, ties broken by
+    s_suppkey ascending.
+
+    Shape: the (o_orderkey -> orderdate) decoration broadcasts under
+    ``Q10_BROADCAST_ORDER_CAP`` (native inner join above — the scale
+    path); the fact stream collapses to per-block DISTINCT
+    (order, supplier, late) triples BEFORE the one keyed exchange on
+    order; the per-order verdict (supplier count, late count, the
+    lone late supplier) is one lexsort + run-reduce pass per block;
+    the per-supplier count partial-combines and the top-k + name
+    fetch reuse the join-after-top-k pattern."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    late_us = late_days * 86_400 * 1_000_000
+
+    def triples(ok: np.ndarray, sk: np.ndarray,
+                late: np.ndarray) -> pa.Table:
+        u = np.unique(
+            np.stack([ok, sk, late.astype(np.int64)], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "ok": pa.array(u[:, 0], pa.int64()),
+                "sk": pa.array(u[:, 1], pa.int64()),
+                "late": pa.array(u[:, 2], pa.int64()),
+            }
+        )
+
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    li_cols = ["l_orderkey", "l_suppkey", "l_shipdate"]
+    if n_orders <= Q10_BROADCAST_ORDER_CAP:
+        ods = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        tabs = [t for t in ray.get(ods.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            ot = pa.concat_tables(tabs)
+            okeys = ot.column("o_orderkey").to_numpy()
+            oep = ot.column("o_orderdate").cast(pa.int64()).to_numpy()
+        else:
+            okeys = np.empty(0, dtype=np.int64)
+            oep = np.empty(0, dtype=np.int64)
+        srt = np.argsort(okeys, kind="stable")
+        lut_ref = ray.put((okeys[srt], oep[srt]))
+
+        class _LateTriples:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, ep = self._lut
+                lk = batch.column("l_orderkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                f = batch.filter(pa.array(hit))
+                ship = f.column("l_shipdate").cast(pa.int64()).to_numpy()
+                late = ship > ep[pos[hit]] + late_us
+                return triples(
+                    f.column("l_orderkey").to_numpy(),
+                    f.column("l_suppkey").to_numpy(),
+                    late,
+                )
+
+        tri = _t(sf_dir, "lineitem", li_cols,
+                 hash_shuffle=True).map_batches(
+            _LateTriples(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        joined = _t(sf_dir, "lineitem", li_cols,
+                    hash_shuffle=True).join(
+            _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+            od = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+            return triples(
+                batch.column("l_orderkey").to_numpy(),
+                batch.column("l_suppkey").to_numpy(),
+                ship > od + late_us,
+            )
+
+        tri = joined.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"sk": pa.array([], pa.int64())})
+        ok = batch.column("ok").to_numpy()
+        sk = batch.column("sk").to_numpy()
+        late = batch.column("late").to_numpy()
+        u = np.unique(np.stack([ok, sk, late], axis=1), axis=0)
+        ok, sk, late = u[:, 0], u[:, 1], u[:, 2]
+        heads = np.empty(len(u), dtype=bool)
+        heads[0] = True
+        heads[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(u)]
+        # distinct suppliers per order: (ok, sk) pair heads
+        pair_head = np.empty(len(u), dtype=bool)
+        pair_head[0] = True
+        pair_head[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        n_supp = np.add.reduceat(pair_head.astype(np.int64), starts)
+        n_late = np.add.reduceat(late, starts)
+        lone = (n_supp >= 2) & (n_late == 1)
+        # the lone late supplier: within each run the single late row
+        late_idx = np.flatnonzero(late)
+        # map each late row to its run ordinal
+        run_of = np.searchsorted(starts, late_idx, side="right") - 1
+        lone_sk = np.full(len(starts), -1, dtype=np.int64)
+        lone_sk[run_of] = sk[late_idx]  # n_late==1 runs keep their sk
+        del ends
+        return pa.table(
+            {"sk": pa.array(lone_sk[lone], pa.int64())}
+        )
+
+    lone = tri.repartition(
+        num_blocks=num_partitions, keys=["ok"], sort=True
+    ).map_batches(
+        per_order, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    n_supp_rows = _pq.ParquetFile(
+        f"{sf_dir}/supplier.parquet"
+    ).metadata.num_rows
+    counts = _grouped_sums(
+        lone, ["sk"], [], "numwait",
+        coalesce=n_supp_rows <= TOPK_COALESCE_CAP,
+        num_partitions=num_partitions,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        c = batch.column("numwait").to_numpy()
+        s = batch.column("sk").to_numpy()
+        order = np.lexsort((s, -c))[:k]
+        return batch.take(pa.array(order))
+
+    top = (
+        counts.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    )
+    top.sort(key=lambda r: (-int(r["numwait"]), int(r["sk"])))
+    keys = [int(r["sk"]) for r in top]
+    import pyarrow.dataset as pds
+
+    names = pds.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys) if keys
+        else (pads.field("s_suppkey") < 0),
+    ).to_pylist()
+    name_by_key = {int(r["s_suppkey"]): r["s_name"] for r in names}
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array(
+                [name_by_key[x] for x in keys], pa.string()
+            ),
+            "numwait": pa.array(
+                [int(r["numwait"]) for r in top], pa.int64()
+            ),
+        }
+    )

@@ -1131,3 +1131,23 @@ def test_q22_anti_paths_agree(ray_session):
         R.SEMI_BROADCAST_KEY_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_q21_join_paths_agree(ray_session):
+    """q21_lone_late_suppliers: the broadcast orderdate lookup and the
+    native inner join must produce the identical top-k."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q21_lone_late_suppliers(SF_DIR)))
+
+    ref = run()
+    olds = (R.Q10_BROADCAST_ORDER_CAP, R.TOPK_COALESCE_CAP)
+    try:
+        R.Q10_BROADCAST_ORDER_CAP = -1  # force the native join
+        R.TOPK_COALESCE_CAP = -1        # force the keyed count exchange
+        alt = run()
+    finally:
+        R.Q10_BROADCAST_ORDER_CAP, R.TOPK_COALESCE_CAP = olds
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
