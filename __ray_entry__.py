@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": R.q17_small_qty_revenue,
         "q22_idle_rich_customers": R.q22_idle_rich_customers,
         "q21_lone_late_suppliers": R.q21_lone_late_suppliers,
+        "docs_orc_roundtrip": T.docs_orc_roundtrip,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -1169,6 +1170,9 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) AS n_tokens FROM documents"
         ),
         "docs_json_roundtrip": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+        ),
+        "docs_orc_roundtrip": (
             "SELECT doc_id, lang, n_chars FROM documents"
         ),
         "docs_partitioned_sink": (

@@ -3876,3 +3876,32 @@ def docs_intersect_all(sf_dir: str, *, min_chars: int = 300,
     a, b = _docs_bag_sides(sf_dir, min_chars, lang)
     return _bag_set_op(a, b, ["lang", "source"], num_partitions,
                        "intersect")
+
+
+def docs_orc_roundtrip(sf_dir: str):
+    """Source/sink format conformance, ORC flavor — through the
+    engine's CUSTOM datasource/datasink pair (sources/orc.py; Ray
+    ships no ORC connector, so this exercises the public
+    FileBasedDatasource / BlockBasedFileDatasink extension surface).
+    Documents written as one ORC file per block, read back one block
+    per ORC STRIPE, projected to (doc_id, lang, n_chars) — oracled
+    against the parquet originals, so any ORC encode/decode corruption
+    breaks the value hash."""
+    from hexhamming_ray.sources.orc import read_orc, write_orc
+
+    d = _roundtrip_dir(sf_dir, "orc")
+    write_orc(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), d)
+    back = read_orc(d, columns=["doc_id", "lang", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return back.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

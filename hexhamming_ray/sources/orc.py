@@ -1,0 +1,79 @@
+"""ORC source/sink for Ray Data via the public datasource extension
+points (`FileBasedDatasource` / `BlockBasedFileDatasink`) — Ray 2.49
+ships no `read_orc`, so this is the engine's demonstration of the
+custom-connector surface: any columnar format pyarrow can decode plugs
+into the same streaming read/write machinery the built-in formats use.
+
+Scale shape: the READ streams one Arrow table per ORC *stripe* (never
+the whole file), so block size follows the writer's stripe size and a
+100 TB directory of ORC files reads with the same per-task memory
+profile as parquet row groups. The WRITE emits one ORC file per block
+through the standard datasink path (distributed, resumable per file).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from ray.data.datasource import BlockBasedFileDatasink, FileBasedDatasource
+
+if TYPE_CHECKING:
+    import pyarrow
+
+
+class OrcDatasource(FileBasedDatasource):
+    """Streaming ORC reader: one block per stripe."""
+
+    _FILE_EXTENSIONS = ["orc"]
+
+    def __init__(self, paths, *, columns=None, **kwargs):
+        super().__init__(paths, file_extensions=self._FILE_EXTENSIONS,
+                         **kwargs)
+        self._columns = list(columns) if columns is not None else None
+
+    def _open_input_source(self, filesystem, path: str,
+                           **open_args) -> "pyarrow.NativeFile":
+        # ORC footers need random access; the default datasource opens
+        # a sequential stream, so open a seekable file instead
+        return filesystem.open_input_file(path)
+
+    def _read_stream(self, f: "pyarrow.NativeFile",
+                     path: str) -> Iterator["pyarrow.Table"]:
+        from pyarrow import orc
+
+        import pyarrow as pa
+
+        o = orc.ORCFile(f)
+        for i in range(o.nstripes):
+            # read_stripe returns a RecordBatch; blocks are Tables
+            yield pa.Table.from_batches(
+                [o.read_stripe(i, columns=self._columns)]
+            )
+
+
+class OrcDatasink(BlockBasedFileDatasink):
+    """Distributed ORC writer: one file per block."""
+
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="orc", **kwargs)
+
+    def write_block_to_file(self, block, file: "pyarrow.NativeFile"):
+        from pyarrow import orc
+
+        orc.write_table(block.to_arrow(), file)
+
+
+def read_orc(paths, *, columns=None, override_num_blocks=None):
+    """`ray.data.read_orc` equivalent built on the public datasource
+    API (column projection applied per stripe at the read)."""
+    import ray
+
+    return ray.data.read_datasource(
+        OrcDatasource(paths, columns=columns),
+        override_num_blocks=override_num_blocks,
+    )
+
+
+def write_orc(ds, path: str) -> None:
+    """`Dataset.write_orc` equivalent: one ORC file per block."""
+    ds.write_datasink(OrcDatasink(path))
