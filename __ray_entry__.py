@@ -114,6 +114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich_customers": R.q22_idle_rich_customers,
         "q21_lone_late_suppliers": R.q21_lone_late_suppliers,
         "docs_orc_roundtrip": T.docs_orc_roundtrip,
+        "q2_min_price_suppliers": R.q2_min_price_suppliers,
+        "q20_dominant_suppliers": R.q20_dominant_suppliers,
+        "q7_region_volume": R.q7_region_volume,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_profit": R.q9_product_profit,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -853,6 +858,98 @@ def oracle_sql() -> dict[str, str]:
             " FROM per WHERE n_supp >= 2 AND n_late = 1 "
             " GROUP BY late_sk) q ON s_suppkey = late_sk "
             "ORDER BY numwait DESC, s_suppkey LIMIT 10"
+        ),
+        # TPC-H Q7: volume shipping between two regions, either
+        # direction, per ship year
+        "q7_region_volume": (
+            "SELECT sr.r_name AS supp_region, cr.r_name AS cust_region, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s_nationkey "
+            "JOIN region sr ON sr.r_regionkey = sn.n_regionkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "JOIN region cr ON cr.r_regionkey = cn.n_regionkey "
+            "WHERE ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE') "
+            " OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3"
+        ),
+        # TPC-H Q8: national market share per order year, integer
+        # permille
+        "q8_market_share": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(CASE WHEN s_nationkey = 3 THEN "
+            " CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            " AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS total_cents, "
+            "(1000 * CAST(SUM(CASE WHEN s_nationkey = 3 THEN "
+            " CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            " AS BIGINT) ELSE 0 END) AS BIGINT)) // "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS share_permille "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = cn.n_regionkey "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE r_name = 'ASIA' AND p_type = 'STANDARD' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1"
+        ),
+        # TPC-H Q9: product-type profit per (supplier nation, ship
+        # year); unit cost = retail price, exact integer floor division
+        "q9_product_profit": (
+            "SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT) "
+            " - (CAST(ROUND(l_quantity * 100) AS BIGINT) "
+            "    * CAST(ROUND(p_retailprice * 100) AS BIGINT)) // 100) "
+            " AS BIGINT) AS profit_cents "
+            "FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE '%widget%' "
+            "GROUP BY 1, 2"
+        ),
+        # TPC-H Q2: per-part argmin with ties + join-back on the MIN
+        "q2_min_price_suppliers": (
+            "WITH pr AS (SELECT l_partkey, l_suppkey, "
+            " CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc "
+            " FROM lineitem JOIN part ON p_partkey = l_partkey "
+            " WHERE p_size = 15), "
+            "m AS (SELECT l_partkey AS pk, MIN(pc) AS mn FROM pr "
+            " GROUP BY l_partkey) "
+            "SELECT DISTINCT pr.l_partkey AS p_partkey, pr.l_suppkey, "
+            "m.mn AS min_price_cents "
+            "FROM pr JOIN m ON pr.l_partkey = m.pk AND pr.pc = m.mn"
+        ),
+        # TPC-H Q20: suppliers who shipped > half of some brand part's
+        # yearly volume (2 * pair_qty > part_total, exact integers)
+        "q20_dominant_suppliers": (
+            "WITH pairq AS (SELECT l_partkey AS pk, l_suppkey AS sk, "
+            " CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) "
+            "  AS BIGINT) AS q "
+            " FROM lineitem JOIN part ON p_partkey = l_partkey "
+            " WHERE p_brand = 'Brand#7' "
+            " AND l_shipdate >= TIMESTAMP '1997-01-01' "
+            " AND l_shipdate < TIMESTAMP '1998-01-01' "
+            " GROUP BY 1, 2), "
+            "tot AS (SELECT pk, CAST(SUM(q) AS BIGINT) AS t FROM pairq "
+            " GROUP BY pk) "
+            "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN "
+            "(SELECT DISTINCT sk FROM pairq JOIN tot "
+            " ON pairq.pk = tot.pk WHERE 2 * pairq.q > tot.t)"
         ),
         # PERCENT_RANK integer surrogate (ROW_NUMBER-based, permille)
         "event_percent_rank": (

@@ -5343,3 +5343,1129 @@ def q21_lone_late_suppliers(sf_dir: str, *, late_days: int = 90,
             ),
         }
     )
+
+
+def q2_min_price_suppliers(sf_dir: str, *, size: int = 15,
+                           num_partitions: int = 8):
+    """TPC-H Q2-style minimum-cost supplier: for every part of one
+    size, ALL (part, supplier) pairs achieving the part's minimum
+    lineitem price — per-group argmin with ties and a join-back on the
+    minimum (the correlated `= (SELECT MIN ...)` shape).
+    (p_partkey, l_suppkey, min_price_cents).
+
+    Shape: the size-slice partkeys broadcast as a sorted semi lookup
+    under ``PART_BROADCAST_KEY_CAP`` (native inner join above); the
+    argmin needs NO second pass over the facts — per-block (part,
+    supplier, price) rows collapse to per-(part, supplier) minima,
+    ONE keyed exchange on part co-locates them, and each run keeps its
+    distinct minimum pairs (one lexsort + run-min compare per
+    block)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    dim = _t_filtered(
+        sf_dir, "part", ["p_partkey"], pads.field("p_size") == size,
+    ).materialize()
+
+    def pair_min(batch: pa.Table) -> pa.Table:
+        """Per-block minimum price per (part, supplier) pair."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
+                }
+            )
+        pk = batch.column("p_partkey").to_numpy()
+        sk = batch.column("l_suppkey").to_numpy()
+        pr = batch.column("price_cents").to_numpy()
+        order = np.lexsort((pr, sk, pk))
+        pk, sk, pr = pk[order], sk[order], pr[order]
+        head = np.empty(n, dtype=bool)
+        head[0] = True
+        head[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[head], pa.int64()),
+                "l_suppkey": pa.array(sk[head], pa.int64()),
+                "price_cents": pa.array(pr[head], pa.int64()),
+            }
+        )
+
+    def run_argmin(batch: pa.Table) -> pa.Table:
+        """All pairs equal to their part-run minimum (exchange
+        co-located each part; pairs are already per-pair minima)."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "min_price_cents": pa.array([], pa.int64()),
+                }
+            )
+        pk = batch.column("p_partkey").to_numpy()
+        sk = batch.column("l_suppkey").to_numpy()
+        pr = batch.column("price_cents").to_numpy()
+        order = np.lexsort((sk, pr, pk))
+        pk, sk, pr = pk[order], sk[order], pr[order]
+        head = np.empty(n, dtype=bool)
+        head[0] = True
+        head[1:] = pk[1:] != pk[:-1]
+        run_min = pr[
+            np.maximum.accumulate(
+                np.where(head, np.arange(n, dtype=np.int64), -1)
+            )
+        ]
+        keep = pr == run_min
+        pk, sk, pr = pk[keep], sk[keep], pr[keep]
+        # the same pair's minimum can arrive from several SOURCE blocks;
+        # kept rows share their part's single min price, so duplicates
+        # are adjacent in (pk, sk) — one head mask dedupes them
+        if pk.shape[0]:
+            uniq = np.empty(pk.shape[0], dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+            pk, sk, pr = pk[uniq], sk[uniq], pr[uniq]
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk, pa.int64()),
+                "l_suppkey": pa.array(sk, pa.int64()),
+                "min_price_cents": pa.array(pr, pa.int64()),
+            }
+        )
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= PART_BROADCAST_KEY_CAP:
+        pks = np.sort(
+            np.concatenate(
+                [
+                    t.column("p_partkey").to_numpy()
+                    for t in ray.get(dim.to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        pks_ref = ray.put(pks)
+
+        class _SizeSemi:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                lk = batch.column("l_partkey").to_numpy()
+                _, hit = _lut_probe(self._k, lk)
+                f = batch.filter(pa.array(hit))
+                return pair_min(
+                    pa.table(
+                        {
+                            "p_partkey": f.column("l_partkey"),
+                            "l_suppkey": f.column("l_suppkey"),
+                            "price_cents": _cents(
+                                f.column("l_extendedprice")
+                            ),
+                        }
+                    )
+                )
+
+        pairs = _t(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"],
+            hash_shuffle=True,
+        ).map_batches(
+            _SizeSemi(pks_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        def prep(batch: pa.Table) -> pa.Table:
+            return pair_min(
+                pa.table(
+                    {
+                        "p_partkey": batch.column("l_partkey"),
+                        "l_suppkey": batch.column("l_suppkey"),
+                        "price_cents": _cents(
+                            batch.column("l_extendedprice")
+                        ),
+                    }
+                )
+            )
+
+        pairs = _t(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"],
+            hash_shuffle=True,
+        ).join(
+            dim,
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    return pairs.repartition(
+        num_blocks=num_partitions, keys=["p_partkey"], sort=True
+    ).map_batches(
+        run_argmin, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def q20_dominant_suppliers(sf_dir: str, *, brand: str = "Brand#7",
+                           year: int = 1997, num_partitions: int = 8):
+    """TPC-H Q20-style excess-stock suppliers: suppliers who shipped
+    MORE THAN HALF of some part's yearly volume for one brand — the
+    semi-join-on-a-correlated-aggregate-threshold shape, decorrelated
+    to per-(part, supplier) sums vs per-part totals and an exact
+    integer compare (2 * pair_qty > part_total).
+    (s_suppkey, s_name), sorted by s_suppkey.
+
+    Shape: brand partkeys broadcast-semi-filter the pruned (ship-year
+    pushdown) lineitem scan under ``PART_BROADCAST_KEY_CAP`` (native
+    left_semi above); per-block (part, supplier) partial sums meet in
+    ONE keyed exchange on part; each run derives its total and the
+    dominant suppliers in one reduceat pass; the distinct supplier
+    set — bounded by the supplier table — collapses per block before
+    one tiny merge, and names ride a driver-local pushdown read."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    lo = _dt.datetime(year, 1, 1)
+    hi = _dt.datetime(year + 1, 1, 1)
+
+    dim = _t_filtered(
+        sf_dir, "part", ["p_partkey"], pads.field("p_brand") == brand,
+    ).materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return _combine_runs(
+            ["p_partkey", "l_suppkey"], ["qty_x100"]
+        )(batch)
+
+    def dominant(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"sk": pa.array([], pa.int64())})
+        pk = batch.column("p_partkey").to_numpy()
+        sk = batch.column("l_suppkey").to_numpy()
+        q = batch.column("qty_x100").to_numpy()
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        # collapse same (part, supplier) partials from different blocks
+        phead = np.empty(n, dtype=bool)
+        phead[0] = True
+        phead[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        pstart = np.flatnonzero(phead)
+        pk, sk = pk[pstart], sk[pstart]
+        q = np.add.reduceat(q, pstart)
+        m = len(pk)
+        head = np.empty(m, dtype=bool)
+        head[0] = True
+        head[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(head)
+        totals = np.repeat(
+            np.add.reduceat(q, starts), np.diff(np.r_[starts, m])
+        )
+        keep = 2 * q > totals
+        return pa.table(
+            {"sk": pa.array(np.unique(sk[keep]), pa.int64())}
+        )
+
+    li_cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    date_expr = (
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    )
+
+    def qty_prep(f: pa.Table, pk_col: str) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": f.column(pk_col),
+                "l_suppkey": f.column("l_suppkey"),
+                "qty_x100": pc.round(
+                    pc.multiply(f.column("l_quantity"), 100),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ).cast(pa.int64()),
+            }
+        )
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    if n_part <= PART_BROADCAST_KEY_CAP:
+        pks = np.sort(
+            np.concatenate(
+                [
+                    t.column("p_partkey").to_numpy()
+                    for t in ray.get(dim.to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.empty(0, dtype=np.int64)]
+            )
+        )
+        pks_ref = ray.put(pks)
+
+        class _BrandPairQty:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                lk = batch.column("l_partkey").to_numpy()
+                _, hit = _lut_probe(self._k, lk)
+                return pair_partial(
+                    qty_prep(batch.filter(pa.array(hit)), "l_partkey")
+                )
+
+        pairs = _t_filtered(
+            sf_dir, "lineitem", li_cols, date_expr, hash_shuffle=True,
+        ).map_batches(
+            _BrandPairQty(pks_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        pairs = _t_filtered(
+            sf_dir, "lineitem", li_cols, date_expr, hash_shuffle=True,
+        ).join(
+            dim,
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ).map_batches(
+            lambda b: pair_partial(qty_prep(b, "l_partkey")),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    sks = pairs.repartition(
+        num_blocks=num_partitions, keys=["p_partkey"], sort=True
+    ).map_batches(
+        dominant, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).map_batches(
+        # per-block distinct before the single merge block
+        lambda b: pa.table(
+            {
+                "sk": pa.array(
+                    np.unique(b.column("sk").to_numpy()), pa.int64()
+                )
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).repartition(num_blocks=1).map_batches(
+        lambda b: pa.table(
+            {
+                "sk": pa.array(
+                    np.unique(b.column("sk").to_numpy()), pa.int64()
+                )
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).take_all()
+    keys = sorted(int(r["sk"]) for r in sks)
+    import pyarrow.dataset as pds
+
+    names = pds.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys) if keys
+        else (pads.field("s_suppkey") < 0),
+    ).to_pylist()
+    name_by_key = {int(r["s_suppkey"]): r["s_name"] for r in names}
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array(
+                [name_by_key[x] for x in keys], pa.string()
+            ),
+        }
+    )
+
+
+def _nation_region_maps(sf_dir: str):
+    """Driver-local tiny-dim fetch: (nationkey -> regionkey dense
+    array, regionkey -> r_name list). nation/region are constant-sized
+    (25 / 5 rows) at ANY corpus scale — the one dimension class where
+    a driver read is always right."""
+    import pyarrow.dataset as pds
+
+    nt = pds.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_regionkey"]
+    )
+    nk = nt.column("n_nationkey").to_numpy().astype(np.int64)
+    rk = nt.column("n_regionkey").to_numpy().astype(np.int64)
+    n2r = np.zeros(int(nk.max()) + 1 if len(nk) else 1, dtype=np.int64)
+    n2r[nk] = rk
+    rt = pds.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"]
+    )
+    rnames = {}
+    for r in rt.to_pylist():
+        rnames[int(r["r_regionkey"])] = r["r_name"]
+    return n2r, rnames
+
+
+def _gather_supplier_nation(sf_dir: str):
+    """Sorted (s_suppkey -> s_nationkey) arrays for a broadcast lut."""
+    import ray
+
+    ds = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if tabs:
+        st = pa.concat_tables(tabs)
+        sk = st.column("s_suppkey").to_numpy()
+        nk = st.column("s_nationkey").to_numpy().astype(np.int64)
+    else:
+        sk = np.empty(0, dtype=np.int64)
+        nk = np.empty(0, dtype=np.int64)
+    srt = np.argsort(sk, kind="stable")
+    return sk[srt], nk[srt]
+
+
+def q7_region_volume(sf_dir: str, *, region_a: str = "ASIA",
+                     region_b: str = "EUROPE",
+                     year_lo: int = 1996, year_hi: int = 1997,
+                     num_partitions: int = 8):
+    """TPC-H Q7-style volume shipping: revenue between two regions
+    (supplier region, customer region, either direction) per ship
+    year — the two-copies-of-one-dimension star shape (nation/region
+    joined once from the supplier side and once from the customer
+    side). (supp_region, cust_region, l_year, revenue_cents).
+
+    Shape: lineitem pruned to the ship-year window at the read; the
+    supplier->nation->region and (order->customer->region) decorations
+    ride broadcast sorted lookups under their caps
+    (``SEMI_BROADCAST_KEY_CAP`` for supplier,
+    ``Q10_BROADCAST_ORDER_CAP`` / ``Q5_CUST_BROADCAST_CAP`` for
+    orders/customer); nation->region is a constant 25-entry dense
+    array baked into the closures. The pair filter drops non-matching
+    rows map-side, and the final grouped sum is 2 x 2 x years keys:
+    partial-combine + coalesce, zero exchange on the broadcast path.
+    Above any cap the same semantics run as native hash joins (the
+    scale path, pinned by the paths-agree test)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    lo = _dt.datetime(year_lo, 1, 1)
+    hi = _dt.datetime(year_hi + 1, 1, 1)
+    n2r, rnames = _nation_region_maps(sf_dir)
+    rid = {v: k for k, v in rnames.items()}
+    ra, rb = rid[region_a], rid[region_b]
+
+    n_supp = _pq.ParquetFile(
+        f"{sf_dir}/supplier.parquet"
+    ).metadata.num_rows
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    n_cust = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount", "l_shipdate"]
+    date_expr = (
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    )
+
+    def finish(ds):
+        out = _grouped_sums(
+            ds, ["s_reg", "c_reg", "l_year"], ["rev_cents"], "n_l",
+            coalesce=True,
+        )
+
+        def names(batch: pa.Table) -> pa.Table:
+            sr = batch.column("s_reg").to_numpy()
+            cr = batch.column("c_reg").to_numpy()
+            return pa.table(
+                {
+                    "supp_region": pa.array(
+                        [rnames[int(x)] for x in sr], pa.string()
+                    ),
+                    "cust_region": pa.array(
+                        [rnames[int(x)] for x in cr], pa.string()
+                    ),
+                    "l_year": batch.column("l_year"),
+                    "revenue_cents": batch.column("rev_cents"),
+                }
+            )
+
+        return out.map_batches(
+            names, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    broadcast_ok = (
+        n_supp <= SEMI_BROADCAST_KEY_CAP
+        and n_orders <= Q10_BROADCAST_ORDER_CAP
+        and n_cust <= Q5_CUST_BROADCAST_CAP
+    )
+    if broadcast_ok:
+        sks, snk = _gather_supplier_nation(sf_dir)
+        olut = _gather_int64_cols(
+            _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            ["o_orderkey", "o_custkey"], "o_orderkey",
+        )
+        clut = _gather_int64_cols(
+            _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "c_custkey": b.column("c_custkey"),
+                        "c_nationkey": b.column("c_nationkey")
+                        .cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["c_custkey", "c_nationkey"], "c_custkey",
+        )
+        ref = ray.put(
+            (sks, n2r[snk], olut["o_orderkey"], olut["o_custkey"],
+             clut["c_custkey"], n2r[clut["c_nationkey"]])
+        )
+
+        class _RegionPair:
+            def __init__(self, r):
+                self.r = r
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.r)
+                sks, sreg, oks, ocust, cks, creg = self._lut
+                sk = batch.column("l_suppkey").to_numpy()
+                spos, shit = _lut_probe(sks, sk)
+                ok = batch.column("l_orderkey").to_numpy()
+                opos, ohit = _lut_probe(oks, ok)
+                keep = shit & ohit
+                cust = ocust[opos]
+                cpos, chit = _lut_probe(cks, cust)
+                keep &= chit
+                sr = sreg[spos]
+                cr = creg[cpos]
+                pair = ((sr == ra) & (cr == rb)) | (
+                    (sr == rb) & (cr == ra)
+                )
+                keep &= pair
+                f = batch.filter(pa.array(keep))
+                rev = pc.multiply(
+                    f.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+                )
+                return pa.table(
+                    {
+                        "s_reg": pa.array(sr[keep], pa.int64()),
+                        "c_reg": pa.array(cr[keep], pa.int64()),
+                        "l_year": pc.year(
+                            f.column("l_shipdate")
+                        ).cast(pa.int64()),
+                        "rev_cents": _cents(rev),
+                    }
+                )
+
+        return finish(
+            _t_filtered(sf_dir, "lineitem", li_cols, date_expr)
+            .map_batches(
+                _RegionPair(ref), batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=None,
+            )
+        )
+
+    # scale path: native hash joins end to end
+    def s_prep(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": batch.column("s_suppkey"),
+                "s_reg": pa.array(n2r[nk], pa.int64()),
+            }
+        )
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_reg": pa.array(n2r[nk], pa.int64()),
+            }
+        )
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        s_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        c_prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_year": pc.year(batch.column("l_shipdate"))
+                .cast(pa.int64()),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    j = (
+        _t_filtered(sf_dir, "lineitem", li_cols, date_expr,
+                    hash_shuffle=True)
+        .map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .join(
+            _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+            join_type="inner", num_partitions=num_partitions,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        .join(
+            cust, join_type="inner", num_partitions=num_partitions,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .join(
+            supp, join_type="inner", num_partitions=num_partitions,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+    )
+
+    def pair_filter(batch: pa.Table) -> pa.Table:
+        sr = batch.column("s_reg").to_numpy()
+        cr = batch.column("c_reg").to_numpy()
+        pair = ((sr == ra) & (cr == rb)) | ((sr == rb) & (cr == ra))
+        f = batch.filter(pa.array(pair))
+        return pa.table(
+            {
+                "s_reg": f.column("s_reg"),
+                "c_reg": f.column("c_reg"),
+                "l_year": f.column("l_year"),
+                "rev_cents": f.column("rev_cents"),
+            }
+        )
+
+    return finish(
+        j.map_batches(
+            pair_filter, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def q8_market_share(sf_dir: str, *, region: str = "ASIA",
+                    nation: str = "NATION_3",
+                    part_type: str = "STANDARD",
+                    year_lo: int = 1996, year_hi: int = 1997,
+                    num_partitions: int = 8):
+    """TPC-H Q8-style national market share: of the revenue one
+    region's customers spent on one part type per ORDER year, the
+    integer permille supplied by one nation — the
+    conditional-sum-over-a-star shape with a ratio finalize.
+    (o_year, nation_cents, total_cents, share_permille) with
+    share_permille = (1000 * nation_cents) // total_cents.
+
+    Shape: identical star machinery to q7 (part/supplier/orders/
+    customer broadcast sorted lookups under their caps; nation->region
+    dense arrays in the closures; native hash joins above any cap);
+    the nation condition becomes a 0/1 multiplier BEFORE the grouped
+    sum, so both sums ride one partial-combine over ~2 year keys."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+    import pyarrow.dataset as pds
+
+    n2r, rnames = _nation_region_maps(sf_dir)
+    rid = {v: k for k, v in rnames.items()}
+    r_keep = rid[region]
+    nt = pds.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"]
+    ).to_pylist()
+    nat_key = next(
+        int(r["n_nationkey"]) for r in nt if r["n_name"] == nation
+    )
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    n_supp = _pq.ParquetFile(
+        f"{sf_dir}/supplier.parquet"
+    ).metadata.num_rows
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    n_cust = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]
+    # naive-epoch microseconds (the parquet timestamps are tz-naive;
+    # datetime.timestamp() would shift by the host timezone)
+    _epoch0 = _dt.datetime(1970, 1, 1)
+    lo_us = int(
+        (_dt.datetime(year_lo, 1, 1) - _epoch0).total_seconds()
+    ) * 1_000_000
+    hi_us = int(
+        (_dt.datetime(year_hi + 1, 1, 1) - _epoch0).total_seconds()
+    ) * 1_000_000
+
+    def finish(ds):
+        out = _grouped_sums(
+            ds, ["o_year"], ["nation_cents", "total_cents"], "n_l",
+            coalesce=True,
+        )
+
+        def ratio(batch: pa.Table) -> pa.Table:
+            nat = batch.column("nation_cents").to_numpy()
+            tot = batch.column("total_cents").to_numpy()
+            share = np.where(tot > 0, (1000 * nat) // np.maximum(tot, 1), 0)
+            return pa.table(
+                {
+                    "o_year": batch.column("o_year"),
+                    "nation_cents": batch.column("nation_cents"),
+                    "total_cents": batch.column("total_cents"),
+                    "share_permille": pa.array(share, pa.int64()),
+                }
+            )
+
+        return out.map_batches(
+            ratio, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    broadcast_ok = (
+        n_part <= PART_BROADCAST_KEY_CAP
+        and n_supp <= SEMI_BROADCAST_KEY_CAP
+        and n_orders <= Q10_BROADCAST_ORDER_CAP
+        and n_cust <= Q5_CUST_BROADCAST_CAP
+    )
+    if broadcast_ok:
+        pt = pa.concat_tables(
+            [
+                t for t in ray.get(
+                    _t_filtered(
+                        sf_dir, "part", ["p_partkey"],
+                        pads.field("p_type") == part_type,
+                    ).to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            or [pa.table({"p_partkey": pa.array([], pa.int64())})]
+        )
+        pks = np.sort(pt.column("p_partkey").to_numpy())
+        sks, snk = _gather_supplier_nation(sf_dir)
+        ods = _t(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+        tabs = [t for t in ray.get(ods.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            ot = pa.concat_tables(tabs)
+            oks = ot.column("o_orderkey").to_numpy()
+            ocust = ot.column("o_custkey").to_numpy()
+            oep = ot.column("o_orderdate").cast(pa.int64()).to_numpy()
+            oyear = pc.year(ot.column("o_orderdate")).to_numpy() \
+                .astype(np.int64)
+        else:
+            oks = ocust = oep = oyear = np.empty(0, dtype=np.int64)
+        srt = np.argsort(oks, kind="stable")
+        clut = _gather_int64_cols(
+            _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "c_custkey": b.column("c_custkey"),
+                        "c_nationkey": b.column("c_nationkey")
+                        .cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["c_custkey", "c_nationkey"], "c_custkey",
+        )
+        ref = ray.put(
+            (pks, sks, (snk == nat_key),
+             oks[srt], ocust[srt], oep[srt], oyear[srt],
+             clut["c_custkey"], n2r[clut["c_nationkey"]])
+        )
+
+        class _Share:
+            def __init__(self, r):
+                self.r = r
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.r)
+                (pks, sks, s_is_nat, oks, ocust, oep, oyear,
+                 cks, creg) = self._lut
+                lk = batch.column("l_partkey").to_numpy()
+                _, phit = _lut_probe(pks, lk)
+                ok = batch.column("l_orderkey").to_numpy()
+                opos, ohit = _lut_probe(oks, ok)
+                keep = phit & ohit
+                keep &= (oep[opos] >= lo_us) & (oep[opos] < hi_us)
+                cust = ocust[opos]
+                cpos, chit = _lut_probe(cks, cust)
+                keep &= chit & (creg[cpos] == r_keep)
+                sk = batch.column("l_suppkey").to_numpy()
+                spos, shit = _lut_probe(sks, sk)
+                keep &= shit
+                f = batch.filter(pa.array(keep))
+                rev = _cents(
+                    pc.multiply(
+                        f.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), f.column("l_discount")
+                        ),
+                    )
+                ).to_numpy()
+                is_nat = s_is_nat[spos[keep]]
+                return pa.table(
+                    {
+                        "o_year": pa.array(oyear[opos[keep]], pa.int64()),
+                        "nation_cents": pa.array(
+                            np.where(is_nat, rev, 0), pa.int64()
+                        ),
+                        "total_cents": pa.array(rev, pa.int64()),
+                    }
+                )
+
+        return finish(
+            _t(sf_dir, "lineitem", li_cols).map_batches(
+                _Share(ref), batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=None,
+            )
+        )
+
+    # scale path: native hash joins end to end
+    lo = _dt.datetime(year_lo, 1, 1)
+    hi = _dt.datetime(year_hi + 1, 1, 1)
+    part = _t_filtered(
+        sf_dir, "part", ["p_partkey"],
+        pads.field("p_type") == part_type,
+    )
+    orders = _t_filtered(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        (pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "o_year": pc.year(b.column("o_orderdate"))
+                .cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_reg": pa.array(
+                    n2r[b.column("c_nationkey").to_numpy()
+                        .astype(np.int64)],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).filter(expr=f"c_reg == {r_keep}")
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "s_is_nat": pa.array(
+                    (
+                        b.column("s_nationkey").to_numpy()
+                        .astype(np.int64) == nat_key
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev_cents": _cents(rev),
+            }
+        )
+
+    j = (
+        _t(sf_dir, "lineitem", li_cols, hash_shuffle=True)
+        .map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .join(
+            part, join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+        .join(
+            orders, join_type="inner", num_partitions=num_partitions,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        .join(
+            cust, join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .join(
+            supp, join_type="inner", num_partitions=num_partitions,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+    )
+
+    def sums(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev_cents").to_numpy()
+        is_nat = batch.column("s_is_nat").to_numpy().astype(bool)
+        return pa.table(
+            {
+                "o_year": batch.column("o_year"),
+                "nation_cents": pa.array(
+                    np.where(is_nat, rev, 0), pa.int64()
+                ),
+                "total_cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    return finish(
+        j.map_batches(
+            sums, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+
+def q9_product_profit(sf_dir: str, *, name_word: str = "widget",
+                      num_partitions: int = 8):
+    """TPC-H Q9-style product-type profit: per (supplier nation, ship
+    year) profit over parts whose name contains one word, with
+    profit_cents = rev_cents - (qty_x100 * retail_cents) // 100 —
+    exact integer floor division in BOTH engine and oracle (no
+    ps_supplycost exists; the retail price stands in as the unit
+    cost). (n_name, l_year, profit_cents).
+
+    Shape: the part slice (name match evaluated on the dim, never on
+    facts) broadcasts as a sorted (partkey -> retail_cents) lookup
+    under ``PART_BROADCAST_KEY_CAP``; supplier -> nation rides the
+    same broadcast treatment under ``SEMI_BROADCAST_KEY_CAP``; the
+    grouped sum is ~25 x years keys: partial-combine + coalesce, zero
+    exchange on the broadcast path. Native hash joins above any cap."""
+    import pyarrow.parquet as _pq
+    import ray
+    import pyarrow.dataset as pds
+
+    nt = pds.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"]
+    ).to_pylist()
+    nnames = {int(r["n_nationkey"]): r["n_name"] for r in nt}
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    n_supp = _pq.ParquetFile(
+        f"{sf_dir}/supplier.parquet"
+    ).metadata.num_rows
+
+    li_cols = ["l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount", "l_shipdate"]
+
+    def finish(ds):
+        out = _grouped_sums(
+            ds, ["nat", "l_year"], ["profit_cents"], "n_l",
+            coalesce=True,
+        )
+
+        def names(batch: pa.Table) -> pa.Table:
+            nk = batch.column("nat").to_numpy()
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [nnames[int(x)] for x in nk], pa.string()
+                    ),
+                    "l_year": batch.column("l_year"),
+                    "profit_cents": batch.column("profit_cents"),
+                }
+            )
+
+        return out.map_batches(
+            names, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    def profit(f: pa.Table, retail: np.ndarray) -> pa.Table:
+        qty = pc.round(
+            pc.multiply(f.column("l_quantity"), 100),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64()).to_numpy()
+        rev = _cents(
+            pc.multiply(
+                f.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+            )
+        ).to_numpy()
+        return rev - (qty * retail) // 100
+
+    def part_slice(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("p_name"), name_word)
+        f = batch.filter(keep)
+        return pa.table(
+            {
+                "p_partkey": f.column("p_partkey"),
+                "retail_cents": _cents(f.column("p_retailprice")),
+            }
+        )
+
+    part = _t(
+        sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        part_slice, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    if (n_part <= PART_BROADCAST_KEY_CAP
+            and n_supp <= SEMI_BROADCAST_KEY_CAP):
+        plut = _gather_int64_cols(
+            part, ["p_partkey", "retail_cents"], "p_partkey"
+        )
+        sks, snk = _gather_supplier_nation(sf_dir)
+        ref = ray.put(
+            (plut["p_partkey"], plut["retail_cents"], sks, snk)
+        )
+
+        class _Profit:
+            def __init__(self, r):
+                self.r = r
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.r)
+                pks, retail, sks, snk = self._lut
+                lk = batch.column("l_partkey").to_numpy()
+                ppos, phit = _lut_probe(pks, lk)
+                sk = batch.column("l_suppkey").to_numpy()
+                spos, shit = _lut_probe(sks, sk)
+                keep = phit & shit
+                f = batch.filter(pa.array(keep))
+                return pa.table(
+                    {
+                        "nat": pa.array(snk[spos[keep]], pa.int64()),
+                        "l_year": pc.year(
+                            f.column("l_shipdate")
+                        ).cast(pa.int64()),
+                        "profit_cents": pa.array(
+                            profit(f, retail[ppos[keep]]), pa.int64()
+                        ),
+                    }
+                )
+
+        return finish(
+            _t(sf_dir, "lineitem", li_cols).map_batches(
+                _Profit(ref), batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=None,
+            )
+        )
+
+    # scale path: native hash joins
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "nat": b.column("s_nationkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_year": pc.year(batch.column("l_shipdate"))
+                .cast(pa.int64()),
+                "qty_x100": pc.round(
+                    pc.multiply(batch.column("l_quantity"), 100),
+                    ndigits=0, round_mode="half_towards_infinity",
+                ).cast(pa.int64()),
+                "rev_cents": _cents(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    )
+                ),
+            }
+        )
+
+    j = (
+        _t(sf_dir, "lineitem", li_cols, hash_shuffle=True)
+        .map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .join(
+            part, join_type="inner", num_partitions=num_partitions,
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+        .join(
+            supp, join_type="inner", num_partitions=num_partitions,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+    )
+
+    def sums(batch: pa.Table) -> pa.Table:
+        qty = batch.column("qty_x100").to_numpy()
+        retail = batch.column("retail_cents").to_numpy()
+        rev = batch.column("rev_cents").to_numpy()
+        return pa.table(
+            {
+                "nat": batch.column("nat"),
+                "l_year": batch.column("l_year"),
+                "profit_cents": pa.array(
+                    rev - (qty * retail) // 100, pa.int64()
+                ),
+            }
+        )
+
+    return finish(
+        j.map_batches(
+            sums, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )

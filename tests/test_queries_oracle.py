@@ -1151,3 +1151,98 @@ def test_q21_join_paths_agree(ray_session):
         R.Q10_BROADCAST_ORDER_CAP, R.TOPK_COALESCE_CAP = olds
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+def test_q2_part_semi_paths_agree(ray_session):
+    """q2_min_price_suppliers: broadcast size-slice semi lookup vs
+    native left_semi join feeding the same argmin machinery."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q2_min_price_suppliers(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
+
+
+def test_q20_part_semi_paths_agree(ray_session):
+    """q20_dominant_suppliers: broadcast brand semi lookup vs native
+    left_semi join feeding the same dominance machinery."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q20_dominant_suppliers(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
+
+
+def test_q7_star_paths_agree(ray_session):
+    """q7_region_volume: the all-broadcast plan and the native
+    hash-join chain must produce identical grouped sums."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q7_region_volume(SF_DIR)))
+
+    ref = run()
+    old = R.Q10_BROADCAST_ORDER_CAP
+    try:
+        R.Q10_BROADCAST_ORDER_CAP = -1  # force the join chain
+        alt = run()
+    finally:
+        R.Q10_BROADCAST_ORDER_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
+
+
+def test_q8_star_paths_agree(ray_session):
+    """q8_market_share: the all-broadcast plan and the native hash-join
+    chain must produce identical shares."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q8_market_share(SF_DIR)))
+
+    ref = run()
+    old = R.Q10_BROADCAST_ORDER_CAP
+    try:
+        R.Q10_BROADCAST_ORDER_CAP = -1  # force the join chain
+        alt = run()
+    finally:
+        R.Q10_BROADCAST_ORDER_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
+
+
+def test_q9_star_paths_agree(ray_session):
+    """q9_product_profit: broadcast part/supplier lookups vs native
+    joins with the identical integer profit expression."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q9_product_profit(SF_DIR)))
+
+    ref = run()
+    old = R.PART_BROADCAST_KEY_CAP
+    try:
+        R.PART_BROADCAST_KEY_CAP = -1  # force the join chain
+        alt = run()
+    finally:
+        R.PART_BROADCAST_KEY_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) > 0
