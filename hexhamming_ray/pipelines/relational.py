@@ -4544,8 +4544,14 @@ def q18_large_orders(sf_dir: str, *, min_qty_x100: int = 20_000,
     ck = rows.column("o_custkey").to_numpy()
     cents = _cents(rows.column("o_totalprice")).to_numpy()
     srt = np.argsort(ok, kind="stable")
-    pos = srt[np.searchsorted(ok[srt], np.asarray(keys, dtype=np.int64))] \
-        if keys else np.empty(0, dtype=np.int64)
+    if keys:
+        qpos, hit = _lut_probe(
+            ok[srt], np.asarray(keys, dtype=np.int64)
+        )
+        assert hit.all(), "q18: every top-k orderkey must exist in orders"
+        pos = srt[qpos]
+    else:
+        pos = np.empty(0, dtype=np.int64)
     return pa.table(
         {
             "o_orderkey": pa.array(keys, pa.int64()),
