@@ -265,12 +265,9 @@ def top_customers(sf_dir: str):
     # 10-key dimension fetch: a driver-local pyarrow pushdown read
     # (only matching row groups are scanned) — a Ray Dataset read here
     # costs ~0.2 s of fixed plan/executor overhead to move 10 rows
-    import pyarrow.dataset as pds
-
-    names = pds.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_name"],
-        filter=pads.field("c_custkey").isin(keys),
-    ).to_pylist()
+    names = _fetch_dim_rows(
+        sf_dir, "customer", "c_custkey", ["c_custkey", "c_name"], keys
+    )
     name_by_key = {int(r["c_custkey"]): r["c_name"] for r in names}
     return pa.table(
         {
@@ -2430,6 +2427,49 @@ def _gather_int64_cols(ds, cols: list[str], sort_by: str):
     return {c: a[order] for c, a in arrs.items()}
 
 
+def _brand_suffix_ids(col) -> np.ndarray:
+    """'Brand#N' -> int64 N, vectorized — the one place the brand
+    string format is parsed (q16/q19 share it); the string itself
+    never rides an exchange."""
+    return pc.cast(
+        pc.utf8_slice_codeunits(col, 6, 32), pa.int64()
+    ).to_numpy()
+
+
+def _gather_sorted_keys(ds, col: str) -> np.ndarray:
+    """Driver-side gather of one int64 key column, sorted — the
+    broadcast-semi-lookup build step. Callers cap the row count BEFORE
+    calling (every call site sits under a *_CAP gate)."""
+    import ray
+
+    return np.sort(
+        np.concatenate(
+            [
+                t.column(col).to_numpy()
+                for t in ray.get(ds.to_arrow_refs())
+                if t.num_rows
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+
+
+def _fetch_dim_rows(sf_dir: str, table: str, key_col: str,
+                    columns: list[str], keys: list[int]):
+    """Driver-local predicate-pushdown dimension fetch for <= top-k
+    keys (join-after-top-k): only row groups that can match leave
+    storage; an empty key list short-circuits to an always-false
+    predicate instead of isin([])."""
+    import pyarrow.dataset as pads
+    import pyarrow.dataset as pds
+
+    return pds.dataset(f"{sf_dir}/{table}.parquet").to_table(
+        columns=columns,
+        filter=pads.field(key_col).isin(keys) if keys
+        else (pads.field(key_col) < 0),
+    ).to_pylist()
+
+
 def customer_order_counts(sf_dir: str, *, num_partitions: int = 8):
     """LEFT OUTER join surface: every customer with their order count,
     INCLUDING customers with zero orders. (c_custkey, n_orders).
@@ -4118,12 +4158,9 @@ def q10_returned_revenue(sf_dir: str, *, year: int = 1998, k: int = 20,
     )
     top.sort(key=lambda r: (-int(r["rev_cents"]), int(r["o_custkey"])))
     keys = [int(r["o_custkey"]) for r in top]
-    import pyarrow.dataset as pds
-
-    names = pds.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_name"],
-        filter=pads.field("c_custkey").isin(keys),
-    ).to_pylist()
+    names = _fetch_dim_rows(
+        sf_dir, "customer", "c_custkey", ["c_custkey", "c_name"], keys
+    )
     name_by_key = {int(r["c_custkey"]): r["c_name"] for r in names}
     return pa.table(
         {
@@ -4172,6 +4209,17 @@ def q14_promo_effect(sf_dir: str, *, month: str = "1997-09"):
     )
 
     def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # an empty month slice: SQL SUM over zero rows is NULL and
+            # NULL // NULL is NULL — emit the same one-NULL-row shape
+            null = pa.array([None], pa.int64())
+            return pa.table(
+                {
+                    "promo_cents": null,
+                    "total_cents": null,
+                    "promo_permille": null,
+                }
+            )
         p = int(batch.column("promo_cents").to_numpy().sum())
         t = int(batch.column("total_cents").to_numpy().sum())
         return pa.table(
@@ -4186,19 +4234,22 @@ def q14_promo_effect(sf_dir: str, *, month: str = "1997-09"):
 
     n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
     if n_part <= PART_BROADCAST_KEY_CAP:
-        pt = pa.concat_tables(
-            [
-                t for t in ray.get(
-                    _t(sf_dir, "part", ["p_partkey", "p_type"])
-                    .to_arrow_refs()
-                )
-                if t.num_rows
-            ]
-        )
-        pk = pt.column("p_partkey").to_numpy()
-        promo = pc.equal(pt.column("p_type"), "PROMO").to_numpy(
-            zero_copy_only=False
-        )
+        tabs = [
+            t for t in ray.get(
+                _t(sf_dir, "part", ["p_partkey", "p_type"])
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if tabs:
+            pt = pa.concat_tables(tabs)
+            pk = pt.column("p_partkey").to_numpy()
+            promo = pc.equal(pt.column("p_type"), "PROMO").to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            pk = np.empty(0, dtype=np.int64)
+            promo = np.empty(0, dtype=bool)
         srt = np.argsort(pk, kind="stable")
         lut_ref = ray.put((pk[srt], promo[srt]))
 
@@ -4223,13 +4274,15 @@ def q14_promo_effect(sf_dir: str, *, month: str = "1997-09"):
                     )
                 ).to_numpy()
                 is_p = promo[pos[hit]]
+                n = 1 if len(f) else 0  # no rows -> no partial (the
+                # final's len==0 branch then matches SQL's NULL sums)
                 return pa.table(
                     {
                         "promo_cents": pa.array(
-                            [int(cents[is_p].sum())], pa.int64()
+                            [int(cents[is_p].sum())][:n], pa.int64()
                         ),
                         "total_cents": pa.array(
-                            [int(cents.sum())], pa.int64()
+                            [int(cents.sum())][:n], pa.int64()
                         ),
                     }
                 )
@@ -4272,13 +4325,15 @@ def q14_promo_effect(sf_dir: str, *, month: str = "1997-09"):
             is_p = pc.equal(batch.column("p_type"), "PROMO").to_numpy(
                 zero_copy_only=False
             )
+            n = 1 if len(batch) else 0  # mirror the broadcast path:
+            # empty input emits no partial row
             return pa.table(
                 {
                     "promo_cents": pa.array(
-                        [int(cents[is_p].sum())], pa.int64()
+                        [int(cents[is_p].sum())][:n], pa.int64()
                     ),
                     "total_cents": pa.array(
-                        [int(cents.sum())], pa.int64()
+                        [int(cents.sum())][:n], pa.int64()
                     ),
                 }
             )
@@ -4314,11 +4369,6 @@ def q16_brand_size_suppliers(sf_dir: str, *, exclude_type: str = "PROMO",
     import pyarrow.dataset as pads
     import pyarrow.parquet as _pq
     import ray
-
-    def _brand_ids(col) -> np.ndarray:
-        return pc.cast(
-            pc.utf8_slice_codeunits(col, 6, 32), pa.int64()
-        ).to_numpy()
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
         b = batch.column("brand_id").to_numpy()
@@ -4378,7 +4428,7 @@ def q16_brand_size_suppliers(sf_dir: str, *, exclude_type: str = "PROMO",
         if tabs:
             pt = pa.concat_tables(tabs)
             pk = pt.column("p_partkey").to_numpy()
-            bid = _brand_ids(pt.column("p_brand"))
+            bid = _brand_suffix_ids(pt.column("p_brand"))
             psz = pt.column("p_size").to_numpy().astype(np.int64)
         else:
             pk = np.empty(0, dtype=np.int64)
@@ -4426,7 +4476,7 @@ def q16_brand_size_suppliers(sf_dir: str, *, exclude_type: str = "PROMO",
             return pa.table(
                 {
                     "brand_id": pa.array(
-                        _brand_ids(batch.column("p_brand")), pa.int64()
+                        _brand_suffix_ids(batch.column("p_brand")), pa.int64()
                     ),
                     "p_size": pa.array(
                         batch.column("p_size").to_numpy().astype(np.int64),
@@ -4493,17 +4543,18 @@ def q18_large_orders(sf_dir: str, *, min_qty_x100: int = 20_000,
             }
         )
 
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
-            hash_shuffle=True).map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    )
     n_orders = _pq.ParquetFile(
         f"{sf_dir}/orders.parquet"
     ).metadata.num_rows
+    coalesce = n_orders <= COALESCE_KEY_CAP
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+            hash_shuffle=not coalesce).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
     per_order = _grouped_sums(
         li, ["l_orderkey"], ["qty_x100"], "n_l",
-        coalesce=n_orders <= COALESCE_KEY_CAP,
+        coalesce=coalesce,
         num_partitions=num_partitions,
     ).select_columns(["l_orderkey", "qty_x100"])
 
@@ -4626,18 +4677,13 @@ def q19_disjunctive_revenue(sf_dir: str, *, num_partitions: int = 8):
             }
         )
 
-    def _bids(col) -> np.ndarray:
-        return pc.cast(
-            pc.utf8_slice_codeunits(col, 6, 32), pa.int64()
-        ).to_numpy()
-
     n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
     if n_part <= PART_BROADCAST_KEY_CAP:
         tabs = [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
         if tabs:
             pt = pa.concat_tables(tabs)
             pk = pt.column("p_partkey").to_numpy()
-            bid = _bids(pt.column("p_brand"))
+            bid = _brand_suffix_ids(pt.column("p_brand"))
             psz = pt.column("p_size").to_numpy().astype(np.int64)
         else:
             pk = np.empty(0, dtype=np.int64)
@@ -4695,7 +4741,7 @@ def q19_disjunctive_revenue(sf_dir: str, *, num_partitions: int = 8):
 
         def block_sum(batch: pa.Table) -> pa.Table:
             m = _band_mask(
-                _bids(batch.column("p_brand")),
+                _brand_suffix_ids(batch.column("p_brand")),
                 batch.column("p_size").to_numpy().astype(np.int64),
                 batch.column("l_quantity").to_numpy(),
             )
@@ -4800,13 +4846,9 @@ def q15_top_supplier(sf_dir: str, *, date_lo: str = "1997-01-01",
     )
     top.sort(key=lambda r: int(r["l_suppkey"]))
     keys = [int(r["l_suppkey"]) for r in top]
-    import pyarrow.dataset as pds
-
-    names = pds.dataset(f"{sf_dir}/supplier.parquet").to_table(
-        columns=["s_suppkey", "s_name"],
-        filter=pads.field("s_suppkey").isin(keys) if keys
-        else (pads.field("s_suppkey") < 0),
-    ).to_pylist()
+    names = _fetch_dim_rows(
+        sf_dir, "supplier", "s_suppkey", ["s_suppkey", "s_name"], keys
+    )
     name_by_key = {int(r["s_suppkey"]): r["s_name"] for r in names}
     return pa.table(
         {
@@ -4863,16 +4905,7 @@ def q17_small_qty_revenue(sf_dir: str, *, brand: str = "Brand#5",
 
     n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
     if n_part <= PART_BROADCAST_KEY_CAP:
-        pks = np.sort(
-            np.concatenate(
-                [
-                    t.column("p_partkey").to_numpy()
-                    for t in ray.get(dim.to_arrow_refs())
-                    if t.num_rows
-                ]
-                or [np.empty(0, dtype=np.int64)]
-            )
-        )
+        pks = _gather_sorted_keys(dim, "p_partkey")
         pks_ref = ray.put(pks)
 
         class _BrandSemiQty:
@@ -5273,7 +5306,6 @@ def q21_lone_late_suppliers(sf_dir: str, *, late_days: int = 90,
         heads[0] = True
         heads[1:] = ok[1:] != ok[:-1]
         starts = np.flatnonzero(heads)
-        ends = np.r_[starts[1:], len(u)]
         # distinct suppliers per order: (ok, sk) pair heads
         pair_head = np.empty(len(u), dtype=bool)
         pair_head[0] = True
@@ -5287,7 +5319,6 @@ def q21_lone_late_suppliers(sf_dir: str, *, late_days: int = 90,
         run_of = np.searchsorted(starts, late_idx, side="right") - 1
         lone_sk = np.full(len(starts), -1, dtype=np.int64)
         lone_sk[run_of] = sk[late_idx]  # n_late==1 runs keep their sk
-        del ends
         return pa.table(
             {"sk": pa.array(lone_sk[lone], pa.int64())}
         )
@@ -5330,13 +5361,9 @@ def q21_lone_late_suppliers(sf_dir: str, *, late_days: int = 90,
     )
     top.sort(key=lambda r: (-int(r["numwait"]), int(r["sk"])))
     keys = [int(r["sk"]) for r in top]
-    import pyarrow.dataset as pds
-
-    names = pds.dataset(f"{sf_dir}/supplier.parquet").to_table(
-        columns=["s_suppkey", "s_name"],
-        filter=pads.field("s_suppkey").isin(keys) if keys
-        else (pads.field("s_suppkey") < 0),
-    ).to_pylist()
+    names = _fetch_dim_rows(
+        sf_dir, "supplier", "s_suppkey", ["s_suppkey", "s_name"], keys
+    )
     name_by_key = {int(r["s_suppkey"]): r["s_name"] for r in names}
     return pa.table(
         {
@@ -5446,16 +5473,7 @@ def q2_min_price_suppliers(sf_dir: str, *, size: int = 15,
 
     n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
     if n_part <= PART_BROADCAST_KEY_CAP:
-        pks = np.sort(
-            np.concatenate(
-                [
-                    t.column("p_partkey").to_numpy()
-                    for t in ray.get(dim.to_arrow_refs())
-                    if t.num_rows
-                ]
-                or [np.empty(0, dtype=np.int64)]
-            )
-        )
+        pks = _gather_sorted_keys(dim, "p_partkey")
         pks_ref = ray.put(pks)
 
         class _SizeSemi:
@@ -5608,16 +5626,7 @@ def q20_dominant_suppliers(sf_dir: str, *, brand: str = "Brand#7",
 
     n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
     if n_part <= PART_BROADCAST_KEY_CAP:
-        pks = np.sort(
-            np.concatenate(
-                [
-                    t.column("p_partkey").to_numpy()
-                    for t in ray.get(dim.to_arrow_refs())
-                    if t.num_rows
-                ]
-                or [np.empty(0, dtype=np.int64)]
-            )
-        )
+        pks = _gather_sorted_keys(dim, "p_partkey")
         pks_ref = ray.put(pks)
 
         class _BrandPairQty:
@@ -5681,13 +5690,9 @@ def q20_dominant_suppliers(sf_dir: str, *, brand: str = "Brand#7",
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     ).take_all()
     keys = sorted(int(r["sk"]) for r in sks)
-    import pyarrow.dataset as pds
-
-    names = pds.dataset(f"{sf_dir}/supplier.parquet").to_table(
-        columns=["s_suppkey", "s_name"],
-        filter=pads.field("s_suppkey").isin(keys) if keys
-        else (pads.field("s_suppkey") < 0),
-    ).to_pylist()
+    names = _fetch_dim_rows(
+        sf_dir, "supplier", "s_suppkey", ["s_suppkey", "s_name"], keys
+    )
     name_by_key = {int(r["s_suppkey"]): r["s_name"] for r in names}
     return pa.table(
         {

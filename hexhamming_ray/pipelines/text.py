@@ -1766,11 +1766,18 @@ def _set_op(ds_a, ds_b, op: str, key: str, num_partitions: int):
     # AND guarantees the output keeps its schema when both inputs are
     # empty (an all-empty dataset otherwise has no blocks → no schema).
     tune_data_context(hash_shuffle=True)
+    # ONE-ROW sentinel seed with side=2: resolve() masks on side 0/1,
+    # so the sentinel is invisible to the result — while giving the
+    # union a metadata-known, NON-EMPTY leading input. (A 0-row seed
+    # is not enough: the hash-shuffle aggregator infers the exchange
+    # schema from the first non-empty metadata-known input, and with
+    # none, EMPTY partitions finalize against an empty schema and
+    # sort_by raises.)
     seed = ray.data.from_arrow(
         pa.table(
             {
-                key: pa.array([], pa.int64()),
-                "side": pa.array([], pa.int64()),
+                key: pa.array([0], pa.int64()),
+                "side": pa.array([2], pa.int64()),
             }
         )
     )
@@ -3811,13 +3818,53 @@ def _bag_set_op(a, b, key_cols: list[str], num_partitions: int,
 
         return f
 
+    import ray
+
+    from hexhamming_ray import tune_data_context
+
+    # Same seed discipline as _set_op: the keyed repartition needs the
+    # HASH_SHUFFLE DataContext and a union's context snapshot comes
+    # from its LEFT-MOST input, so pin the context NOW and lead with a
+    # 0-row seed carrying the post-tag schema — this makes the op
+    # independent of how the callers built a/b (the docstring promises
+    # arbitrary inputs) and keeps the output schema when both inputs
+    # are empty.
+    tune_data_context(hash_shuffle=True)
+    # ONE-ROW sentinel seed with cnt_a = cnt_b = 0: both finalize
+    # modes emit max(0, 0-0) = min(0, 0) = 0 copies of it, so the
+    # sentinel is invisible to the result even if its key collides
+    # with a real key (0 + real counts = real counts) — while giving
+    # the union a metadata-known, NON-EMPTY leading input. (A 0-row
+    # seed is not enough: the hash-shuffle aggregator infers the
+    # exchange schema from the first non-empty metadata-known input,
+    # and with none, EMPTY partitions finalize against an empty
+    # schema and sort_by raises.) Sentinel key values must be real
+    # values, not nulls: _combine_runs lexsorts the key arrays and
+    # None does not compare.
+    a_schema = a.schema()
+
+    def _sentinel(t: pa.DataType) -> pa.Array:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array([""], t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.array([b""], t)
+        return pa.array([0]).cast(t)
+
+    seed_cols = {
+        k: _sentinel(a_schema.base_schema.field(k).type)
+        for k in key_cols
+    }
+    seed_cols["cnt_a"] = pa.array([0], pa.int64())
+    seed_cols["cnt_b"] = pa.array([0], pa.int64())
+    seed = ray.data.from_arrow(pa.table(seed_cols))
+
     combine = _combine_runs(key_cols, ["cnt_a", "cnt_b"])
     tagged = (
-        a.map_batches(tag(1, 0), batch_format="pyarrow",
-                      zero_copy_batch=True, batch_size=None)
-        .union(
+        seed.union(
+            a.map_batches(tag(1, 0), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
             b.map_batches(tag(0, 1), batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
+                          zero_copy_batch=True, batch_size=None),
         )
         .map_batches(combine, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
