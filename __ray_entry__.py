@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_region_volume": R.q7_region_volume,
         "q8_market_share": R.q8_market_share,
         "q9_product_profit": R.q9_product_profit,
+        "gopher_filter_docs": T.gopher_filter_docs,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -921,6 +922,34 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%widget%' "
             "GROUP BY 1, 2"
+        ),
+        # composite Gopher-style quality filter: every bound is an
+        # exact integer surrogate (floor division on both sides)
+        "gopher_filter_docs": (
+            "WITH sig AS (SELECT doc_id, "
+            " len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            " length(text) AS n_chars, "
+            " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+            " len(regexp_extract_all(text, '\\S')) AS n_nonspace "
+            " FROM documents), "
+            "rep AS (SELECT doc_id, "
+            " 1000 * CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) "
+            "  AS BIGINT) // CAST(SUM(c) AS BIGINT) AS dup_x1000 "
+            " FROM (SELECT doc_id, s, COUNT(*) AS c FROM ("
+            "  SELECT doc_id, t[i] || ' ' || t[i+1] AS s FROM "
+            "  (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t "
+            "   FROM documents), "
+            "  UNNEST(generate_series(1, len(t)-1)) AS g(i) "
+            "  WHERE len(t) >= 2) GROUP BY 1, 2) "
+            " GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(dup_x1000, 0) AS BIGINT) AS dup_x1000 "
+            "FROM sig LEFT JOIN rep USING (doc_id) "
+            "WHERE n_tokens >= 30 AND n_tokens <= 100000 "
+            "AND n_punct * 5 <= n_chars + 1 "
+            "AND 1000 * n_nonspace // n_tokens >= 3000 "
+            "AND 1000 * n_nonspace // n_tokens <= 4700 "
+            "AND COALESCE(dup_x1000, 0) < 120"
         ),
         # TPC-H Q2: per-part argmin with ties + join-back on the MIN
         "q2_min_price_suppliers": (

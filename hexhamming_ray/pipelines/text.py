@@ -3952,3 +3952,58 @@ def docs_orc_roundtrip(sf_dir: str):
     return back.map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def gopher_filter_docs(sf_dir: str, *, min_tokens: int = 30,
+                       max_tokens: int = 100_000,
+                       min_wl_x1000: int = 3_000,
+                       max_wl_x1000: int = 4_700,
+                       max_dup_x1000: int = 120):
+    """Composite Gopher-style quality FILTER (the canonical
+    pretraining-data cleaning step, applied as one fused pass): keep
+    documents whose token count, punctuation ratio, mean word length
+    and duplicated-bigram fraction all fall inside their bounds.
+    (doc_id, n_tokens, dup_x1000) — surviving documents with the two
+    discriminating signals.
+
+    Every rule is an exact integer surrogate shared with the oracle:
+    mean word length rides ``(1000 * n_nonspace) // n_tokens`` (floor
+    division on both sides — no float ratio is hashed), the
+    punctuation rule is quality_scores' ``n_punct * 5 <= n_chars + 1``,
+    and the repetition signal is ngram_repetition_docs' permille with
+    <2-token documents contributing 0 (the oracle's COALESCE).
+
+    Scale shape: ALL four signals are per-document, so the filter is
+    one fused map_batches over the corpus — ZERO shuffle at any size;
+    the bigram hasher and the regex counts are the same vectorized
+    kernels the individual signal queries use."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        q = T.quality_features(txt)
+        n_tok = q["n_tokens"].to_numpy()
+        n_chars = q["n_chars"].to_numpy()
+        n_punct = q["n_punct"].to_numpy()
+        n_nonspace = n_chars - pc.count_substring_regex(
+            txt, r"\s"
+        ).to_numpy()
+        nb, nd = bigram_repetition_batch(txt.to_pylist())
+        dup = np.where(nb > 0, 1000 * nd // np.maximum(nb, 1), 0)
+        wl = 1000 * n_nonspace // np.maximum(n_tok, 1)
+        keep = (
+            (n_tok >= min_tokens) & (n_tok <= max_tokens)
+            & (n_punct * 5 <= n_chars + 1)
+            & (wl >= min_wl_x1000) & (wl <= max_wl_x1000)
+            & (dup < max_dup_x1000)
+        )
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": pc.array_filter(batch.column("doc_id"), mask),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "dup_x1000": pa.array(dup[keep], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
