@@ -1110,6 +1110,36 @@ class _ShinglePairVerify:
         )
 
 
+def _binary_u64_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 values, per-row element counts) over a binary
+    column whose every value is a packed uint64 array — zero-copy when
+    the data buffer segment is 8-aligned, one bytes copy otherwise.
+    The binary twin of ``hashing.utf8_view``; handles chunked and
+    sliced layouts. Rows must be non-null (inner-join outputs)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    vals, lens = [], []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        assert ch.null_count == 0, "binary u64 view: nulls unsupported"
+        width = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+        offs = np.frombuffer(ch.buffers()[1], width)[
+            ch.offset: ch.offset + len(ch) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(ch.buffers()[2], np.uint8)
+        seg = data[offs[0]: offs[-1]]
+        if seg.nbytes % 8 == 0 and seg.ctypes.data % 8 == 0:
+            u64 = seg.view(np.uint64)
+        else:  # unaligned slice: one copy restores alignment
+            u64 = np.frombuffer(seg.tobytes(), np.uint64)
+        vals.append(u64)
+        lens.append(np.diff(offs) // 8)
+    if not vals:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64))
+    return np.concatenate(vals), np.concatenate(lens)
+
+
 def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
                         num_partitions: int | None = None,
                         checkpoint_dir: str | None = None):
@@ -1155,22 +1185,28 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     j = _join_col(j, sh, "id_hi", "sh_hi", "sh", num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        lo_sets = [
-            np.frombuffer(s, dtype=np.uint64)
-            for s in batch.column("sh_lo").to_pylist()
-        ]
-        hi_sets = [
-            np.frombuffer(s, dtype=np.uint64)
-            for s in batch.column("sh_hi").to_pylist()
-        ]
-        n = len(lo_sets)
-        jac = np.zeros(n)
-        for i in range(n):  # per-CANDIDATE loop; intersections are numpy
-            sa, sb = lo_sets[i], hi_sets[i]
-            if sa.shape[0] == 0 or sb.shape[0] == 0:
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
-            jac[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
+        # loop-free exact Jaccard over ALL candidate pairs at once
+        # (VERDICT r03 nit #5): view both binary set columns as flat
+        # uint64 arrays + run lengths, tag every value with its pair
+        # ordinal, and ONE lexsort finds the intersections — a value
+        # common to a pair's two sides (each side is a unique set)
+        # appears exactly twice adjacently under (pid, val) order.
+        n = len(batch)
+        lo_vals, lo_lens = _binary_u64_view(batch.column("sh_lo"))
+        hi_vals, hi_lens = _binary_u64_view(batch.column("sh_hi"))
+        pid = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), lo_lens),
+                np.repeat(np.arange(n, dtype=np.int64), hi_lens),
+            ]
+        )
+        val = np.concatenate([lo_vals, hi_vals])
+        order = np.lexsort((val, pid))
+        p, v = pid[order], val[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+        union = lo_lens + hi_lens - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep = jac >= threshold
         return pa.table(
             {
