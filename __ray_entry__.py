@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": R.q8_market_share,
         "q9_product_profit": R.q9_product_profit,
         "gopher_filter_docs": T.gopher_filter_docs,
+        "docs_feather_roundtrip": T.docs_feather_roundtrip,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -1299,6 +1300,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents"
         ),
         "docs_orc_roundtrip": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+        ),
+        "docs_feather_roundtrip": (
             "SELECT doc_id, lang, n_chars FROM documents"
         ),
         "docs_partitioned_sink": (

@@ -4043,3 +4043,29 @@ def gopher_filter_docs(sf_dir: str, *, min_tokens: int = 30,
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def docs_feather_roundtrip(sf_dir: str):
+    """Source/sink format conformance, Arrow IPC / Feather-V2 flavor —
+    the second custom connector (sources/orc.py IpcDatasource /
+    IpcDatasink): documents written as one IPC file per block, read
+    back one block per RECORD BATCH, projected to (doc_id, lang,
+    n_chars) — oracled against the parquet originals."""
+    from hexhamming_ray.sources.orc import read_ipc, write_ipc
+
+    d = _roundtrip_dir(sf_dir, "feather")
+    write_ipc(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), d)
+    back = read_ipc(d, columns=["doc_id", "lang", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang").cast(pa.string()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return back.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
