@@ -68,6 +68,12 @@ _EXTENDED = [
     "shuffle_docs",
     "doc_rarity_scores",
     "bpe_pair_counts",
+    # round-4 TPC-H completion + LLM-filter batch
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q21_lone_late_suppliers",
+    "q9_product_profit",
+    "gopher_filter_docs",
 ]
 
 
