@@ -276,6 +276,8 @@ DOC_QUERIES = [
     "tfidf_top_terms", "inverted_index", "fuzzy_decontaminate_docs",
     "ngram_repetition_docs", "dup_span_docs", "shuffle_docs",
     "doc_rarity_scores", "bpe_pair_counts",
+    "gopher_filter_docs", "docs_except_all", "docs_intersect_all",
+    "docs_orc_roundtrip", "docs_feather_roundtrip",
 ]
 
 
