@@ -1651,6 +1651,22 @@ def order_price_quantiles(sf_dir: str, *, num_partitions: int = 4):
     )
 
 
+def _join_key_seed(ds, col: str, sentinel: int = -1):
+    """Lead a join input with a ONE-ROW impossible-key sentinel (keys
+    here are positive ids, so -1 never matches): a FILTERED read that
+    matches zero rows otherwise reaches the partition-wise join as
+    schema-less empty blocks and acero raises 'No match for key field
+    reference' instead of returning the empty result. The sentinel
+    keeps the input non-empty and metadata-known; it cannot join, so
+    semi keeps nothing for it and anti semantics are unchanged."""
+    import ray
+
+    seed = ray.data.from_arrow(
+        pa.table({col: pa.array([sentinel], pa.int64())})
+    )
+    return seed.union(ds)
+
+
 def customers_no_f_orders(sf_dir: str, *, num_partitions: int = 8):
     """ANTI join: customers with no 'F'-status order ->
     (c_custkey, c_name). Native hash left_anti join — the probe side
@@ -1660,9 +1676,12 @@ def customers_no_f_orders(sf_dir: str, *, num_partitions: int = 8):
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"],
               hash_shuffle=True)
-    f_orders = _t_filtered(
-        sf_dir, "orders", ["o_custkey"],
-        pads.field("o_orderstatus") == "F", hash_shuffle=True,
+    f_orders = _join_key_seed(
+        _t_filtered(
+            sf_dir, "orders", ["o_custkey"],
+            pads.field("o_orderstatus") == "F", hash_shuffle=True,
+        ),
+        "o_custkey",
     )
     return cust.join(
         f_orders, join_type="left_anti",
@@ -1680,9 +1699,12 @@ def customers_with_high_orders(sf_dir: str, *, min_price: float = 400_000.0,
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
               hash_shuffle=True)
-    big = _t_filtered(
-        sf_dir, "orders", ["o_custkey"],
-        pads.field("o_totalprice") > min_price, hash_shuffle=True,
+    big = _join_key_seed(
+        _t_filtered(
+            sf_dir, "orders", ["o_custkey"],
+            pads.field("o_totalprice") > min_price, hash_shuffle=True,
+        ),
+        "o_custkey",
     )
     return cust.join(
         big, join_type="left_semi",

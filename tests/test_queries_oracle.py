@@ -1248,3 +1248,230 @@ def test_q9_star_paths_agree(ray_session):
         R.PART_BROADCAST_KEY_CAP = old
     pd.testing.assert_frame_equal(ref, alt)
     assert len(ref) > 0
+
+
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary", "orders_by_status", "top_customers",
+    "customers_per_region", "high_value_lineitems",
+    "distinct_order_customers", "parts_top_price", "q3_top_orders",
+    "lineitem_priority_counts", "order_count_histogram",
+    "part_supplier_distinct", "customers_no_f_orders",
+    "customers_with_high_orders", "supplier_balance_by_nation",
+    "parts_price_bands", "q5_revenue_by_nation", "orders_pivot",
+    "orders_unpivot", "customer_order_counts", "orders_above_cust_avg",
+    "orders_rollup", "orders_cube", "orders_by_month",
+    "supplier_rank_in_nation", "orders_of_building_customers",
+    "lineitem_price_qty_cov", "q6_forecast_revenue",
+    "q4_order_priority", "q10_returned_revenue", "q14_promo_effect",
+    "q16_brand_size_suppliers", "q18_large_orders",
+    "q19_disjunctive_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q22_idle_rich_customers",
+    "q21_lone_late_suppliers", "q2_min_price_suppliers",
+    "q20_dominant_suppliers", "q7_region_volume", "q8_market_share",
+    "q9_product_profit",
+]
+
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_dir(tmp_path_factory):
+    """Synthetic TPC-H tables built to stress the relational shapes'
+    edge cases the driver testdata can't: customers with NO orders,
+    orders with NO lineitems, a hot customer and a hot order (skew),
+    quantities/discounts/sizes sitting EXACTLY on each query's band
+    boundaries (inclusive vs exclusive), shipdates exactly at window
+    edges and exactly at the q21 +90-day late threshold, revenue ties
+    at the q15 argmax, per-pair price ties at the q2 argmin, and
+    negative/zero account balances at the q22 average."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    d = tmp_path_factory.mktemp("adv_tpch")
+
+    def w(name, cols):
+        pq.write_table(pa.table(cols), d / f"{name}.parquet")
+
+    rnames = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    w("region", {
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(rnames),
+    })
+    w("nation", {
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array(
+            (np.arange(25) % 5).astype(np.int32)),
+    })
+
+    # 12 suppliers; nations cover ASIA (2,7,...) EUROPE (3,8,...),
+    # NATION_3 (q8) multiply, several nations empty; balance ties,
+    # zero and negative
+    s_nk = np.array([3, 3, 2, 7, 8, 3, 12, 13, 1, 9, 2, 17],
+                    dtype=np.int32)
+    w("supplier", {
+        "s_suppkey": pa.array(np.arange(1, 13, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(1, 13)]),
+        "s_nationkey": pa.array(s_nk),
+        "s_acctbal": pa.array(
+            [100.0, 100.0, -50.25, 0.0, 9999.99, 100.0, 42.42, -0.01,
+             7.5, 7.5, 1.0, 2.0]),
+    })
+
+    # 60 customers: skew into nation 2 (ASIA), odd nations for q22,
+    # BUILDING segment subset, ids 55..60 have NO orders
+    c_nk = np.concatenate([
+        np.full(20, 2), np.array([1, 3, 5, 7, 9, 11, 13, 15] * 3),
+        np.arange(16) % 25,
+    ])[:60].astype(np.int32)
+    seg = np.array(["BUILDING", "AUTOMOBILE", "MACHINERY"])[
+        np.arange(60) % 3]
+    bal = np.round(rng.uniform(-999, 9999, 60), 2)
+    bal[:4] = [0.0, -1.0, 5000.0, 5000.0]  # zero/negative/tie
+    w("customer", {
+        "c_custkey": pa.array(np.arange(1, 61, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i}" for i in range(1, 61)]),
+        "c_nationkey": pa.array(c_nk),
+        "c_acctbal": pa.array(bal),
+        "c_mktsegment": pa.array(seg),
+    })
+
+    # 30 parts: brand/size pairs on the q19 band EDGES, PROMO +
+    # STANDARD types, 'widget' names, retail ties; 29/30 unreferenced
+    brands = (["Brand#1"] * 4 + ["Brand#2"] * 4 + ["Brand#3"] * 4
+              + ["Brand#5"] * 5 + ["Brand#7"] * 5 + ["Brand#4"] * 8)
+    sizes = [1, 5, 6, 15,   10, 11, 2, 15,   15, 16, 9, 1,
+             15, 3, 7, 15, 20,   4, 8, 15, 2, 6,   1, 2, 3, 4, 5, 6,
+             7, 8]
+    ptypes = (["PROMO", "STANDARD"] * 15)
+    pnames = [("small widget" if i % 2 == 0 else "large bolt")
+              for i in range(30)]
+    retail = np.round(rng.uniform(100, 2000, 30), 2)
+    retail[1] = retail[0]  # tie
+    w("part", {
+        "p_partkey": pa.array(np.arange(1, 31, dtype=np.int64)),
+        "p_name": pa.array(pnames),
+        "p_brand": pa.array(brands),
+        "p_type": pa.array(ptypes),
+        "p_size": pa.array(np.array(sizes, dtype=np.int32)),
+        "p_retailprice": pa.array(retail),
+    })
+
+    # 80 orders: hot customer 7, boundary dates, priority cycle,
+    # totalprice ties; orders 71..80 get NO lineitems
+    o_ck = rng.integers(1, 55, 80)
+    o_ck[:15] = 7  # hot customer
+    base_dates = [
+        dt.datetime(1997, 7, 1),    # q4 lo edge (inclusive)
+        dt.datetime(1997, 9, 30),
+        dt.datetime(1997, 10, 1),   # q4 hi edge (exclusive)
+        dt.datetime(2001, 1, 1),    # q22 cutoff edge (recent)
+        dt.datetime(1996, 1, 1),    # q5/q8 lo edge
+        dt.datetime(1995, 12, 31),
+        dt.datetime(1997, 12, 31),
+        dt.datetime(1998, 1, 1),
+    ]
+    dates = [base_dates[i % len(base_dates)] if i < 32 else
+             dt.datetime(1995 + int(rng.integers(0, 6)),
+                         int(rng.integers(1, 13)), 15)
+             for i in range(80)]
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                     "4-NOT SPECIFIED", "5-LOW"])[np.arange(80) % 5]
+    tot = np.round(rng.uniform(1000, 400000, 80), 2)
+    tot[10] = tot[11]  # tie
+    w("orders", {
+        "o_orderkey": pa.array(np.arange(1, 81, dtype=np.int64)),
+        "o_custkey": pa.array(o_ck.astype(np.int64)),
+        "o_orderstatus": pa.array(
+            np.array(["O", "F", "P"])[np.arange(80) % 3]),
+        "o_totalprice": pa.array(tot),
+        "o_orderdate": pa.array(
+            [pa.scalar(x, pa.timestamp("us")).as_py() for x in dates],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(prio),
+    })
+
+    # lineitem: referential integrity (orderkeys 1..70, partkeys
+    # 1..28, suppkeys 1..12); order 10 is hot (40 lines); boundary
+    # quantities/discounts; shipdates at window edges and exactly
+    # o_orderdate + 90 days (q21's strict >); a supplier-11/12 exact
+    # revenue tie dominating Q1-1997 (q15 argmax ties)
+    rows = []
+    edge_qty = [1.0, 10.0, 11.0, 20.0, 24.0, 30.0, 50.0, 23.0]
+    edge_disc = [0.05, 0.07, 0.06, 0.0, 0.1]
+    lineno = {}
+    for ok in range(1, 71):
+        n_lines = 40 if ok == 10 else int(rng.integers(1, 6))
+        od = dates[ok - 1]
+        for j in range(n_lines):
+            pk = int(rng.integers(1, 29))
+            sk = int(rng.integers(1, 13))
+            qty = edge_qty[int(rng.integers(0, len(edge_qty)))]
+            disc = edge_disc[int(rng.integers(0, len(edge_disc)))]
+            price = round(float(rng.uniform(10, 5000)), 2)
+            mode = int(rng.integers(0, 5))
+            if mode == 0:
+                ship = od + dt.timedelta(days=90)   # exactly on edge
+            elif mode == 1:
+                ship = od + dt.timedelta(days=91)   # just late
+            elif mode == 2:
+                ship = dt.datetime(1997, 1, 1)      # q6/q15 lo edge
+            elif mode == 3:
+                ship = dt.datetime(1998, 1, 1)      # q6 hi edge
+            else:
+                ship = od + dt.timedelta(
+                    days=int(rng.integers(1, 400)))
+            rf = ["R", "A", "N"][int(rng.integers(0, 3))]
+            if ok % 7 == 0:
+                rf = "R"   # some orders all-returned
+            if ok % 11 == 0:
+                rf = "N"   # some orders never-returned
+            ln = lineno.get(ok, 0) + 1
+            lineno[ok] = ln
+            rows.append((ok, pk, sk, ln, qty, price, disc, 0.05, rf,
+                         "O", ship))
+    # q15 tie: suppliers 11 and 12 dominate Q1-1997 equally
+    for sk in (11, 12):
+        ln = lineno.get(2, 0) + 1
+        lineno[2] = ln
+        rows.append((2, 1, sk, ln, 5.0, 999999.99, 0.0, 0.0, "N",
+                     "O", dt.datetime(1997, 2, 1)))
+    cols = list(zip(*rows))
+    w("lineitem", {
+        "l_orderkey": pa.array(np.array(cols[0], dtype=np.int64)),
+        "l_partkey": pa.array(np.array(cols[1], dtype=np.int64)),
+        "l_suppkey": pa.array(np.array(cols[2], dtype=np.int64)),
+        "l_linenumber": pa.array(np.array(cols[3], dtype=np.int32)),
+        "l_quantity": pa.array(np.array(cols[4], dtype=np.float64)),
+        "l_extendedprice": pa.array(np.array(cols[5], dtype=np.float64)),
+        "l_discount": pa.array(np.array(cols[6], dtype=np.float64)),
+        "l_tax": pa.array(np.array(cols[7], dtype=np.float64)),
+        "l_returnflag": pa.array(list(cols[8])),
+        "l_linestatus": pa.array(list(cols[9])),
+        "l_shipdate": pa.array(list(cols[10]), pa.timestamp("us")),
+    })
+    return str(d)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_relational_queries_on_adversarial_tpch(
+    ray_session, adversarial_tpch_dir, name
+):
+    entry = __import__("__ray_entry__")
+    got = _norm(_to_pandas(entry.queries()[name](adversarial_tpch_dir)))
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{adversarial_tpch_dir}/{t}.parquet')"
+        )
+    want = _norm(con.sql(entry.oracle_sql()[name]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
