@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": R.q9_product_profit,
         "gopher_filter_docs": T.gopher_filter_docs,
         "docs_feather_roundtrip": T.docs_feather_roundtrip,
+        "sample_k_docs": T.sample_k_docs,
+        "event_cume_dist": R.event_cume_dist,
+        "q11_important_parts": R.q11_important_parts,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -951,6 +954,31 @@ def oracle_sql() -> dict[str, str]:
             "AND 1000 * n_nonspace // n_tokens >= 3000 "
             "AND 1000 * n_nonspace // n_tokens <= 4700 "
             "AND COALESCE(dup_x1000, 0) < 120"
+        ),
+        # deterministic k-reservoir: exactly k rows, smallest md5
+        "sample_k_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 40"
+        ),
+        # CUME_DIST integer surrogate (peers inclusive, permille)
+        "event_cume_dist": (
+            "SELECT event_id, user_id, "
+            "1000 * CAST(COUNT(*) OVER (PARTITION BY user_id "
+            " ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) "
+            "// CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) "
+            " AS cd_x1000 "
+            "FROM events"
+        ),
+        # TPC-H Q11: HAVING against a global scalar subquery
+        "q11_important_parts": (
+            "SELECT l_partkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) "
+            " * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM lineitem GROUP BY l_partkey "
+            "HAVING 1000 * SUM(CAST(ROUND(l_extendedprice "
+            " * (1 - l_discount) * 100) AS BIGINT)) > 2 * "
+            "(SELECT SUM(CAST(ROUND(l_extendedprice "
+            " * (1 - l_discount) * 100) AS BIGINT)) FROM lineitem)"
         ),
         # TPC-H Q2: per-part argmin with ties + join-back on the MIN
         "q2_min_price_suppliers": (

@@ -6502,3 +6502,137 @@ def q9_product_profit(sf_dir: str, *, name_word: str = "widget",
             batch_size=None,
         )
     )
+
+
+def event_cume_dist(sf_dir: str, *, num_partitions: int = 16):
+    """CUME_DIST integer surrogate per user (PERCENT_RANK's sibling,
+    completing the distribution-window family): the fraction of the
+    user's events with value <= this one, peers INCLUSIVE, in exact
+    integer permille — (event_id, user_id, cd_x1000) with
+    cd_x1000 = (1000 * n_le) // n_user.
+
+    Shape: the shared user-partitioned lexsort; n_le for every row of
+    a (user, value) run is the run's END offset (peers count
+    together), computed run-length-wise — no per-group Python."""
+
+    def cume(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cd_x1000": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        v = pc.round(
+            pc.multiply(batch.column("value"), 100),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, v, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        new_u = np.zeros(n, dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        u_start = np.maximum.accumulate(
+            np.where(new_u, np.arange(n, dtype=np.int64), -1)
+        )
+        # user sizes, replicated per row
+        us = np.flatnonzero(new_u)
+        n_user = np.repeat(
+            np.diff(np.r_[us, n]), np.diff(np.r_[us, n])
+        )
+        # (user, value) run END offset = inclusive count of <= peers
+        new_v = new_u.copy()
+        new_v[1:] |= v[1:] != v[:-1]
+        vs = np.flatnonzero(new_v)
+        run_len = np.diff(np.r_[vs, n])
+        run_end = np.repeat(vs + run_len, run_len)  # absolute end
+        n_le = run_end - u_start
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "cd_x1000": pa.array(
+                    (1000 * n_le) // n_user, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"],
+                     sort=True)
+        .map_batches(cume, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def q11_important_parts(sf_dir: str, *, permille: int = 2,
+                        num_partitions: int = 8):
+    """TPC-H Q11-style important stock: parts whose lineitem value sum
+    exceeds ``permille``/1000 of the GLOBAL value sum — the
+    HAVING-against-a-global-scalar-subquery shape over a large key
+    domain, in exact integers (1000 * part_cents > permille *
+    total_cents). (l_partkey, value_cents).
+
+    Shape: ONE per-part partial-combine (coalesce gated on the part
+    row count); the global total is the sum of the per-part rows —
+    one single-row reduce whose result broadcasts as two ints in the
+    filter closure; no second corpus pass, no sort."""
+    import pyarrow.parquet as _pq
+
+    n_part = _pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
+    coalesce = n_part <= COALESCE_KEY_CAP
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "value_cents": _cents(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    )
+                ),
+            }
+        )
+
+    per_part = _grouped_sums(
+        _t(sf_dir, "lineitem",
+           ["l_partkey", "l_extendedprice", "l_discount"],
+           hash_shuffle=not coalesce).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["l_partkey"], ["value_cents"], "n_l",
+        coalesce=coalesce, num_partitions=num_partitions,
+    ).select_columns(["l_partkey", "value_cents"]).materialize()
+
+    total = 0
+    for r in per_part.map_batches(
+        lambda b: pa.table(
+            {
+                "s": pa.array(
+                    [int(b.column("value_cents").to_numpy().sum())],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).take_all():
+        total += int(r["s"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value_cents").to_numpy()
+        return batch.filter(pa.array(1000 * v > permille * total))
+
+    return per_part.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -4069,3 +4069,40 @@ def docs_feather_roundtrip(sf_dir: str):
     return back.map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def sample_k_docs(sf_dir: str, *, k: int = 40):
+    """Deterministic k-RESERVOIR sample: exactly the k documents with
+    the smallest md5(doc_id) digests — a reproducible, corpus-size-
+    independent "give me exactly K rows" sampler (doc_sample and
+    weighted_sample_docs are RATE samplers; this one is a COUNT
+    sampler). (doc_id, n_chars), the k winners.
+
+    Scale shape: per-block partial top-k by digest (each block's k
+    smallest are a superset of the global k) -> one <= k x n_blocks
+    merge block -> final top-k. No sort of the corpus, no shuffle —
+    the same superset-filter argument as the argmax family."""
+    import hashlib as _hl
+
+    def digests(ids: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            [
+                _hl.md5(str(int(i)).encode()).hexdigest()
+                for i in ids
+            ]
+        )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = digests(ids)
+        order = np.argsort(h, kind="stable")[:k]
+        return batch.take(pa.array(order))
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(local_topk, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

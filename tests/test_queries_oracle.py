@@ -196,7 +196,7 @@ EVENT_QUERIES = [
     "events_dayofweek", "funnel_conversions", "event_value_quartiles",
     "event_lag_lead", "user_first_last_event", "events_hopping_6h",
     "user_daily_spine", "user_moving_sum", "user_retention",
-    "event_percent_rank", "asof_next_purchase",
+    "event_percent_rank", "asof_next_purchase", "event_cume_dist",
 ]
 
 
@@ -277,7 +277,7 @@ DOC_QUERIES = [
     "ngram_repetition_docs", "dup_span_docs", "shuffle_docs",
     "doc_rarity_scores", "bpe_pair_counts",
     "gopher_filter_docs", "docs_except_all", "docs_intersect_all",
-    "docs_orc_roundtrip", "docs_feather_roundtrip",
+    "docs_orc_roundtrip", "docs_feather_roundtrip", "sample_k_docs",
 ]
 
 
@@ -1268,7 +1268,7 @@ RELATIONAL_QUERIES = [
     "q17_small_qty_revenue", "q22_idle_rich_customers",
     "q21_lone_late_suppliers", "q2_min_price_suppliers",
     "q20_dominant_suppliers", "q7_region_volume", "q8_market_share",
-    "q9_product_profit",
+    "q9_product_profit", "q11_important_parts",
 ]
 
 TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
