@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_docs": T.sample_k_docs,
         "event_cume_dist": R.event_cume_dist,
         "q11_important_parts": R.q11_important_parts,
+        "q12_late_lines": R.q12_late_lines,
+        "q13_customer_distribution": R.q13_customer_distribution,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -979,6 +981,32 @@ def oracle_sql() -> dict[str, str]:
             " * (1 - l_discount) * 100) AS BIGINT)) > 2 * "
             "(SELECT SUM(CAST(ROUND(l_extendedprice "
             " * (1 - l_discount) * 100) AS BIGINT)) FROM lineitem)"
+        ),
+        # TPC-H Q12 (schema-adapted): late-shipping priority counts by
+        # returnflag; "late" = shipped >= 60 days after the order date
+        "q12_late_lines": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN "
+            " ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            " AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN "
+            " ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) "
+            " AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate >= o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY l_returnflag"
+        ),
+        # TPC-H Q13: order-count distribution incl. zero-order
+        # customers (LEFT JOIN with a join-side priority filter)
+        "q13_customer_distribution": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+            "FROM (SELECT c_custkey, "
+            " CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "  AND o_orderpriority <> '4-NOT SPECIFIED' "
+            " GROUP BY c_custkey) GROUP BY c_count"
         ),
         # TPC-H Q2: per-part argmin with ties + join-back on the MIN
         "q2_min_price_suppliers": (

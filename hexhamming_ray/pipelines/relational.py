@@ -6636,3 +6636,238 @@ def q11_important_parts(sf_dir: str, *, permille: int = 2,
         keep, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def q12_late_lines(sf_dir: str, *, year: int = 1997, late_days: int = 60,
+                   num_partitions: int = 8):
+    """TPC-H Q12-style shipping-priority check, adapted to this schema
+    (no l_shipmode / l_commitdate / l_receiptdate columns exist):
+    group by l_returnflag as the mode surrogate, "late" means
+    l_shipdate >= o_orderdate + ``late_days`` days, and the window is
+    one ship-year. (l_returnflag, high_line_count, low_line_count)
+    where high = o_orderpriority IN ('1-URGENT', '2-HIGH').
+
+    Shape: lineitem pruned + pushed down at the read; the
+    l_orderkey -> (o_orderdate, is_high) decoration broadcasts under
+    ``Q10_BROADCAST_ORDER_CAP`` (two int64/uint8 arrays, resolved once
+    per actor), with the native inner hash join as the above-cap scale
+    path (sentinel-seeded: a year window CAN match zero lineitems).
+    The final grouped conditional count is 3 keys: partial-combine +
+    coalesce, exact integers throughout."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    lo = _dt.datetime(year, 1, 1)
+    hi = _dt.datetime(year + 1, 1, 1)
+    late_us = late_days * 86_400_000_000
+
+    li = _t_filtered(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"],
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def _finalize(flag_col, ship_i8, odate_i8, high_u8):
+        late = ship_i8 - odate_i8 >= late_us
+        high = high_u8.astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": flag_col.filter(pa.array(late)),
+                "high_line_count": pa.array(high[late], pa.int64()),
+                "low_line_count": pa.array(1 - high[late], pa.int64()),
+            }
+        )
+
+    n_orders = _pq.ParquetFile(
+        f"{sf_dir}/orders.parquet"
+    ).metadata.num_rows
+    if n_orders <= Q10_BROADCAST_ORDER_CAP:
+        tabs = [
+            t for t in ray.get(
+                _t(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                   ).to_arrow_refs()
+            ) if t.num_rows
+        ]
+        ks = np.concatenate(
+            [t.column("o_orderkey").to_numpy() for t in tabs]
+            or [np.empty(0, np.int64)]
+        )
+        od = np.concatenate(
+            [t.column("o_orderdate").to_numpy().view(np.int64)
+             for t in tabs] or [np.empty(0, np.int64)]
+        )
+        hp = np.concatenate(
+            [
+                pc.is_in(
+                    t.column("o_orderpriority"),
+                    value_set=pa.array(["1-URGENT", "2-HIGH"]),
+                ).to_numpy(zero_copy_only=False).astype(np.uint8)
+                for t in tabs
+            ] or [np.empty(0, np.uint8)]
+        )
+        order = np.argsort(ks, kind="stable")
+        lut_ref = ray.put((ks[order], od[order], hp[order]))
+
+        class _OrderLookup:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ks, od, hp = self._lut
+                lk = batch.column("l_orderkey").to_numpy()
+                pos, hit = _lut_probe(ks, lk)
+                f = batch.filter(pa.array(hit))
+                return _finalize(
+                    f.column("l_returnflag"),
+                    f.column("l_shipdate").to_numpy().view(np.int64),
+                    od[pos[hit]],
+                    hp[pos[hit]],
+                )
+
+        facts = li.map_batches(
+            _OrderLookup(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        import datetime as _dt2
+
+        seed = ray.data.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([-1], pa.int64()),
+                    "l_returnflag": pa.array([""], pa.string()),
+                    "l_shipdate": pa.array(
+                        [_dt2.datetime(1970, 1, 1)], pa.timestamp("us")
+                    ),
+                }
+            )
+        )
+        joined = seed.union(li).join(
+            _t(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"],
+               hash_shuffle=True),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            high = pc.is_in(
+                batch.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ).to_numpy(zero_copy_only=False).astype(np.uint8)
+            return _finalize(
+                batch.column("l_returnflag"),
+                batch.column("l_shipdate").to_numpy().view(np.int64),
+                batch.column("o_orderdate").to_numpy().view(np.int64),
+                high,
+            )
+
+        facts = joined.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    return _grouped_sums(
+        facts, ["l_returnflag"], ["high_line_count", "low_line_count"],
+        "n_l", coalesce=True,
+    ).select_columns(["l_returnflag", "high_line_count", "low_line_count"])
+
+
+def q13_customer_distribution(sf_dir: str, *,
+                              excl_priority: str = "4-NOT SPECIFIED",
+                              num_partitions: int = 8):
+    """TPC-H Q13-style customer order-count distribution: per-customer
+    count of orders whose priority is not ``excl_priority`` (the
+    NOT-LIKE-comment surrogate — this schema has no o_comment),
+    INCLUDING zero-order customers, then the histogram of those counts.
+    (c_count, custdist).
+
+    Shape: the LEFT JOIN never runs — per-custkey counts partial-
+    combine over the filtered orders read, are semi-filtered to real
+    customer keys (broadcast sorted probe under
+    ``SEMI_BROADCAST_KEY_CAP``, native left_semi above it), and the
+    zero bucket is pure arithmetic: customer-row-count (parquet
+    metadata, no read) minus the number of matched customers. The
+    histogram re-aggregates the already-tiny count table; the customer
+    table itself never rides an exchange."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    n_cust = _pq.ParquetFile(
+        f"{sf_dir}/customer.parquet"
+    ).metadata.num_rows
+    coalesce = n_cust <= COALESCE_KEY_CAP
+
+    counts = _grouped_sums(
+        _t_filtered(
+            sf_dir, "orders", ["o_custkey"],
+            pads.field("o_orderpriority") != excl_priority,
+            hash_shuffle=not coalesce,
+        ),
+        ["o_custkey"], [], "c_count",
+        coalesce=coalesce, num_partitions=num_partitions,
+    )
+
+    if n_cust <= SEMI_BROADCAST_KEY_CAP:
+        ks = _gather_sorted_keys(
+            _t(sf_dir, "customer", ["c_custkey"]), "c_custkey"
+        )
+        ks_ref = ray.put(ks)
+
+        class _IsCustomer:
+            def __init__(self, ref):
+                self.ref = ref
+                self._k = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._k is None:
+                    self._k = ray.get(self.ref)
+                _, hit = _lut_probe(
+                    self._k, batch.column("o_custkey").to_numpy()
+                )
+                return batch.filter(pa.array(hit))
+
+        counts = counts.map_batches(
+            _IsCustomer(ks_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+    else:
+        counts = counts.join(
+            _t(sf_dir, "customer", ["c_custkey"], hash_shuffle=True),
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+    hist = _grouped_sums(
+        counts.select_columns(["c_count"]),
+        ["c_count"], [], "custdist", coalesce=True,
+    )
+
+    def add_zero_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("custdist").to_numpy()
+        zero = n_cust - int(d.sum())
+        if zero <= 0:  # every customer matched: no 0 row, as in SQL
+            return batch
+        c = batch.column("c_count").to_numpy()
+        return pa.table(
+            {
+                "c_count": pa.array(np.r_[c, [0]], pa.int64()),
+                "custdist": pa.array(np.r_[d, [zero]], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(
+        add_zero_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

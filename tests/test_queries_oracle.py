@@ -384,7 +384,7 @@ RELATIONAL_QUERIES = [
     "supplier_balance_by_nation", "parts_price_bands",
     "lineitem_priority_counts", "orders_rollup",
     "part_supplier_distinct", "supplier_rank_in_nation",
-    "orders_by_month",
+    "orders_by_month", "q12_late_lines", "q13_customer_distribution",
 ]
 
 
@@ -1475,3 +1475,44 @@ def test_relational_queries_on_adversarial_tpch(
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q12_join_paths_agree(ray_session):
+    """q12_late_lines: the broadcast (orderkey -> orderdate, is_high)
+    lookup and the sentinel-seeded native inner join must produce
+    identical conditional counts."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q12_late_lines(SF_DIR)))
+
+    ref = run()
+    old = R.Q10_BROADCAST_ORDER_CAP
+    try:
+        R.Q10_BROADCAST_ORDER_CAP = -1  # force the native join
+        alt = run()
+    finally:
+        R.Q10_BROADCAST_ORDER_CAP = old
+    pd.testing.assert_frame_equal(ref, alt)
+    assert len(ref) >= 1
+
+
+def test_q13_semi_paths_agree(ray_session):
+    """q13_customer_distribution: the broadcast customer-key probe +
+    coalesced combine and the native left_semi join + keyed exchange
+    must produce the identical histogram (zero bucket included)."""
+    from hexhamming_ray.pipelines import relational as R
+
+    def run():
+        return _norm(_to_pandas(R.q13_customer_distribution(SF_DIR)))
+
+    ref = run()
+    olds = (R.SEMI_BROADCAST_KEY_CAP, R.COALESCE_KEY_CAP)
+    try:
+        R.SEMI_BROADCAST_KEY_CAP = -1  # force the native left_semi
+        R.COALESCE_KEY_CAP = -1        # force the keyed exchange
+        alt = run()
+    finally:
+        R.SEMI_BROADCAST_KEY_CAP, R.COALESCE_KEY_CAP = olds
+    pd.testing.assert_frame_equal(ref, alt)
+    assert int(ref.loc[ref["c_count"] == 0, "custdist"].sum()) >= 0
