@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": R.q11_important_parts,
         "q12_late_lines": R.q12_late_lines,
         "q13_customer_distribution": R.q13_customer_distribution,
+        "lang_balance_docs": T.lang_balance_docs,
+        "curriculum_order_docs": T.curriculum_order_docs,
         # --- never-driver-checked, no_oracle (tail of the window) ---
         "media_frame_sample": _media_frame_sample_q,
         "kmeans_embeddings": _kmeans_q,
@@ -1007,6 +1009,25 @@ def oracle_sql() -> dict[str, str]:
             " FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
             "  AND o_orderpriority <> '4-NOT SPECIFIED' "
             " GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        # language rebalance: keep min-lang-count docs per language,
+        # deterministic smallest-(md5,id) selection within each lang
+        "lang_balance_docs": (
+            "WITH cap AS (SELECT MIN(cnt) AS c FROM "
+            " (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents "
+            "  GROUP BY lang)), "
+            "r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            " PARTITION BY lang "
+            " ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            " FROM documents) "
+            "SELECT doc_id, lang FROM r, cap WHERE rn <= cap.c"
+        ),
+        # longest-first curriculum position: distributed ROW_NUMBER
+        # over (n_chars DESC, doc_id) without a global sort
+        "curriculum_order_docs": (
+            "SELECT doc_id, n_chars, ROW_NUMBER() OVER ("
+            "ORDER BY n_chars DESC, doc_id) AS curriculum_pos "
+            "FROM documents"
         ),
         # TPC-H Q2: per-part argmin with ties + join-back on the MIN
         "q2_min_price_suppliers": (

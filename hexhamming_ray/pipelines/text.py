@@ -4106,3 +4106,310 @@ def sample_k_docs(sf_dir: str, *, k: int = 40):
         .map_batches(local_topk, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+def lang_balance_docs(sf_dir: str, *, cap: int | None = None,
+                      num_partitions: int | None = None):
+    """Language rebalancing for training-corpus curation: keep at most
+    ``cap`` documents per language (default: the size of the SMALLEST
+    language, so every language ends up equal-sized), selected
+    deterministically as the ``cap`` docs with the lowest
+    (md5(doc_id), doc_id) within their language — a reproducible
+    uniform subsample that is a pure function of corpus content, so
+    reruns, resumes and any cluster size pick the identical subset.
+    (doc_id, lang).
+
+    Shape: per-language EXACT rank without a global or per-group sort
+    — the shuffle_docs distributed prefix sum keyed by (lang, digest
+    byte). Pass A: per-block histograms over ``lang_id * 256 +
+    first_md5_byte`` composite buckets -> one tiny coalesce (langs x
+    256 rows/block bound) -> the driver holds the per-lang exclusive
+    prefix bases AND the per-lang totals (cap = min total). Pass B:
+    bucket-keyed exchange of 32-byte rows (text never moves), one
+    lexsort per block + run-reset cumcount + base[bucket], keep rank
+    < cap. The lang string rides as a small int id; only the kept
+    (doc_id, lang) rows materialize."""
+    import hashlib as _hl
+
+    num_partitions = num_partitions or _default_partitions()
+
+    # lang domain (tiny by assumption — same contract as
+    # top_tokens_per_lang): per-block unique -> one coalesced unique
+    lang_parts = (
+        _docs(sf_dir, ["lang"])
+        .map_batches(
+            lambda b: pa.table(
+                {"lang": pc.unique(b.column("lang").combine_chunks())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(num_blocks=1)
+        .map_batches(
+            lambda b: pa.table(
+                {"lang": pc.unique(b.column("lang").combine_chunks())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    )
+    langs = np.array(sorted(r["lang"] for r in lang_parts))
+    n_langs = len(langs)
+    if n_langs == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+            }
+        )
+    lang_vs = pa.array(langs, pa.string())
+    n_buckets = n_langs * 256
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy()
+        lid = pc.index_in(
+            batch.column("lang"), value_set=lang_vs
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        dig = b"".join(
+            _hl.md5(str(int(i)).encode()).digest() for i in ids
+        )
+        k = np.frombuffer(dig, dtype=">u8").reshape(-1, 2)
+        k1 = k[:, 0].astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k1": pa.array(k1, pa.uint64()),
+                "k2": pa.array(k[:, 1].astype(np.uint64), pa.uint64()),
+                "bucket": pa.array(
+                    lid * 256 + (k1 >> np.uint64(56)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    keyed = (
+        _docs(sf_dir, ["doc_id", "lang"], hash_shuffle=True)
+        .map_batches(key_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()  # consumed twice: histogram pass + rank pass
+    )
+
+    def bucket_hist(batch: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            batch.column("bucket").to_numpy(), minlength=n_buckets
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(n_buckets, dtype=np.int64)
+                ),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    totals = (
+        keyed.map_batches(bucket_hist, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)  # <= langs*256 rows/block bound
+        .map_batches(_combine_runs(["bucket"], ["cnt"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .take_all()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in totals:
+        counts[r["bucket"]] = r["cnt"]
+    per_lang = counts.reshape(n_langs, 256)
+    if cap is None:
+        cap = int(per_lang.sum(axis=1).min())
+    # exclusive prefix WITHIN each lang: rank resets at lang boundary
+    bases = np.concatenate(
+        [
+            np.concatenate(([0], np.cumsum(row)[:-1]))
+            for row in per_lang
+        ]
+    )
+    kcap = int(cap)
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                }
+            )
+        ids = batch.column("doc_id").to_numpy()
+        k1 = batch.column("k1").to_numpy()
+        k2 = batch.column("k2").to_numpy()
+        bk = batch.column("bucket").to_numpy()
+        order = np.lexsort((ids, k2, k1, bk))
+        bk_s = bk[order]
+        new = np.zeros(m, dtype=bool)
+        new[0] = True
+        new[1:] = bk_s[1:] != bk_s[:-1]
+        starts = np.flatnonzero(new)
+        within = np.arange(m, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, m])
+        )
+        rank = bases[bk_s] + within  # 0-based within-lang rank
+        keep = rank < kcap
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order][keep], pa.int64()),
+                "lang": pa.array(
+                    langs[(bk_s[keep] // 256)], pa.string()
+                ),
+            }
+        )
+
+    return (
+        keyed.repartition(
+            num_blocks=min(num_partitions, n_buckets),
+            keys=["bucket"], sort=True,
+        )
+        .map_batches(rank_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+#: bucket count for the curriculum range partitioner — the driver
+#: holds O(CURRICULUM_BUCKETS) ints; more buckets = finer skew
+#: spreading at the exchange, same exactness
+CURRICULUM_BUCKETS = 1024
+
+
+def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
+    """Curriculum ordering for training: each document's 1-based
+    position in (n_chars DESC, doc_id ASC) order — longest-first, the
+    classic length-curriculum schedule. (doc_id, n_chars,
+    curriculum_pos).
+
+    Shape: a distributed ROW_NUMBER over an ARBITRARY integer key —
+    the third application of the prefix-sum rank (after shuffle_docs'
+    md5 buckets and pack_sequences' doc_id buckets), this time with
+    RANGE buckets derived from the data: pass 0 finds the key max
+    (per-block max -> one tiny coalesce), ``bucket = (NB-1) -
+    min(n_chars // Q, NB-1)`` maps keys onto ``CURRICULUM_BUCKETS``
+    ordered ranges (bucket ascends as the key descends), pass A
+    histograms the buckets -> driver exclusive prefix (O(NB) ints),
+    pass B is one bucket-keyed exchange of 16-byte rows + a per-block
+    lexsort + run-reset cumcount. No Dataset.sort, text never moves;
+    a value-skewed corpus degrades to fewer effective buckets (range
+    partitioning's usual caveat), never to wrong ranks."""
+    num_partitions = num_partitions or _default_partitions()
+    nb = CURRICULUM_BUCKETS
+
+    keyed = _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True) \
+        .materialize()  # narrow rows, consumed three times
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy()
+        return pa.table(
+            {
+                "mx": pa.array(
+                    [int(v.max()) if len(v) else -1], pa.int64()
+                )
+            }
+        )
+
+    mx = -1
+    for r in keyed.map_batches(
+        block_max, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all():
+        mx = max(mx, int(r["mx"]))
+    if mx < 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "curriculum_pos": pa.array([], pa.int64()),
+            }
+        )
+    q = max(1, -(-(mx + 1) // nb))
+
+    def to_bucket(nc: np.ndarray) -> np.ndarray:
+        return (nb - 1) - np.minimum(nc // q, nb - 1)
+
+    def bucket_hist(batch: pa.Table) -> pa.Table:
+        bk = to_bucket(batch.column("n_chars").to_numpy())
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                "cnt": pa.array(
+                    np.bincount(bk, minlength=nb).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    counts = np.zeros(nb, dtype=np.int64)
+    for r in (
+        keyed.map_batches(bucket_hist, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)  # <= NB rows/block bound
+        .map_batches(_combine_runs(["bucket"], ["cnt"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .take_all()
+    ):
+        counts[r["bucket"]] = r["cnt"]
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": pa.array(nc, pa.int64()),
+                "bucket": pa.array(to_bucket(nc), pa.int64()),
+            }
+        )
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "curriculum_pos": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch.column("doc_id").to_numpy()
+        nc = batch.column("n_chars").to_numpy()
+        bk = batch.column("bucket").to_numpy()
+        order = np.lexsort((ids, -nc, bk))
+        bk_s = bk[order]
+        new = np.zeros(m, dtype=bool)
+        new[0] = True
+        new[1:] = bk_s[1:] != bk_s[:-1]
+        starts = np.flatnonzero(new)
+        within = np.arange(m, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, m])
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(nc[order], pa.int64()),
+                "curriculum_pos": pa.array(
+                    bases[bk_s] + within + 1, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        keyed.map_batches(with_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=min(num_partitions, nb),
+                     keys=["bucket"], sort=True)
+        .map_batches(rank_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

@@ -278,6 +278,7 @@ DOC_QUERIES = [
     "doc_rarity_scores", "bpe_pair_counts",
     "gopher_filter_docs", "docs_except_all", "docs_intersect_all",
     "docs_orc_roundtrip", "docs_feather_roundtrip", "sample_k_docs",
+    "lang_balance_docs", "curriculum_order_docs",
 ]
 
 
@@ -1516,3 +1517,22 @@ def test_q13_semi_paths_agree(ray_session):
         R.SEMI_BROADCAST_KEY_CAP, R.COALESCE_KEY_CAP = olds
     pd.testing.assert_frame_equal(ref, alt)
     assert int(ref.loc[ref["c_count"] == 0, "custdist"].sum()) >= 0
+
+
+def test_lang_balance_explicit_cap(ray_session):
+    """lang_balance_docs with an explicit cap keeps exactly min(cap,
+    lang_size) docs per language, matching the windowed SQL at the
+    same cap."""
+    from hexhamming_ray.pipelines import text as T
+
+    got = _norm(_to_pandas(T.lang_balance_docs(SF_DIR, cap=7)))
+    con = _duck()
+    want = _norm(con.sql(
+        "SELECT doc_id, lang FROM ("
+        " SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang"
+        "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+        " FROM documents) WHERE rn <= 7"
+    ).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    sizes = got.groupby("lang").size()
+    assert (sizes <= 7).all()
