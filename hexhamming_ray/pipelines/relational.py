@@ -6735,15 +6735,13 @@ def q12_late_lines(sf_dir: str, *, year: int = 1997, late_days: int = 60,
             zero_copy_batch=True, batch_size=None,
         )
     else:
-        import datetime as _dt2
-
         seed = ray.data.from_arrow(
             pa.table(
                 {
                     "l_orderkey": pa.array([-1], pa.int64()),
                     "l_returnflag": pa.array([""], pa.string()),
                     "l_shipdate": pa.array(
-                        [_dt2.datetime(1970, 1, 1)], pa.timestamp("us")
+                        [_dt.datetime(1970, 1, 1)], pa.timestamp("us")
                     ),
                 }
             )
@@ -6797,7 +6795,14 @@ def q13_customer_distribution(sf_dir: str, *,
     zero bucket is pure arithmetic: customer-row-count (parquet
     metadata, no read) minus the number of matched customers. The
     histogram re-aggregates the already-tiny count table; the customer
-    table itself never rides an exchange."""
+    table itself never rides an exchange.
+
+    The filtered orders read is sentinel-seeded (note 64: a priority
+    filter CAN match zero rows, which otherwise reaches the keyed
+    exchange / left_semi join as schema-less empty blocks), and the
+    zero-bucket finalize gathers the histogram driver-side (bounded by
+    the distinct-count domain) so the (0, n_cust) row survives even a
+    fully-empty qualifying set."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as _pq
     import ray
@@ -6808,10 +6813,13 @@ def q13_customer_distribution(sf_dir: str, *,
     coalesce = n_cust <= COALESCE_KEY_CAP
 
     counts = _grouped_sums(
-        _t_filtered(
-            sf_dir, "orders", ["o_custkey"],
-            pads.field("o_orderpriority") != excl_priority,
-            hash_shuffle=not coalesce,
+        _join_key_seed(
+            _t_filtered(
+                sf_dir, "orders", ["o_custkey"],
+                pads.field("o_orderpriority") != excl_priority,
+                hash_shuffle=not coalesce,
+            ),
+            "o_custkey",
         ),
         ["o_custkey"], [], "c_count",
         coalesce=coalesce, num_partitions=num_partitions,
@@ -6854,20 +6862,21 @@ def q13_customer_distribution(sf_dir: str, *,
         ["c_count"], [], "custdist", coalesce=True,
     )
 
-    def add_zero_bucket(batch: pa.Table) -> pa.Table:
-        d = batch.column("custdist").to_numpy()
-        zero = n_cust - int(d.sum())
-        if zero <= 0:  # every customer matched: no 0 row, as in SQL
-            return batch
-        c = batch.column("c_count").to_numpy()
-        return pa.table(
-            {
-                "c_count": pa.array(np.r_[c, [0]], pa.int64()),
-                "custdist": pa.array(np.r_[d, [zero]], pa.int64()),
-            }
-        )
-
-    return hist.map_batches(
-        add_zero_bucket, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
+    # driver-side finalize (rows bounded by the distinct-count domain):
+    # a fully-empty qualifying set yields zero batches upstream, and the
+    # (0, n_cust) row must exist even then — a map over `hist` would
+    # simply never run
+    c_vals, d_vals = [], []
+    for r in hist.take_all():
+        c_vals.append(int(r["c_count"]))
+        d_vals.append(int(r["custdist"]))
+    zero = n_cust - sum(d_vals)
+    if zero > 0:  # customers with no qualifying order
+        c_vals.append(0)
+        d_vals.append(zero)
+    return pa.table(
+        {
+            "c_count": pa.array(c_vals, pa.int64()),
+            "custdist": pa.array(d_vals, pa.int64()),
+        }
     )

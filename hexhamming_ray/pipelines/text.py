@@ -3289,31 +3289,7 @@ def shuffle_docs(sf_dir: str, *, num_partitions: int | None = None):
         .materialize()  # consumed twice: histogram pass + rank pass
     )
 
-    def bucket_hist(batch: pa.Table) -> pa.Table:
-        cnt = np.bincount(
-            batch.column("bucket").to_numpy(), minlength=256
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(np.arange(256, dtype=np.int64)),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
-
-    from hexhamming_ray.pipelines.relational import _combine_runs
-
-    totals = (
-        keyed.map_batches(bucket_hist, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
-        .repartition(num_blocks=1)  # <= 256 rows per block by construction
-        .map_batches(_combine_runs(["bucket"], ["cnt"]),
-                     batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
-        .take_all()
-    )
-    counts = np.zeros(256, dtype=np.int64)
-    for r in totals:
-        counts[r["bucket"]] = r["cnt"]
+    counts = _bucket_counts(keyed, 256)
     bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
     def rank_block(batch: pa.Table) -> pa.Table:
@@ -3330,15 +3306,8 @@ def shuffle_docs(sf_dir: str, *, num_partitions: int | None = None):
         k2 = batch.column("k2").to_numpy()
         bk = batch.column("bucket").to_numpy()
         order = np.lexsort((ids, k2, k1))
-        bk_s = bk[order]
-        new = np.zeros(m, dtype=bool)
-        new[0] = True
-        new[1:] = bk_s[1:] != bk_s[:-1]  # buckets contiguous in k1 order
-        starts = np.flatnonzero(new)
-        within = np.arange(m, dtype=np.int64) - np.repeat(
-            starts, np.diff(np.r_[starts, m])
-        )
-        pos = bases[bk_s] + within + 1
+        bk_s = bk[order]  # buckets contiguous in k1 order
+        pos = bases[bk_s] + _run_reset_within(bk_s) + 1
         return pa.table(
             {
                 "doc_id": pa.array(ids[order], pa.int64()),
@@ -4195,34 +4164,7 @@ def lang_balance_docs(sf_dir: str, *, cap: int | None = None,
         .materialize()  # consumed twice: histogram pass + rank pass
     )
 
-    def bucket_hist(batch: pa.Table) -> pa.Table:
-        cnt = np.bincount(
-            batch.column("bucket").to_numpy(), minlength=n_buckets
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    np.arange(n_buckets, dtype=np.int64)
-                ),
-                "cnt": pa.array(cnt, pa.int64()),
-            }
-        )
-
-    from hexhamming_ray.pipelines.relational import _combine_runs
-
-    totals = (
-        keyed.map_batches(bucket_hist, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
-        .repartition(num_blocks=1)  # <= langs*256 rows/block bound
-        .map_batches(_combine_runs(["bucket"], ["cnt"]),
-                     batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
-        .take_all()
-    )
-    counts = np.zeros(n_buckets, dtype=np.int64)
-    for r in totals:
-        counts[r["bucket"]] = r["cnt"]
-    per_lang = counts.reshape(n_langs, 256)
+    per_lang = _bucket_counts(keyed, n_buckets).reshape(n_langs, 256)
     if cap is None:
         cap = int(per_lang.sum(axis=1).min())
     # exclusive prefix WITHIN each lang: rank resets at lang boundary
@@ -4249,14 +4191,8 @@ def lang_balance_docs(sf_dir: str, *, cap: int | None = None,
         bk = batch.column("bucket").to_numpy()
         order = np.lexsort((ids, k2, k1, bk))
         bk_s = bk[order]
-        new = np.zeros(m, dtype=bool)
-        new[0] = True
-        new[1:] = bk_s[1:] != bk_s[:-1]
-        starts = np.flatnonzero(new)
-        within = np.arange(m, dtype=np.int64) - np.repeat(
-            starts, np.diff(np.r_[starts, m])
-        )
-        rank = bases[bk_s] + within  # 0-based within-lang rank
+        # 0-based within-lang rank
+        rank = bases[bk_s] + _run_reset_within(bk_s)
         keep = rank < kcap
         return pa.table(
             {
@@ -4283,6 +4219,81 @@ def lang_balance_docs(sf_dir: str, *, cap: int | None = None,
 CURRICULUM_BUCKETS = 1024
 
 
+def _bucket_counts(keyed, n_buckets: int) -> np.ndarray:
+    """Pass A of the distributed prefix-sum rank (shared by
+    shuffle_docs / lang_balance_docs / curriculum_order_docs):
+    per-block histograms over an int64 ``bucket`` column -> one tiny
+    coalesce (``n_buckets`` rows/block bound) -> the dense per-bucket
+    totals, driver-side (O(n_buckets) ints). Exclusive-prefix these
+    for the per-bucket rank bases."""
+
+    def bucket_hist(batch: pa.Table) -> pa.Table:
+        cnt = np.bincount(
+            batch.column("bucket").to_numpy(), minlength=n_buckets
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(n_buckets, dtype=np.int64)
+                ),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    from hexhamming_ray.pipelines.relational import _combine_runs
+
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in (
+        keyed.map_batches(bucket_hist, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(_combine_runs(["bucket"], ["cnt"]),
+                     batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=None)
+        .take_all()
+    ):
+        counts[r["bucket"]] = r["cnt"]
+    return counts
+
+
+def _run_reset_within(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based position within each run of equal adjacent keys — the
+    pass-B cumcount of the prefix-sum rank, applied to an array
+    already sorted so runs are contiguous."""
+    m = sorted_keys.shape[0]
+    new = np.zeros(m, dtype=bool)
+    new[0] = True
+    new[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    starts = np.flatnonzero(new)
+    return np.arange(m, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.r_[starts, m])
+    )
+
+
+def _parquet_col_max(path: str, col: str) -> int | None:
+    """Column max from parquet row-group STATISTICS — metadata only,
+    no data scan. Returns -1 for a 0-row file (the caller's empty
+    path) and None when any row group lacks usable stats (caller
+    falls back to a scan)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    if md.num_rows == 0:
+        return -1
+    idx = f.schema_arrow.get_field_index(col)
+    if idx < 0:
+        return None
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        v = st.max
+        mx = v if mx is None else max(mx, v)
+    return int(mx)
+
+
 def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
     """Curriculum ordering for training: each document's 1-based
     position in (n_chars DESC, doc_id ASC) order — longest-first, the
@@ -4293,8 +4304,10 @@ def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
     the third application of the prefix-sum rank (after shuffle_docs'
     md5 buckets and pack_sequences' doc_id buckets), this time with
     RANGE buckets derived from the data: pass 0 finds the key max
-    (per-block max -> one tiny coalesce), ``bucket = (NB-1) -
-    min(n_chars // Q, NB-1)`` maps keys onto ``CURRICULUM_BUCKETS``
+    from parquet row-group STATISTICS (metadata only, no scan; a
+    per-block max pass is the fallback when any group lacks stats),
+    ``bucket = (NB-1) - min(n_chars // Q, NB-1)`` maps keys onto
+    ``CURRICULUM_BUCKETS``
     ordered ranges (bucket ascends as the key descends), pass A
     histograms the buckets -> driver exclusive prefix (O(NB) ints),
     pass B is one bucket-keyed exchange of 16-byte rows + a per-block
@@ -4305,24 +4318,27 @@ def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
     nb = CURRICULUM_BUCKETS
 
     keyed = _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True) \
-        .materialize()  # narrow rows, consumed three times
+        .materialize()  # narrow rows, consumed twice
 
-    def block_max(batch: pa.Table) -> pa.Table:
-        v = batch.column("n_chars").to_numpy()
-        return pa.table(
-            {
-                "mx": pa.array(
-                    [int(v.max()) if len(v) else -1], pa.int64()
-                )
-            }
-        )
+    mx = _parquet_col_max(f"{sf_dir}/documents.parquet", "n_chars")
+    if mx is None:
+        # stats absent: per-block max pass over the narrow rows
+        def block_max(batch: pa.Table) -> pa.Table:
+            v = batch.column("n_chars").to_numpy()
+            return pa.table(
+                {
+                    "mx": pa.array(
+                        [int(v.max()) if len(v) else -1], pa.int64()
+                    )
+                }
+            )
 
-    mx = -1
-    for r in keyed.map_batches(
-        block_max, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).take_all():
-        mx = max(mx, int(r["mx"]))
+        mx = -1
+        for r in keyed.map_batches(
+            block_max, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).take_all():
+            mx = max(mx, int(r["mx"]))
     if mx < 0:
         return pa.table(
             {
@@ -4336,33 +4352,6 @@ def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
     def to_bucket(nc: np.ndarray) -> np.ndarray:
         return (nb - 1) - np.minimum(nc // q, nb - 1)
 
-    def bucket_hist(batch: pa.Table) -> pa.Table:
-        bk = to_bucket(batch.column("n_chars").to_numpy())
-        return pa.table(
-            {
-                "bucket": pa.array(np.arange(nb, dtype=np.int64)),
-                "cnt": pa.array(
-                    np.bincount(bk, minlength=nb).astype(np.int64),
-                    pa.int64(),
-                ),
-            }
-        )
-
-    from hexhamming_ray.pipelines.relational import _combine_runs
-
-    counts = np.zeros(nb, dtype=np.int64)
-    for r in (
-        keyed.map_batches(bucket_hist, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
-        .repartition(num_blocks=1)  # <= NB rows/block bound
-        .map_batches(_combine_runs(["bucket"], ["cnt"]),
-                     batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=None)
-        .take_all()
-    ):
-        counts[r["bucket"]] = r["cnt"]
-    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
-
     def with_bucket(batch: pa.Table) -> pa.Table:
         nc = batch.column("n_chars").cast(pa.int64()).to_numpy()
         return pa.table(
@@ -4372,6 +4361,13 @@ def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
                 "bucket": pa.array(to_bucket(nc), pa.int64()),
             }
         )
+
+    bucketed = keyed.map_batches(
+        with_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    counts = _bucket_counts(bucketed, nb)
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
     def rank_block(batch: pa.Table) -> pa.Table:
         m = len(batch)
@@ -4388,28 +4384,20 @@ def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
         bk = batch.column("bucket").to_numpy()
         order = np.lexsort((ids, -nc, bk))
         bk_s = bk[order]
-        new = np.zeros(m, dtype=bool)
-        new[0] = True
-        new[1:] = bk_s[1:] != bk_s[:-1]
-        starts = np.flatnonzero(new)
-        within = np.arange(m, dtype=np.int64) - np.repeat(
-            starts, np.diff(np.r_[starts, m])
-        )
         return pa.table(
             {
                 "doc_id": pa.array(ids[order], pa.int64()),
                 "n_chars": pa.array(nc[order], pa.int64()),
                 "curriculum_pos": pa.array(
-                    bases[bk_s] + within + 1, pa.int64()
+                    bases[bk_s] + _run_reset_within(bk_s) + 1,
+                    pa.int64(),
                 ),
             }
         )
 
     return (
-        keyed.map_batches(with_bucket, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
-        .repartition(num_blocks=min(num_partitions, nb),
-                     keys=["bucket"], sort=True)
+        bucketed.repartition(num_blocks=min(num_partitions, nb),
+                             keys=["bucket"], sort=True)
         .map_batches(rank_block, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )

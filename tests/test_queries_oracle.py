@@ -1516,7 +1516,61 @@ def test_q13_semi_paths_agree(ray_session):
     finally:
         R.SEMI_BROADCAST_KEY_CAP, R.COALESCE_KEY_CAP = olds
     pd.testing.assert_frame_equal(ref, alt)
-    assert int(ref.loc[ref["c_count"] == 0, "custdist"].sum()) >= 0
+    # pin the zero bucket against the oracle's zero-order-customer count
+    con = _duck()
+    want_zero = con.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = "
+        "c_custkey AND o_orderpriority <> '4-NOT SPECIFIED')"
+    ).fetchone()[0]
+    got_zero = int(ref.loc[ref["c_count"] == 0, "custdist"].sum())
+    assert got_zero == int(want_zero)
+
+
+def test_q13_empty_qualifying_set(ray_session, tmp_path):
+    """q13 on a corpus where EVERY order is excluded by the priority
+    filter: the result must be the single (0, n_customers) row on all
+    three plans, not an empty table or a shuffle crash."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines import relational as R
+
+    d = tmp_path / "q13edge"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, 8), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(7)], pa.string()),
+        "c_nationkey": pa.array(np.zeros(7, np.int32), pa.int32()),
+        "c_acctbal": pa.array(np.zeros(7), pa.float64()),
+        "c_mktsegment": pa.array(["AUTO"] * 7, pa.string()),
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+        "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+        "o_orderdate": pa.array(
+            [pd.Timestamp("1997-01-01")] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["4-NOT SPECIFIED"] * 3, pa.string()),
+    }), d / "orders.parquet")
+
+    def run():
+        return _norm(_to_pandas(R.q13_customer_distribution(str(d))))
+
+    ref = run()
+    assert len(ref) == 1
+    assert int(ref["c_count"].iloc[0]) == 0
+    assert int(ref["custdist"].iloc[0]) == 7
+    olds = (R.SEMI_BROADCAST_KEY_CAP, R.COALESCE_KEY_CAP)
+    try:
+        R.SEMI_BROADCAST_KEY_CAP = -1
+        R.COALESCE_KEY_CAP = -1
+        alt = run()
+    finally:
+        R.SEMI_BROADCAST_KEY_CAP, R.COALESCE_KEY_CAP = olds
+    pd.testing.assert_frame_equal(ref, alt)
 
 
 def test_lang_balance_explicit_cap(ray_session):
