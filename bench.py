@@ -74,6 +74,11 @@ _EXTENDED = [
     "q21_lone_late_suppliers",
     "q9_product_profit",
     "gopher_filter_docs",
+    # round-4 continuation: TPC-H 22/22 proper + curation ranks
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "lang_balance_docs",
+    "curriculum_order_docs",
 ]
 
 
