@@ -6632,9 +6632,24 @@ def q11_important_parts(sf_dir: str, *, permille: int = 2,
         v = batch.column("value_cents").to_numpy()
         return batch.filter(pa.array(1000 * v > permille * total))
 
-    return per_part.map_batches(
+    kept = per_part.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
+    )
+    # driver-side finalize: at most 1000 // permille parts can each
+    # exceed permille/1000 of the total (pigeonhole), so the result is
+    # bounded at any corpus size — and a pa.Table keeps its schema at
+    # 0 rows, where Dataset.to_pandas() drops it and the driver's
+    # column compare fails against the 0-row oracle
+    pk, vc = [], []
+    for r in kept.take_all():
+        pk.append(int(r["l_partkey"]))
+        vc.append(int(r["value_cents"]))
+    return pa.table(
+        {
+            "l_partkey": pa.array(pk, pa.int64()),
+            "value_cents": pa.array(vc, pa.int64()),
+        }
     )
 
 
