@@ -1251,7 +1251,7 @@ def test_q9_star_paths_agree(ray_session):
     assert len(ref) > 0
 
 
-RELATIONAL_QUERIES = [
+TPCH_BATCH_QUERIES = [
     "q1_pricing_summary", "orders_by_status", "top_customers",
     "customers_per_region", "high_value_lineitems",
     "distinct_order_customers", "parts_top_price", "q3_top_orders",
@@ -1277,7 +1277,7 @@ TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 @pytest.fixture(scope="module")
-def adversarial_tpch_dir(tmp_path_factory):
+def adversarial_tpch_batch_dir(tmp_path_factory):
     """Synthetic TPC-H tables built to stress the relational shapes'
     edge cases the driver testdata can't: customers with NO orders,
     orders with NO lineitems, a hot customer and a hot order (skew),
@@ -1459,17 +1459,17 @@ def adversarial_tpch_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+@pytest.mark.parametrize("name", TPCH_BATCH_QUERIES)
 def test_relational_queries_on_adversarial_tpch(
-    ray_session, adversarial_tpch_dir, name
+    ray_session, adversarial_tpch_batch_dir, name
 ):
     entry = __import__("__ray_entry__")
-    got = _norm(_to_pandas(entry.queries()[name](adversarial_tpch_dir)))
+    got = _norm(_to_pandas(entry.queries()[name](adversarial_tpch_batch_dir)))
     con = duckdb.connect()
     for t in TPCH_TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{adversarial_tpch_dir}/{t}.parquet')"
+            f"read_parquet('{adversarial_tpch_batch_dir}/{t}.parquet')"
         )
     want = _norm(con.sql(entry.oracle_sql()[name]).df())
     con.close()
