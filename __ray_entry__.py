@@ -27,6 +27,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from hexhamming_ray.pipelines import relational as R
+    from hexhamming_ray.pipelines import strmatch as SM
     from hexhamming_ray.pipelines import text as T
     from hexhamming_ray.stages import annsearch as A
 
@@ -40,6 +41,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # their original relative order.  Cumulative driver coverage across
     # rounds therefore reaches all 113.
     return {
+        # --- round-4 fuzzy-ER family (tier-central, new this round:
+        # sorted-neighborhood blocking + DuckDB-bit-exact Levenshtein /
+        # Jaro-Winkler kernels + transitive fuzzy clusters) ---
+        "sorted_neighborhood_pairs": SM.sorted_neighborhood_pairs,
+        "fuzzy_match_levenshtein": SM.fuzzy_match_levenshtein,
+        "fuzzy_match_jw": SM.fuzzy_match_jw,
+        "er_fuzzy_clusters": SM.er_fuzzy_clusters,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
         "pack_sequences": T.pack_sequences,
@@ -233,8 +241,62 @@ def _media_frame_index_q(sf_dir: str):
     return media_frame_index(500)
 
 
+_SN_CTE = (
+    "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+    " FROM documents), "
+    "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+    " (ORDER BY key, doc_id) AS rn FROM k) "
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # sorted-neighborhood blocking: all pairs within 4 positions of
+        # (key, doc_id) rank order, key = first 24 chars (ASCII corpus:
+        # DuckDB char semantics == engine byte semantics)
+        "sorted_neighborhood_pairs": (
+            _SN_CTE
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(b.rn - a.rn AS BIGINT) AS gap "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4"
+        ),
+        # candidates scored with byte Levenshtein (engine kernel pinned
+        # bit-exact vs DuckDB in tests/test_strsim.py)
+        "fuzzy_match_levenshtein": (
+            _SN_CTE
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(levenshtein(a.key, b.key) AS BIGINT) AS lev_dist "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE levenshtein(a.key, b.key) <= 6"
+        ),
+        # candidates scored with Jaro-Winkler (byte-level, boost only
+        # above jaro 0.7 — the DuckDB semantics, kernel bit-exact)
+        "fuzzy_match_jw": (
+            _SN_CTE
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88"
+        ),
+        # transitive fuzzy clusters: recursive-CTE min-label closure of
+        # the JW match edges; isolated docs label themselves
+        "er_fuzzy_clusters": (
+            "WITH RECURSIVE "
+            "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            " UNION "
+            " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a) "
+            "SELECT id AS doc_id, CAST(MIN(rr) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY id"
+        ),
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents"

@@ -1,0 +1,320 @@
+"""Fuzzy entity resolution over documents: SORTED-NEIGHBORHOOD
+blocking + vectorized edit-distance / Jaro-Winkler scoring +
+transitive fuzzy clusters.
+
+The classic record-linkage repertoire the LSH family doesn't cover
+(reference scope: hexhamming's pairwise scorer feeds a blocking +
+scoring + clustering system; this module adds the string-similarity
+scorers with DuckDB-exact semantics — the kernels in
+functions/strsim.py are pinned bit-exact against DuckDB's
+``levenshtein`` / ``jaro_winkler_similarity``).
+
+Scale shape (all stages):
+
+1. Blocking key = the first ``key_len`` bytes of each document
+   (ASCII corpus; DuckDB ``substring`` and byte slicing agree, see
+   TESTDATA probe). Text never moves — only (doc_id, key) rows.
+2. Global rank in (key, doc_id) order via the distributed prefix-sum
+   rank machinery (ENGINEERING_NOTES #68: ``_bucket_counts`` +
+   exclusive prefix + ONE keyed exchange + per-block run-reset).
+   Buckets are the key's top 12 bits — 4096 ordered byte ranges by
+   construction, no boundary sampling pass. The driver holds O(4096)
+   ints, never O(docs).
+3. Neighbor pairs: each ranked row routes to group ``rn // span``
+   and ADDITIONALLY to the previous group when it sits in the first
+   ``window`` ranks of its own (the overlap replication that makes
+   every (rn, rn+k<=window) pair co-resident); ONE keyed exchange of
+   narrow (doc_id, key, rn, grp) rows, then per-block vectorized
+   emission + scoring — candidates never leave the block they were
+   formed in, and the scorer runs inside the same map (no extra
+   stage, no key re-join).
+
+Candidate volume is window-bounded (n * window pairs corpus-wide) —
+the sorted-neighborhood guarantee that makes O(L^2) edit distance
+affordable at scale: it runs on key prefixes of ``key_len <= 64``
+bytes over a linear number of pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hexhamming_ray.functions.strsim import (
+    jaro_winkler_batch,
+    levenshtein_batch,
+    pad_matrix,
+)
+
+# key's top-12-bits bucket space for the rank histogram (4096 ordered
+# ranges; histogram coalesce ships n_buckets rows per block)
+_N_BUCKETS = 4096
+
+
+def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
+                     num_partitions: int | None = None):
+    """Shared sorted-neighborhood machinery: rank docs by (key,
+    doc_id), emit all (a, b) pairs with rank gap <= ``window``, and
+    apply ``scorer(amat, alen, bmat, blen, gaps) -> (keep_mask,
+    extra_cols)`` inside the pair block. ``scorer=None`` emits the
+    raw blocking pairs with their rank gap."""
+    from hexhamming_ray.pipelines.text import (
+        _bucket_counts,
+        _default_partitions,
+        _docs,
+        _run_reset_within,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        keys = pc.utf8_slice_codeunits(
+            batch.column("text"), 0, key_len
+        )
+        mat, _ = pad_matrix(keys, width=2)
+        bucket = mat[:, 0].astype(np.int64) * 16 + (
+            mat[:, 1].astype(np.int64) >> 4
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "key": keys,
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    keyed = (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(key_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()  # consumed twice: histogram pass + rank pass
+    )
+
+    counts = _bucket_counts(keyed, _N_BUCKETS)
+    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(counts.sum())
+    span = max(-(-total // num_partitions), window + 1)
+
+    empty_ranked = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "key": pa.array([], pa.string()),
+            "rn": pa.array([], pa.int64()),
+            "grp": pa.array([], pa.int64()),
+        }
+    )
+
+    def rank_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return empty_ranked
+        ids = batch.column("doc_id").to_numpy()
+        key_col = batch.column("key")
+        mat, _ = pad_matrix(key_col, width=key_len)
+        skey = np.ascontiguousarray(mat).view(f"S{key_len}").ravel()
+        bk = batch.column("bucket").to_numpy()
+        # memcmp order == padded fixed-width order (no NUL bytes in
+        # text); bucket is monotone in key so runs stay contiguous
+        order = np.lexsort((ids, skey))
+        bk_s = bk[order]
+        rn = bases[bk_s] + _run_reset_within(bk_s)
+        grp = rn // span
+        key_s = key_col.take(pa.array(order, pa.int64()))
+        ids_s = pa.array(ids[order], pa.int64())
+        out = pa.table(
+            {
+                "doc_id": ids_s,
+                "key": key_s,
+                "rn": pa.array(rn, pa.int64()),
+                "grp": pa.array(grp, pa.int64()),
+            }
+        )
+        # overlap replication: first `window` ranks of a group also
+        # serve as right-neighbors of the previous group
+        dup = (rn % span < window) & (grp > 0)
+        if dup.any():
+            di = np.flatnonzero(dup)
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "doc_id": ids_s.take(pa.array(di, pa.int64())),
+                            "key": key_s.take(pa.array(di, pa.int64())),
+                            "rn": pa.array(rn[di], pa.int64()),
+                            "grp": pa.array(grp[di] - 1, pa.int64()),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    # sort=False on both exchanges: the per-block maps lexsort
+    # themselves, and a sorted finalize raises on the EMPTY partitions
+    # a small input leaves behind (ENGINEERING_NOTES #62: schema-less
+    # empty hash partitions cannot be sort_by'd)
+    ranked = (
+        keyed.repartition(
+            num_blocks=min(num_partitions, _N_BUCKETS),
+            keys=["bucket"],
+        )
+        .map_batches(rank_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["grp"])
+    )
+
+    base_cols = [("a_id", pa.int64()), ("b_id", pa.int64()),
+                 ("gap", pa.int64())]
+    extra_schema = scorer.schema if scorer is not None else []
+    empty_pairs = pa.table(
+        {
+            n: pa.array([], t)
+            for n, t in (base_cols if scorer is None
+                         else base_cols[:2] + extra_schema)
+        }
+    )
+
+    def pair_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return empty_pairs
+        rn = batch.column("rn").to_numpy()
+        grp = batch.column("grp").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        # a block may hold several whole groups (and each rank can
+        # appear twice: native + prev-group copy) — sort by (grp, rn)
+        # so pairing never crosses a routing group and never dups
+        order = np.lexsort((rn, grp))
+        rn_s, grp_s, ids_s = rn[order], grp[order], ids[order]
+        native = (rn_s // span) == grp_s
+        a_idx, b_idx, gaps = [], [], []
+        for k in range(1, window + 1):
+            if k >= m:
+                break
+            mask = (
+                native[:-k]
+                & (grp_s[k:] == grp_s[:-k])
+                & (rn_s[k:] - rn_s[:-k] == k)
+            )
+            sel = np.flatnonzero(mask)
+            a_idx.append(sel)
+            b_idx.append(sel + k)
+            gaps.append(np.full(sel.shape[0], k, dtype=np.int64))
+        if not a_idx:
+            return empty_pairs
+        a_i = np.concatenate(a_idx)
+        b_i = np.concatenate(b_idx)
+        gap = np.concatenate(gaps)
+        cols = {
+            "a_id": pa.array(ids_s[a_i], pa.int64()),
+            "b_id": pa.array(ids_s[b_i], pa.int64()),
+        }
+        if scorer is None:
+            cols["gap"] = pa.array(gap, pa.int64())
+            return pa.table(cols)
+        key_sorted = batch.column("key").take(pa.array(order, pa.int64()))
+        mat, lens = pad_matrix(key_sorted, width=key_len)
+        keep, extra = scorer(
+            mat[a_i], lens[a_i], mat[b_i], lens[b_i], gap
+        )
+        sel = np.flatnonzero(keep)
+        out = {
+            "a_id": pa.array(ids_s[a_i][sel], pa.int64()),
+            "b_id": pa.array(ids_s[b_i][sel], pa.int64()),
+        }
+        for (name, typ), arr in zip(scorer.schema, extra):
+            out[name] = pa.array(arr[sel], typ)
+        return pa.table(out)
+
+    return ranked.map_batches(
+        pair_block, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def sorted_neighborhood_pairs(sf_dir: str, *, key_len: int = 24,
+                              window: int = 4):
+    """The blocking operator itself: all document pairs within
+    ``window`` positions of each other in (key, doc_id) rank order,
+    key = first ``key_len`` chars. (a_id, b_id, gap) — oracle is the
+    ROW_NUMBER self-join on rank difference."""
+    return _sn_scored_pairs(sf_dir, key_len, window, None)
+
+
+class _LevScorer:
+    schema = [("lev_dist", pa.int64())]
+
+    def __init__(self, max_dist: int):
+        self.max_dist = max_dist
+
+    def __call__(self, amat, alen, bmat, blen, gaps):
+        lev = levenshtein_batch(amat, alen, bmat, blen)
+        return lev <= self.max_dist, [lev]
+
+
+class _JwScorer:
+    schema = [("jw_sim", pa.float64())]
+
+    def __init__(self, min_sim: float):
+        self.min_sim = min_sim
+
+    def __call__(self, amat, alen, bmat, blen, gaps):
+        jw = jaro_winkler_batch(amat, alen, bmat, blen)
+        return jw >= self.min_sim, [jw]
+
+
+def fuzzy_match_levenshtein(sf_dir: str, *, key_len: int = 24,
+                            window: int = 4, max_dist: int = 6):
+    """Sorted-neighborhood candidates scored with exact byte
+    Levenshtein over the blocking key, kept when <= ``max_dist``.
+    (a_id, b_id, lev_dist) — value-oracled against DuckDB's
+    ``levenshtein`` on the identical candidate set."""
+    return _sn_scored_pairs(sf_dir, key_len, window,
+                            _LevScorer(max_dist))
+
+
+def fuzzy_match_jw(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                   min_sim: float = 0.88):
+    """Sorted-neighborhood candidates scored with Jaro-Winkler
+    similarity (DuckDB-bit-exact kernel: byte-level, boost only above
+    jaro 0.7), kept when >= ``min_sim``. (a_id, b_id, jw_sim)."""
+    return _sn_scored_pairs(sf_dir, key_len, window,
+                            _JwScorer(min_sim))
+
+
+def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
+                      window: int = 4, min_sim: float = 0.88):
+    """Transitive fuzzy-duplicate clusters: Jaro-Winkler match pairs
+    as edges -> the distributed union-find -> every document labeled
+    with its component's min doc_id (isolated docs label themselves).
+    (doc_id, cluster_id) — the recursive-CTE closure over the same
+    SQL pair set is the value oracle. Label assignment is the shared
+    size-switched :func:`~hexhamming_ray.state.unionfind.label_nodes`
+    (broadcast under the cap, sorted-run remap above it)."""
+    from hexhamming_ray.pipelines.text import _docs
+    from hexhamming_ray.stages.annsearch import GRAPH_LABEL_BROADCAST_CAP
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        label_nodes,
+    )
+
+    pairs = fuzzy_match_jw(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim
+    )
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_lo": batch.column("a_id").cast(pa.int64()),
+                "id_hi": batch.column("b_id").cast(pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        as_edges, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    labels = connected_components(edges)
+    nodes = _docs(sf_dir, ["doc_id"])
+    return label_nodes(labels, nodes, "doc_id", "cluster_id",
+                       broadcast_cap=GRAPH_LABEL_BROADCAST_CAP)

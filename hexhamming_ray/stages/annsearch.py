@@ -1100,95 +1100,18 @@ def graph_components(sf_dir: str, *, threshold: float = 0.45):
     import ray
 
     from hexhamming_ray import read_num_blocks
-    from hexhamming_ray.state.unionfind import connected_components
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        label_nodes,
+    )
 
     edges = embedding_near_dup_pairs(sf_dir, threshold=threshold)
-    labels = connected_components(edges).materialize()
+    labels = connected_components(edges)
 
     path = f"{sf_dir}/embeddings.parquet"
     nodes = ray.data.read_parquet(  # pruned: the id column only
         path, columns=["vec_id"],
         override_num_blocks=read_num_blocks(path),
     )
-
-    if labels.count() <= GRAPH_LABEL_BROADCAST_CAP:
-        from hexhamming_ray.pipelines.text import _gather_table
-
-        tbl = _gather_table(
-            labels,
-            pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())]),
-        )
-        nid = tbl.column("node").to_numpy()
-        order = np.argsort(nid)
-        lut_ref = ray.put(
-            (nid[order], tbl.column("cluster_id").to_numpy()[order])
-        )
-
-        class _LabelLookup:
-            def __init__(self, ref):
-                self.ref = ref
-                self._lut = None
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                if self._lut is None:
-                    self._lut = ray.get(self.ref)
-                from hexhamming_ray.pipelines.relational import _lut_probe
-
-                ks, lab = self._lut
-                ids = batch.column("vec_id").to_numpy()
-                pos, hit = _lut_probe(ks, ids)
-                comp = np.where(hit, lab[pos], ids)
-                return pa.table(
-                    {
-                        "vec_id": pa.array(ids, pa.int64()),
-                        "component": pa.array(comp, pa.int64()),
-                    }
-                )
-
-        return nodes.map_batches(
-            _LabelLookup(lut_ref), batch_format="pyarrow",
-            zero_copy_batch=True, batch_size=None,
-        )
-
-    # scale path: distributed remap — labels become a (src, dst)
-    # mapping dataset, nodes carry themselves as payload, one tagged
-    # union + sorted-run rewrite assigns components; unmapped nodes
-    # (isolated) keep their own id. Nothing label- or corpus-sized
-    # ever reaches the driver.
-    from hexhamming_ray.state.unionfind import _remap_column
-
-    def as_mapping(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": batch.column("node").cast(pa.int64()),
-                "dst": batch.column("cluster_id").cast(pa.int64()),
-            }
-        )
-
-    mapping = labels.map_batches(
-        as_mapping, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    )
-
-    def dup_id(batch: pa.Table) -> pa.Table:
-        vid = batch.column("vec_id").cast(pa.int64())
-        return pa.table({"comp": vid, "vec_id": vid})
-
-    ids = nodes.map_batches(
-        dup_id, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    )
-    remapped = _remap_column(ids, "comp", "vec_id", mapping)
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id").cast(pa.int64()),
-                "component": batch.column("comp").cast(pa.int64()),
-            }
-        )
-
-    return remapped.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    )
+    return label_nodes(labels, nodes, "vec_id", "component",
+                       broadcast_cap=GRAPH_LABEL_BROADCAST_CAP)

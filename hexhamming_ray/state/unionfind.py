@@ -430,6 +430,103 @@ def _rewrite_group_factory(col: str, payload: str):
     return rewrite
 
 
+def label_nodes(labels, nodes, id_col: str, out_col: str, *,
+                broadcast_cap: int):
+    """Assign each node its component label, self-labelling isolated
+    nodes: ``(id_col, out_col)`` from a ``(node, cluster_id)`` labels
+    Dataset over a node Dataset carrying ``id_col``. SIZE-SWITCHED
+    like every broadcast plan in the repo: under ``broadcast_cap``
+    label rows the table is gathered once and broadcast (one clamped
+    ``_lut_probe`` gather per batch); above it the ER pipeline's
+    sort-based tagged-union remap (:func:`_remap_column`) runs with
+    the driver holding NOTHING — the correct default for an arbitrary
+    100 TB edge list. Shared by ``annsearch.graph_components`` and
+    ``strmatch.er_fuzzy_clusters``; the forced-fallback tests pin both
+    paths value-equal."""
+    import ray
+
+    labels = labels.materialize()
+
+    if labels.count() <= broadcast_cap:
+        from hexhamming_ray.pipelines.text import _gather_table
+
+        tbl = _gather_table(
+            labels,
+            pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())]),
+        )
+        nid = tbl.column("node").to_numpy()
+        order = np.argsort(nid)
+        lut_ref = ray.put(
+            (nid[order], tbl.column("cluster_id").to_numpy()[order])
+        )
+
+        class _LabelLookup:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                from hexhamming_ray.pipelines.relational import _lut_probe
+
+                ks, lab = self._lut
+                ids = batch.column(id_col).cast(pa.int64()).to_numpy()
+                pos, hit = _lut_probe(ks, ids)
+                comp = np.where(hit, lab[pos], ids)
+                return pa.table(
+                    {
+                        id_col: pa.array(ids, pa.int64()),
+                        out_col: pa.array(comp, pa.int64()),
+                    }
+                )
+
+        return nodes.map_batches(
+            _LabelLookup(lut_ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+
+    # scale path: labels become a (src, dst) mapping dataset, nodes
+    # carry themselves as payload, one tagged union + sorted-run
+    # rewrite assigns components; unmapped (isolated) nodes keep their
+    # own id. Nothing label- or corpus-sized ever reaches the driver.
+    def as_mapping(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("node").cast(pa.int64()),
+                "dst": batch.column("cluster_id").cast(pa.int64()),
+            }
+        )
+
+    mapping = labels.map_batches(
+        as_mapping, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def dup_id(batch: pa.Table) -> pa.Table:
+        nid_ = batch.column(id_col).cast(pa.int64())
+        return pa.table({"comp": nid_, id_col: nid_})
+
+    ids_ds = nodes.map_batches(
+        dup_id, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    remapped = _remap_column(ids_ds, "comp", id_col, mapping)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                out_col: batch.column("comp").cast(pa.int64()),
+            }
+        )
+
+    return remapped.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def unionfind_local(pairs) -> dict[int, int]:
     """Plain-Python oracle union-find for tests (path compression)."""
     parent: dict[int, int] = {}

@@ -1,0 +1,169 @@
+"""Conformance and structure tests for the fuzzy-ER family:
+functions/strsim.py kernels pinned bit-exact against DuckDB's
+levenshtein / jaro_winkler_similarity, and the sorted-neighborhood
+machinery's partition- and path-invariance."""
+
+import os
+import random
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hexhamming_ray.functions.strsim import (  # noqa: E402
+    jaro_winkler_batch,
+    levenshtein_batch,
+    pad_matrix,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EDGE_CASES = [
+    ("", ""),
+    ("a", ""),
+    ("", "a"),
+    ("abc", "abc"),
+    ("kitten", "sitting"),
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("duane", "dwayne"),
+    # Winkler boost boundary: jaro == 0.6 < 0.7 -> NO boost (DuckDB)
+    ("abcdxxxxxx", "abcdyyyyyy"),
+    # heavy transpositions
+    ("abcdef", "badcfe"),
+    ("aaaa", "aaaa"),
+    ("ab", "ba"),
+]
+
+
+def _rand_cases(n, seed=11, alphabet="abcdefgh XYZ#123", max_len=14):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        la, lb = rng.randint(0, max_len), rng.randint(0, max_len)
+        out.append(
+            (
+                "".join(rng.choice(alphabet) for _ in range(la)),
+                "".join(rng.choice(alphabet) for _ in range(lb)),
+            )
+        )
+    return out
+
+
+def _duck_ref(cases):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, a VARCHAR, b VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, x, y) for i, (x, y) in enumerate(cases)],
+    )
+    ref = con.sql(
+        "SELECT levenshtein(a, b), jaro_winkler_similarity(a, b) "
+        "FROM t ORDER BY i"
+    ).fetchall()
+    con.close()
+    return ref
+
+
+def _kernels(cases):
+    a = pa.array([c[0] for c in cases])
+    b = pa.array([c[1] for c in cases])
+    amat, alen = pad_matrix(a)
+    bmat, blen = pad_matrix(b)
+    return (
+        levenshtein_batch(amat, alen, bmat, blen),
+        jaro_winkler_batch(amat, alen, bmat, blen),
+    )
+
+
+def test_kernels_bit_exact_vs_duckdb():
+    """4k random + edge cases: Levenshtein equal as ints, Jaro-Winkler
+    equal as exact doubles (same formula, same op order)."""
+    cases = EDGE_CASES + _rand_cases(4000)
+    lev, jw = _kernels(cases)
+    ref = _duck_ref(cases)
+    for i, (rl, rj) in enumerate(ref):
+        assert int(lev[i]) == rl, (cases[i], int(lev[i]), rl)
+        assert float(jw[i]) == rj, (cases[i], float(jw[i]), rj)
+
+
+def test_kernels_low_alphabet_sweep():
+    """2-letter alphabet maximizes matches/transposition collisions —
+    the hard corner of the greedy Jaro matcher."""
+    cases = _rand_cases(2000, seed=23, alphabet="ab", max_len=10)
+    lev, jw = _kernels(cases)
+    ref = _duck_ref(cases)
+    for i, (rl, rj) in enumerate(ref):
+        assert int(lev[i]) == rl
+        assert float(jw[i]) == rj
+
+
+def test_levenshtein_symmetry_and_bounds():
+    cases = _rand_cases(500, seed=5)
+    lev_ab, _ = _kernels(cases)
+    lev_ba, _ = _kernels([(b, a) for a, b in cases])
+    assert (lev_ab == lev_ba).all()
+    la = np.array([len(a) for a, _ in cases])
+    lb = np.array([len(b) for _, b in cases])
+    assert (lev_ab >= np.abs(la - lb)).all()
+    assert (lev_ab <= np.maximum(la, lb)).all()
+
+
+def test_pad_matrix_width_clips():
+    mat, lens = pad_matrix(pa.array(["abcdef", "x", ""]), width=3)
+    assert mat.shape == (3, 3)
+    assert bytes(mat[0]) == b"abc"
+    assert list(lens) == [3, 1, 0]
+
+
+def test_sorted_neighborhood_partition_invariance(ray_session):
+    """The overlap-replication pair emission must be identical at any
+    partitioning: span=very small (many group boundaries) vs one
+    group. Pins the grp-equality / native-row dedup logic."""
+    from hexhamming_ray.pipelines.strmatch import (
+        _sn_scored_pairs,
+    )
+
+    def run(nparts):
+        return (
+            _sn_scored_pairs(SF_DIR, 24, 4, None, num_partitions=nparts)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    one = run(1)
+    many = run(64)  # span ~8 at 500 docs: boundaries every 8 ranks
+    pd.testing.assert_frame_equal(one, many)
+    assert len(one) > 0
+
+
+def test_er_fuzzy_clusters_label_paths_agree(ray_session):
+    """er_fuzzy_clusters uses the shared size-switched label_nodes:
+    the broadcast lookup (default at test scale) and the distributed
+    sorted-run remap must produce IDENTICAL clusters."""
+    from hexhamming_ray.pipelines import strmatch as SM
+    from hexhamming_ray.stages import annsearch as A
+
+    def run():
+        return (
+            SM.er_fuzzy_clusters(SF_DIR)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    old = A.GRAPH_LABEL_BROADCAST_CAP
+    try:
+        A.GRAPH_LABEL_BROADCAST_CAP = -1  # force the distributed remap
+        remap = run()
+    finally:
+        A.GRAPH_LABEL_BROADCAST_CAP = old
+    pd.testing.assert_frame_equal(broadcast, remap)
+    assert broadcast.cluster_id.nunique() < len(broadcast)  # real merges
