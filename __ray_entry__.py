@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": SM.sorted_neighborhood_pairs,
         "fuzzy_match_levenshtein": SM.fuzzy_match_levenshtein,
         "fuzzy_match_jw": SM.fuzzy_match_jw,
+        "fuzzy_match_multikey": SM.fuzzy_match_multikey,
         "er_fuzzy_clusters": SM.er_fuzzy_clusters,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
@@ -277,6 +278,28 @@ def oracle_sql() -> dict[str, str]:
             "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
             "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
             "WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88"
+        ),
+        # multi-pass blocking: prefix + reversed-suffix key passes,
+        # each JW-scored on its own key, union-deduped as unordered
+        # (id_lo, id_hi) pairs
+        "fuzzy_match_multikey": (
+            "WITH k1 AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r1 AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k1), "
+            "k2 AS (SELECT doc_id, substring(reverse(text), 1, 24) "
+            " AS key FROM documents), "
+            "r2 AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k2), "
+            "p1 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM r1 a "
+            " JOIN r1 b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "p2 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM r2 a "
+            " JOIN r2 b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88) "
+            "SELECT LEAST(a, b) AS id_lo, GREATEST(a, b) AS id_hi "
+            "FROM p1 UNION "
+            "SELECT LEAST(a, b), GREATEST(a, b) FROM p2"
         ),
         # transitive fuzzy clusters: recursive-CTE min-label closure of
         # the JW match edges; isolated docs label themselves

@@ -52,12 +52,16 @@ _N_BUCKETS = 4096
 
 
 def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
-                     num_partitions: int | None = None):
+                     num_partitions: int | None = None,
+                     key_mode: str = "prefix"):
     """Shared sorted-neighborhood machinery: rank docs by (key,
     doc_id), emit all (a, b) pairs with rank gap <= ``window``, and
     apply ``scorer(amat, alen, bmat, blen, gaps) -> (keep_mask,
     extra_cols)`` inside the pair block. ``scorer=None`` emits the
-    raw blocking pairs with their rank gap."""
+    raw blocking pairs with their rank gap. ``key_mode="suffix_rev"``
+    keys on the REVERSED text's first ``key_len`` codepoints (the
+    classic multi-pass trick: a second pass that survives edits at
+    the front of the record)."""
     from hexhamming_ray.pipelines.text import (
         _bucket_counts,
         _default_partitions,
@@ -68,9 +72,10 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
     num_partitions = num_partitions or _default_partitions()
 
     def key_rows(batch: pa.Table) -> pa.Table:
-        keys = pc.utf8_slice_codeunits(
-            batch.column("text"), 0, key_len
-        )
+        text = batch.column("text")
+        if key_mode == "suffix_rev":
+            text = pc.utf8_reverse(text)  # == DuckDB reverse()
+        keys = pc.utf8_slice_codeunits(text, 0, key_len)
         mat, _ = pad_matrix(keys, width=2)
         bucket = mat[:, 0].astype(np.int64) * 16 + (
             mat[:, 1].astype(np.int64) >> 4
@@ -110,8 +115,10 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
             return empty_ranked
         ids = batch.column("doc_id").to_numpy()
         key_col = batch.column("key")
-        mat, _ = pad_matrix(key_col, width=key_len)
-        skey = np.ascontiguousarray(mat).view(f"S{key_len}").ravel()
+        # natural (per-block max) width: keys are key_len CODEPOINTS,
+        # so multibyte text can exceed key_len bytes — never clip
+        mat, _ = pad_matrix(key_col)
+        skey = np.ascontiguousarray(mat).view(f"S{mat.shape[1]}").ravel()
         bk = batch.column("bucket").to_numpy()
         # memcmp order == padded fixed-width order (no NUL bytes in
         # text); bucket is monotone in key so runs stay contiguous
@@ -213,7 +220,7 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
             cols["gap"] = pa.array(gap, pa.int64())
             return pa.table(cols)
         key_sorted = batch.column("key").take(pa.array(order, pa.int64()))
-        mat, lens = pad_matrix(key_sorted, width=key_len)
+        mat, lens = pad_matrix(key_sorted)  # natural width: see above
         keep, extra = scorer(
             mat[a_i], lens[a_i], mat[b_i], lens[b_i], gap
         )
@@ -280,6 +287,73 @@ def fuzzy_match_jw(sf_dir: str, *, key_len: int = 24, window: int = 4,
     jaro 0.7), kept when >= ``min_sim``. (a_id, b_id, jw_sim)."""
     return _sn_scored_pairs(sf_dir, key_len, window,
                             _JwScorer(min_sim))
+
+
+def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,
+                         window: int = 4, min_sim: float = 0.88):
+    """Multi-pass sorted-neighborhood matching (the classic fix for
+    single-key blocking's blind spot: an edit INSIDE the blocking key
+    moves a record out of its neighborhood). Two passes — prefix key
+    and reversed-suffix key — each scored with Jaro-Winkler on its own
+    key, pairs normalized to (id_lo, id_hi) and union-deduped with ONE
+    keyed exchange of 16-byte rows + per-block run dedup. Pair volume
+    stays linear (2 * n * window candidates corpus-wide)."""
+    passes = [
+        fuzzy_match_jw(
+            sf_dir, key_len=key_len, window=window, min_sim=min_sim
+        ),
+        _sn_scored_pairs(sf_dir, key_len, window, _JwScorer(min_sim),
+                         key_mode="suffix_rev"),
+    ]
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"id_lo": pa.array([], pa.int64()),
+         "id_hi": pa.array([], pa.int64())}
+    )
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        head = np.ones(lo_s.shape[0], dtype=bool)
+        head[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+        return pa.table(
+            {
+                "id_lo": pa.array(lo_s[head], pa.int64()),
+                "id_hi": pa.array(hi_s[head], pa.int64()),
+            }
+        )
+
+    u = passes[0].map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        passes[1].map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    return u.repartition(
+        num_blocks=_default_partitions(), keys=["id_lo", "id_hi"]
+    ).map_batches(
+        dedup_block, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
 
 
 def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,

@@ -279,6 +279,8 @@ DOC_QUERIES = [
     "gopher_filter_docs", "docs_except_all", "docs_intersect_all",
     "docs_orc_roundtrip", "docs_feather_roundtrip", "sample_k_docs",
     "lang_balance_docs", "curriculum_order_docs",
+    "sorted_neighborhood_pairs", "fuzzy_match_levenshtein",
+    "fuzzy_match_jw", "fuzzy_match_multikey", "er_fuzzy_clusters",
 ]
 
 
