@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_jw": SM.fuzzy_match_jw,
         "fuzzy_match_multikey": SM.fuzzy_match_multikey,
         "er_fuzzy_clusters": SM.er_fuzzy_clusters,
+        "fuzzy_dedup_survivors": SM.fuzzy_dedup_survivors,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
         "pack_sequences": T.pack_sequences,
@@ -319,6 +320,29 @@ def oracle_sql() -> dict[str, str]:
             " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a) "
             "SELECT id AS doc_id, CAST(MIN(rr) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY id"
+        ),
+        # keep-longest survivor per fuzzy cluster (ties -> min doc_id)
+        "fuzzy_dedup_survivors": (
+            "WITH RECURSIVE "
+            "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            " UNION "
+            " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a), "
+            "c AS (SELECT id AS doc_id, CAST(MIN(rr) AS BIGINT) "
+            " AS cluster_id FROM reach GROUP BY id), "
+            "j AS (SELECT c.doc_id, c.cluster_id, d.n_chars, "
+            " ROW_NUMBER() OVER (PARTITION BY c.cluster_id "
+            "  ORDER BY d.n_chars DESC, c.doc_id) AS rk "
+            " FROM c JOIN documents d ON d.doc_id = c.doc_id) "
+            "SELECT doc_id, cluster_id, n_chars FROM j WHERE rk = 1"
         ),
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "

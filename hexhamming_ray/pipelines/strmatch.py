@@ -356,6 +356,114 @@ def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def fuzzy_dedup_survivors(sf_dir: str, *, key_len: int = 24,
+                          window: int = 4, min_sim: float = 0.88):
+    """The curation ACTION over fuzzy clusters: keep ONE survivor per
+    cluster — the LONGEST document (ties -> min doc_id), the usual
+    keep-best-copy rule when near-duplicates differ by truncation.
+    (doc_id, cluster_id, n_chars).
+
+    Shape: cluster labels join their documents' n_chars by a tagged
+    union + ONE doc_id-keyed exchange (both sides contribute exactly
+    one narrow row per doc; no join operator, no broadcast), then one
+    cluster_id-keyed exchange and a per-block lexsort run-head pick.
+    Rows are 24 bytes throughout; text never moves."""
+    from hexhamming_ray.pipelines.text import _default_partitions, _docs
+
+    labels = er_fuzzy_clusters(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim
+    )
+
+    def tag_lab(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+                "n_chars": pa.nulls(len(batch), pa.int64()),
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cluster_id": pa.nulls(len(batch), pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    merged_schema = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return merged_schema
+        is_lab = pc.is_valid(batch.column("cluster_id")).to_numpy(
+            zero_copy_only=False
+        )
+        ids = batch.column("doc_id").to_numpy()
+        clu = batch.column("cluster_id").fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        nch = batch.column("n_chars").fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        lo = np.argsort(ids[is_lab])
+        do = np.argsort(ids[~is_lab])
+        # both sides carry exactly one row per doc_id of this block
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[is_lab][lo], pa.int64()),
+                "cluster_id": pa.array(clu[is_lab][lo], pa.int64()),
+                "n_chars": pa.array(nch[~is_lab][do], pa.int64()),
+            }
+        )
+
+    def pick_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return merged_schema
+        clu = batch.column("cluster_id").to_numpy()
+        nch = batch.column("n_chars").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -nch, clu))
+        clu_s = clu[order]
+        head = np.ones(clu_s.shape[0], dtype=bool)
+        head[1:] = clu_s[1:] != clu_s[:-1]
+        sel = order[head]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "cluster_id": pa.array(clu[sel], pa.int64()),
+                "n_chars": pa.array(nch[sel], pa.int64()),
+            }
+        )
+
+    nparts = _default_partitions()
+    u = labels.map_batches(
+        tag_lab, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True)
+        .map_batches(
+            tag_doc, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+    return (
+        u.repartition(num_blocks=nparts, keys=["doc_id"])
+        .map_batches(merge_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=nparts, keys=["cluster_id"])
+        .map_batches(pick_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
 def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
                       window: int = 4, min_sim: float = 0.88):
     """Transitive fuzzy-duplicate clusters: Jaro-Winkler match pairs
@@ -389,6 +497,9 @@ def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
         batch_size=None,
     )
     labels = connected_components(edges)
-    nodes = _docs(sf_dir, ["doc_id"])
+    # hash_shuffle: downstream consumers (fuzzy_dedup_survivors) build
+    # keyed repartitions on this lineage, and the DataContext snapshot
+    # is taken at ROOT creation
+    nodes = _docs(sf_dir, ["doc_id"], hash_shuffle=True)
     return label_nodes(labels, nodes, "doc_id", "cluster_id",
                        broadcast_cap=GRAPH_LABEL_BROADCAST_CAP)
