@@ -79,6 +79,11 @@ _EXTENDED = [
     "q13_customer_distribution",
     "lang_balance_docs",
     "curriculum_order_docs",
+    # round-4 fuzzy-ER family (sorted-neighborhood + strsim kernels)
+    "fuzzy_match_jw",
+    "fuzzy_match_multikey",
+    "er_fuzzy_clusters",
+    "fuzzy_dedup_survivors",
 ]
 
 
