@@ -472,8 +472,11 @@ def label_nodes(labels, nodes, id_col: str, out_col: str, *,
 
                 ks, lab = self._lut
                 ids = batch.column(id_col).cast(pa.int64()).to_numpy()
-                pos, hit = _lut_probe(ks, ids)
-                comp = np.where(hit, lab[pos], ids)
+                if lab.shape[0] == 0:  # no edges at all: all isolated
+                    comp = ids
+                else:
+                    pos, hit = _lut_probe(ks, ids)
+                    comp = np.where(hit, lab[pos], ids)
                 return pa.table(
                     {
                         id_col: pa.array(ids, pa.int64()),

@@ -151,3 +151,40 @@ def test_shingle_batch_vs_pergram_throughput(capsys):
 if __name__ == "__main__":
     for k, v in run_table().items():
         print(f"{k:42s} {v:12.1f}")
+
+
+def test_strsim_kernel_throughput(capsys):
+    """Vectorized edit-distance kernels (functions/strsim.py): the
+    loop is over KEY LENGTH, not pairs, so throughput must be far
+    above a per-pair Python DP. Floors absorb host noise; measured
+    ~1-3 M pair-scores/s at key_len 24 on this host."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from hexhamming_ray.functions.strsim import (
+        jaro_winkler_batch,
+        levenshtein_batch,
+        pad_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    raw = rng.integers(97, 123, (n, 24), dtype=np.uint8)
+    keys = pa.array([bytes(r).decode() for r in raw])
+    amat, alen = pad_matrix(keys)
+    order = rng.permutation(n)
+    bmat, blen = amat[order], alen[order]
+
+    t0 = time.perf_counter()
+    levenshtein_batch(amat, alen, bmat, blen)
+    lev_mps = n / (time.perf_counter() - t0) / 1e6
+    t0 = time.perf_counter()
+    jaro_winkler_batch(amat, alen, bmat, blen)
+    jw_mps = n / (time.perf_counter() - t0) / 1e6
+    with capsys.disabled():
+        print(f"\nlevenshtein_batch_24B_Mpairs_per_s   {lev_mps:10.2f}")
+        print(f"jaro_winkler_batch_24B_Mpairs_per_s  {jw_mps:10.2f}")
+    assert lev_mps > 0.05
+    assert jw_mps > 0.05

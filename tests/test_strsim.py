@@ -167,3 +167,46 @@ def test_er_fuzzy_clusters_label_paths_agree(ray_session):
         A.GRAPH_LABEL_BROADCAST_CAP = old
     pd.testing.assert_frame_equal(broadcast, remap)
     assert broadcast.cluster_id.nunique() < len(broadcast)  # real merges
+
+
+@pytest.mark.parametrize("n_docs", [0, 1, 3])
+def test_strmatch_tiny_corpora(ray_session, tmp_path, n_docs):
+    """Degenerate corpus sizes: fewer docs than the window (and the
+    empty corpus) must produce the oracle's result, not crash on
+    empty exchanges or all-empty rank buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["alpha doc one", "alpha doc two", "zeta doc"][:n_docs]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array(["s"] * n_docs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / f"tiny{n_docs}"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    entry = __import__("__ray_entry__")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for name in ["sorted_neighborhood_pairs", "fuzzy_match_jw",
+                 "fuzzy_match_multikey", "er_fuzzy_clusters",
+                 "fuzzy_dedup_survivors"]:
+        got = entry.queries()[name](str(d)).to_pandas()
+        want = con.sql(entry.oracle_sql()[name]).df()
+        assert len(got) == len(want), (name, len(got), len(want))
+        if len(want):
+            g = got[sorted(got.columns)].sort_values(
+                list(sorted(got.columns))).reset_index(drop=True)
+            w = want[sorted(want.columns)].sort_values(
+                list(sorted(want.columns))).reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    con.close()
