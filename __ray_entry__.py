@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_multikey": SM.fuzzy_match_multikey,
         "er_fuzzy_clusters": SM.er_fuzzy_clusters,
         "fuzzy_dedup_survivors": SM.fuzzy_dedup_survivors,
+        "er_fuzzy_eval": SM.er_fuzzy_eval,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
         "pack_sequences": T.pack_sequences,
@@ -320,6 +321,51 @@ def oracle_sql() -> dict[str, str]:
             " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a) "
             "SELECT id AS doc_id, CAST(MIN(rr) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY id"
+        ),
+        # pairwise precision/recall of the fuzzy clustering vs the
+        # exact-duplicate partition: intra-cluster pair counts of each
+        # labeling and of the joint refinement; integer-ppm ratios
+        "er_fuzzy_eval": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_lo, "
+            " GREATEST(a.doc_id, b.doc_id) AS id_hi "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "toks AS (SELECT doc_id, "
+            " regexp_extract_all(text, '\\S+') AS t FROM documents), "
+            "sh0 AS ( "
+            " SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+            " FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+            " WHERE len(t) >= 3 "
+            " UNION ALL "
+            " SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+            " WHERE len(t) BETWEEN 1 AND 2), "
+            "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+            "df AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= 64), "
+            "keep AS (SELECT shd.doc_id, shd.s FROM shd JOIN df USING (s)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep "
+            " GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+            " COUNT(*) AS c FROM keep a JOIN keep b "
+            " ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "tr AS (SELECT inter.id_lo, inter.id_hi FROM inter "
+            " JOIN sizes sa ON sa.doc_id = inter.id_lo "
+            " JOIN sizes sb ON sb.doc_id = inter.id_hi "
+            " WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5), "
+            "np_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pf), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tr), "
+            "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS v "
+            " FROM pf JOIN tr USING (id_lo, id_hi)) "
+            "SELECT np_.v AS pairs_pred, nt.v AS pairs_truth, "
+            "nb.v AS pairs_both, "
+            "CAST(CASE WHEN np_.v > 0 THEN 1000000 * nb.v // np_.v "
+            " ELSE 0 END AS BIGINT) AS precision_ppm, "
+            "CAST(CASE WHEN nt.v > 0 THEN 1000000 * nb.v // nt.v "
+            " ELSE 0 END AS BIGINT) AS recall_ppm "
+            "FROM np_, nt, nb"
         ),
         # keep-longest survivor per fuzzy cluster (ties -> min doc_id)
         "fuzzy_dedup_survivors": (

@@ -464,6 +464,112 @@ def fuzzy_dedup_survivors(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def er_fuzzy_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                  min_sim: float = 0.88):
+    """PAIR-LEVEL quality report of the fuzzy matcher against the
+    exact n-gram-Jaccard near-duplicate pair set (the ER evaluation
+    behind the north rule's F1 criterion, as a first-class query):
+    how many pairs the sorted-neighborhood + Jaro-Winkler matcher
+    predicts, how many the exact Jaccard >= 0.5 truth set contains,
+    their overlap, and integer-ppm precision/recall. ONE row:
+    (pairs_pred, pairs_truth, pairs_both, precision_ppm, recall_ppm).
+
+    Shape: both pair sets normalize to (id_lo, id_hi) and meet in ONE
+    keyed exchange of tagged 17-byte rows; the overlap is an
+    adjacent-duplicate count after a per-block lexsort (each side
+    emits an unordered pair at most once). Single-row partials
+    coalesce driver-side to five integers — nothing corpus-sized ever
+    leaves the workers."""
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        ngram_jaccard_exact,
+    )
+
+    pred = fuzzy_match_jw(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim
+    )
+    truth = ngram_jaccard_exact(sf_dir)
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "side": pa.array(np.zeros(len(a), np.int64()), pa.int64()),
+            }
+        )
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").cast(pa.int64()),
+                "id_hi": batch.column("id_hi").cast(pa.int64()),
+                "side": pa.array(np.ones(len(batch), np.int64()),
+                                 pa.int64()),
+            }
+        )
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_pred": pa.array([], pa.int64()),
+                "n_truth": pa.array([], pa.int64()),
+                "n_both": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        side = batch.column("side").to_numpy()
+        order = np.lexsort((side, hi, lo))
+        lo_s, hi_s, sd_s = lo[order], hi[order], side[order]
+        # a pair present on both sides sits adjacently as (side 0, 1)
+        both = int(
+            ((lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])
+             & (sd_s[1:] != sd_s[:-1])).sum()
+        )
+        return pa.table(
+            {
+                "n_pred": pa.array([int((side == 0).sum())], pa.int64()),
+                "n_truth": pa.array([int((side == 1).sum())], pa.int64()),
+                "n_both": pa.array([both], pa.int64()),
+            }
+        )
+
+    nparts = _default_partitions()
+    rows = (
+        pred.map_batches(tag_pred, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(truth.map_batches(tag_truth, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=nparts, keys=["id_lo", "id_hi"])
+        .map_batches(count_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    n_pred = sum(int(r["n_pred"]) for r in rows)
+    n_truth = sum(int(r["n_truth"]) for r in rows)
+    n_both = sum(int(r["n_both"]) for r in rows)
+    return pa.table(
+        {
+            "pairs_pred": pa.array([n_pred], pa.int64()),
+            "pairs_truth": pa.array([n_truth], pa.int64()),
+            "pairs_both": pa.array([n_both], pa.int64()),
+            "precision_ppm": pa.array(
+                [1_000_000 * n_both // n_pred if n_pred else 0],
+                pa.int64(),
+            ),
+            "recall_ppm": pa.array(
+                [1_000_000 * n_both // n_truth if n_truth else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
                       window: int = 4, min_sim: float = 0.88):
     """Transitive fuzzy-duplicate clusters: Jaro-Winkler match pairs
