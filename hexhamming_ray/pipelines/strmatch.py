@@ -3,9 +3,11 @@ blocking + vectorized edit-distance / Jaro-Winkler scoring +
 transitive fuzzy clusters.
 
 The classic record-linkage repertoire the LSH family doesn't cover
-(reference scope: hexhamming's pairwise scorer feeds a blocking +
-scoring + clustering system; this module adds the string-similarity
-scorers with DuckDB-exact semantics — the kernels in
+(reference scope: hexhamming's pairwise scorer — the method table at
+``python_hexhamming.cc:421-428`` and the threshold predicate
+``check_hexstrings_within_dist``, ``python_hexhamming.h:149-151`` —
+feeds a blocking + scoring + clustering system; this module adds the
+string-similarity scorers with DuckDB-exact semantics — the kernels in
 functions/strsim.py are pinned bit-exact against DuckDB's
 ``levenshtein`` / ``jaro_winkler_similarity``).
 
