@@ -20,8 +20,12 @@ Scale shape (all stages):
    rank machinery (ENGINEERING_NOTES #68: ``_bucket_counts`` +
    exclusive prefix + ONE keyed exchange + per-block run-reset).
    Buckets are the key's top 12 bits — 4096 ordered byte ranges by
-   construction, no boundary sampling pass. The driver holds O(4096)
-   ints, never O(docs).
+   construction, no boundary sampling pass — and any bucket fatter
+   than ``_REFINE_FACTOR`` rank-spans splits by the NEXT 12 key bits
+   (one extra histogram pass over the hot buckets' narrow rows), so
+   real-text prefix skew ("The ...") degrades to 4096x more ordered
+   ranges, not to one serialized block. The driver holds
+   O(4096 + n_hot x 4096) ints, never O(docs).
 3. Neighbor pairs: each ranked row routes to group ``rn // span``
    and ADDITIONALLY to the previous group when it sits in the first
    ``window`` ranks of its own (the overlap replication that makes
@@ -52,6 +56,10 @@ from hexhamming_ray.functions.strsim import (
 # ranges; histogram coalesce ships n_buckets rows per block)
 _N_BUCKETS = 4096
 
+# a bucket fatter than this many rank-spans splits by the next 12 key
+# bits (tests force both extremes to pin path equality)
+_REFINE_FACTOR = 2
+
 
 def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
                      num_partitions: int | None = None,
@@ -78,15 +86,22 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
         if key_mode == "suffix_rev":
             text = pc.utf8_reverse(text)  # == DuckDB reverse()
         keys = pc.utf8_slice_codeunits(text, 0, key_len)
-        mat, _ = pad_matrix(keys, width=2)
+        mat, _ = pad_matrix(keys, width=4)
         bucket = mat[:, 0].astype(np.int64) * 16 + (
             mat[:, 1].astype(np.int64) >> 4
         )
+        # the NEXT 12 key bits, contiguous with the bucket's 12 (low
+        # nibble of byte 1 + byte 2), so bucket*4096+sub is the key's
+        # top 24 bits — monotone in key byte order
+        sub = (mat[:, 1].astype(np.int64) & 15) * 256 + mat[
+            :, 2
+        ].astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
                 "key": keys,
                 "bucket": pa.array(bucket, pa.int64()),
+                "sub": pa.array(sub, pa.int64()),
             }
         )
 
@@ -94,13 +109,74 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
         _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
         .map_batches(key_rows, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
-        .materialize()  # consumed twice: histogram pass + rank pass
+        .materialize()  # consumed 2-3x: histogram pass(es) + rank pass
     )
 
     counts = _bucket_counts(keyed, _N_BUCKETS)
-    bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
     total = int(counts.sum())
     span = max(-(-total // num_partitions), window + 1)
+
+    # SKEW REFINEMENT (one level): real-text key prefixes concentrate
+    # (at web scale, millions of docs start "The "), and the rank pass
+    # serializes each bucket into one block. Any bucket fatter than
+    # two blocks' worth splits by the NEXT 12 key bits — a second
+    # histogram pass over the (materialized, narrow) keyed rows, hot
+    # buckets only. Units stay ordered key ranges, so ranks are exact;
+    # effective range count grows 4096x where it matters. The driver
+    # holds O(4096 + n_hot * 4096) ints; n_hot < num_partitions / 2 by
+    # construction (hot => count > 2 * span).
+    refine_cap = max(_REFINE_FACTOR * span, window + 1)
+    hot = counts > refine_cap
+    unit_routes = [np.arange(_N_BUCKETS, dtype=np.int64)[~hot] * _N_BUCKETS]
+    unit_counts = [counts[~hot]]
+    if hot.any():
+        hot_idx = np.flatnonzero(hot)
+        hot_rank = np.full(_N_BUCKETS, -1, dtype=np.int64)
+        hot_rank[hot_idx] = np.arange(hot_idx.shape[0])
+        n_hot = int(hot_idx.shape[0])
+        hot_lut = hot.copy()
+
+        def sub_hist_rows(batch: pa.Table) -> pa.Table:
+            b = batch.column("bucket").to_numpy()
+            s = batch.column("sub").to_numpy()
+            keep = hot_lut[b]
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        hot_rank[b[keep]] * _N_BUCKETS + s[keep],
+                        pa.int64(),
+                    )
+                }
+            )
+
+        sub_counts = _bucket_counts(
+            keyed.map_batches(sub_hist_rows, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None),
+            n_hot * _N_BUCKETS,
+        )
+        unit_routes.append(
+            (hot_idx[:, None] * _N_BUCKETS
+             + np.arange(_N_BUCKETS, dtype=np.int64)[None, :]).ravel()
+        )
+        unit_counts.append(sub_counts)
+    routes_all = np.concatenate(unit_routes)
+    counts_all = np.concatenate(unit_counts)
+    order_u = np.argsort(routes_all)  # route order == key order
+    routes_sorted = routes_all[order_u]
+    csort = counts_all[order_u]
+    bases_sorted = np.concatenate(([0], np.cumsum(csort)[:-1]))
+
+    def add_route(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy()
+        s = batch.column("sub").to_numpy()
+        route = b * _N_BUCKETS + np.where(hot[b], s, 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "key": batch.column("key"),
+                "route": pa.array(route, pa.int64()),
+            }
+        )
 
     empty_ranked = pa.table(
         {
@@ -121,12 +197,14 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
         # so multibyte text can exceed key_len bytes — never clip
         mat, _ = pad_matrix(key_col)
         skey = np.ascontiguousarray(mat).view(f"S{mat.shape[1]}").ravel()
-        bk = batch.column("bucket").to_numpy()
+        rt = batch.column("route").to_numpy()
         # memcmp order == padded fixed-width order (no NUL bytes in
-        # text); bucket is monotone in key so runs stay contiguous
+        # text); route is monotone in key so runs stay contiguous
         order = np.lexsort((ids, skey))
-        bk_s = bk[order]
-        rn = bases[bk_s] + _run_reset_within(bk_s)
+        rt_s = rt[order]
+        # every route has a unit row by construction (exact hits)
+        rn = (bases_sorted[np.searchsorted(routes_sorted, rt_s)]
+              + _run_reset_within(rt_s))
         grp = rn // span
         key_s = key_col.take(pa.array(order, pa.int64()))
         ids_s = pa.array(ids[order], pa.int64())
@@ -163,10 +241,9 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
     # a small input leaves behind (ENGINEERING_NOTES #62: schema-less
     # empty hash partitions cannot be sort_by'd)
     ranked = (
-        keyed.repartition(
-            num_blocks=min(num_partitions, _N_BUCKETS),
-            keys=["bucket"],
-        )
+        keyed.map_batches(add_route, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["route"])
         .map_batches(rank_block, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
         .repartition(num_blocks=num_partitions, keys=["grp"])

@@ -210,3 +210,73 @@ def test_strmatch_tiny_corpora(ray_session, tmp_path, n_docs):
                 list(sorted(want.columns))).reset_index(drop=True)
             pd.testing.assert_frame_equal(g, w, check_dtype=False)
     con.close()
+
+
+def test_sn_refinement_paths_agree(ray_session):
+    """Skew refinement: forcing EVERY bucket hot (factor 0) and NO
+    bucket hot (huge factor) must produce identical pairs — ranks are
+    exact under any unit decomposition."""
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    def run():
+        return (
+            SM.sorted_neighborhood_pairs(SF_DIR)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    old = SM._REFINE_FACTOR
+    try:
+        SM._REFINE_FACTOR = 10 ** 9  # never refine
+        unrefined = run()
+        SM._REFINE_FACTOR = 0  # refine everything
+        refined = run()
+    finally:
+        SM._REFINE_FACTOR = old
+    pd.testing.assert_frame_equal(unrefined, refined)
+    assert len(unrefined) > 0
+
+
+def test_sn_skewed_prefix_corpus(ray_session, tmp_path):
+    """A corpus where EVERY key shares the same 2-char prefix lands in
+    ONE top-12-bit bucket; the refinement must still produce the
+    oracle's pairs (and spread the rank work)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    texts = [
+        "Th" + "".join(chr(97 + c) for c in rng.integers(0, 26, 30))
+        for _ in range(400)
+    ]
+    texts += [texts[7], texts[7] + " tail", texts[21][:20]]  # near keys
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    entry = __import__("__ray_entry__")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for name in ["sorted_neighborhood_pairs", "fuzzy_match_jw"]:
+        got = entry.queries()[name](str(d)).to_pandas()
+        want = con.sql(entry.oracle_sql()[name]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        assert len(g) > 0
+    con.close()
