@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_levenshtein": SM.fuzzy_match_levenshtein,
         "fuzzy_match_jw": SM.fuzzy_match_jw,
         "fuzzy_match_multikey": SM.fuzzy_match_multikey,
+        "fuzzy_match_token_sort": SM.fuzzy_match_token_sort,
         "er_fuzzy_clusters": SM.er_fuzzy_clusters,
         "fuzzy_dedup_survivors": SM.fuzzy_dedup_survivors,
         "er_fuzzy_eval": SM.er_fuzzy_eval,
@@ -277,6 +278,22 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_jw": (
             _SN_CTE
             + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88"
+        ),
+        # token-sort normalization: the key is the first 24 chars of
+        # the doc's SORTED token sequence (word reordering no longer
+        # hides a near-dup); empty docs normalize to '' (COALESCE:
+        # DuckDB's array_to_string returns NULL on an empty list)
+        "fuzzy_match_token_sort": (
+            "WITH k AS (SELECT doc_id, substring(COALESCE("
+            " array_to_string(list_sort("
+            "  regexp_extract_all(text, '\\S+')), ' '), ''), 1, 24) "
+            " AS key FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
             "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
             "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
             "WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88"

@@ -281,7 +281,7 @@ DOC_QUERIES = [
     "lang_balance_docs", "curriculum_order_docs",
     "sorted_neighborhood_pairs", "fuzzy_match_levenshtein",
     "fuzzy_match_jw", "fuzzy_match_multikey", "er_fuzzy_clusters",
-    "fuzzy_dedup_survivors", "er_fuzzy_eval",
+    "fuzzy_dedup_survivors", "er_fuzzy_eval", "fuzzy_match_token_sort",
 ]
 
 

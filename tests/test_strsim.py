@@ -198,8 +198,8 @@ def test_strmatch_tiny_corpora(ray_session, tmp_path, n_docs):
         f"read_parquet('{d}/documents.parquet')"
     )
     for name in ["sorted_neighborhood_pairs", "fuzzy_match_jw",
-                 "fuzzy_match_multikey", "er_fuzzy_clusters",
-                 "fuzzy_dedup_survivors"]:
+                 "fuzzy_match_multikey", "fuzzy_match_token_sort",
+                 "er_fuzzy_clusters", "fuzzy_dedup_survivors"]:
         got = entry.queries()[name](str(d)).to_pandas()
         want = con.sql(entry.oracle_sql()[name]).df()
         assert len(got) == len(want), (name, len(got), len(want))
