@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_fuzzy_clusters": SM.er_fuzzy_clusters,
         "fuzzy_dedup_survivors": SM.fuzzy_dedup_survivors,
         "er_fuzzy_eval": SM.er_fuzzy_eval,
+        "blocking_strategy_report": SM.blocking_strategy_report,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
         "pack_sequences": T.pack_sequences,
@@ -253,6 +254,83 @@ _SN_CTE = (
 )
 
 
+def _sn_pair_cte(alias: str, key_expr: str) -> str:
+    """key CTE -> rank CTE -> normalized JW>=0.88 pair CTE p{alias}."""
+    return (
+        f"k{alias} AS (SELECT doc_id, {key_expr} AS key FROM documents), "
+        f"r{alias} AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+        f" (ORDER BY key, doc_id) AS rn FROM k{alias}), "
+        f"p{alias} AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_lo, "
+        f" GREATEST(a.doc_id, b.doc_id) AS id_hi "
+        f" FROM r{alias} a JOIN r{alias} b "
+        f" ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+        f" WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88)"
+    )
+
+
+_TRUTH_CTE = (
+    "toks AS (SELECT doc_id, "
+    " regexp_extract_all(text, '\\S+') AS t FROM documents), "
+    "sh0 AS ( "
+    " SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    " FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+    " WHERE len(t) >= 3 "
+    " UNION ALL "
+    " SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+    " WHERE len(t) BETWEEN 1 AND 2), "
+    "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+    "df AS (SELECT s FROM shd GROUP BY s HAVING COUNT(*) <= 64), "
+    "keep AS (SELECT shd.doc_id, shd.s FROM shd JOIN df USING (s)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+    " COUNT(*) AS c FROM keep a JOIN keep b "
+    " ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "tr AS (SELECT inter.id_lo, inter.id_hi FROM inter "
+    " JOIN sizes sa ON sa.doc_id = inter.id_lo "
+    " JOIN sizes sb ON sb.doc_id = inter.id_hi "
+    " WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5)"
+)
+
+_TOKEN_SORT_KEY = (
+    "substring(COALESCE(array_to_string(list_sort("
+    "regexp_extract_all(text, '\\S+')), ' '), ''), 1, 24)"
+)
+
+
+def _blocking_report_sql() -> str:
+    ev = " UNION ALL ".join(
+        f"SELECT '{name}' AS strategy, "
+        f"(SELECT COUNT(*) FROM {src}) AS np, "
+        f"(SELECT COUNT(*) FROM {src} JOIN tr USING (id_lo, id_hi)) AS nb"
+        for name, src in [
+            ("multikey", "pmulti"),
+            ("prefix", "ppre"),
+            ("suffix_rev", "psuf"),
+            ("token_sort", "ptok"),
+        ]
+    )
+    return (
+        "WITH "
+        + _sn_pair_cte("pre", "substring(text, 1, 24)")
+        + ", "
+        + _sn_pair_cte("suf", "substring(reverse(text), 1, 24)")
+        + ", "
+        + _sn_pair_cte("tok", _TOKEN_SORT_KEY)
+        + ", pmulti AS (SELECT * FROM ppre UNION SELECT * FROM psuf), "
+        + _TRUTH_CTE
+        + ", nt AS (SELECT COUNT(*) AS v FROM tr), ev AS ("
+        + ev
+        + ") SELECT strategy, CAST(np AS BIGINT) AS pairs_pred, "
+        "CAST(nt.v AS BIGINT) AS pairs_truth, "
+        "CAST(nb AS BIGINT) AS pairs_both, "
+        "CAST(CASE WHEN np > 0 THEN 1000000 * nb // np ELSE 0 END "
+        " AS BIGINT) AS precision_ppm, "
+        "CAST(CASE WHEN nt.v > 0 THEN 1000000 * nb // nt.v ELSE 0 END "
+        " AS BIGINT) AS recall_ppm "
+        "FROM ev, nt"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # sorted-neighborhood blocking: all pairs within 4 positions of
@@ -384,6 +462,8 @@ def oracle_sql() -> dict[str, str]:
             " ELSE 0 END AS BIGINT) AS recall_ppm "
             "FROM np_, nt, nb"
         ),
+        # every blocker vs the same Jaccard truth set, one row each
+        "blocking_strategy_report": _blocking_report_sql(),
         # keep-longest survivor per fuzzy cluster (ties -> min doc_id)
         "fuzzy_dedup_survivors": (
             "WITH RECURSIVE "

@@ -595,35 +595,19 @@ def fuzzy_dedup_survivors(sf_dir: str, *, key_len: int = 24,
     )
 
 
-def er_fuzzy_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
-                  min_sim: float = 0.88):
-    """PAIR-LEVEL quality report of the fuzzy matcher against the
-    exact n-gram-Jaccard near-duplicate pair set (the ER evaluation
-    behind the north rule's F1 criterion, as a first-class query):
-    how many pairs the sorted-neighborhood + Jaro-Winkler matcher
-    predicts, how many the exact Jaccard >= 0.5 truth set contains,
-    their overlap, and integer-ppm precision/recall. ONE row:
-    (pairs_pred, pairs_truth, pairs_both, precision_ppm, recall_ppm).
+def _pair_eval_counts(pred, truth, *, pred_cols=("a_id", "b_id")):
+    """(n_pred, n_truth, n_both) for two pair Datasets: both normalize
+    to (id_lo, id_hi), meet in ONE keyed exchange of tagged 17-byte
+    rows, and the overlap is an adjacent-duplicate count after a
+    per-block lexsort (each side emits an unordered pair at most
+    once). Single-row partials coalesce driver-side to three ints."""
+    from hexhamming_ray.pipelines.text import _default_partitions
 
-    Shape: both pair sets normalize to (id_lo, id_hi) and meet in ONE
-    keyed exchange of tagged 17-byte rows; the overlap is an
-    adjacent-duplicate count after a per-block lexsort (each side
-    emits an unordered pair at most once). Single-row partials
-    coalesce driver-side to five integers — nothing corpus-sized ever
-    leaves the workers."""
-    from hexhamming_ray.pipelines.text import (
-        _default_partitions,
-        ngram_jaccard_exact,
-    )
-
-    pred = fuzzy_match_jw(
-        sf_dir, key_len=key_len, window=window, min_sim=min_sim
-    )
-    truth = ngram_jaccard_exact(sf_dir)
+    ca, cb = pred_cols
 
     def tag_pred(batch: pa.Table) -> pa.Table:
-        a = batch.column("a_id").to_numpy()
-        b = batch.column("b_id").to_numpy()
+        a = batch.column(ca).to_numpy()
+        b = batch.column(cb).to_numpy()
         return pa.table(
             {
                 "id_lo": pa.array(np.minimum(a, b), pa.int64()),
@@ -670,20 +654,41 @@ def er_fuzzy_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
             }
         )
 
-    nparts = _default_partitions()
     rows = (
         pred.map_batches(tag_pred, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None)
         .union(truth.map_batches(tag_truth, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None))
-        .repartition(num_blocks=nparts, keys=["id_lo", "id_hi"])
+        .repartition(num_blocks=_default_partitions(),
+                     keys=["id_lo", "id_hi"])
         .map_batches(count_block, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
         .take_all()
     )
-    n_pred = sum(int(r["n_pred"]) for r in rows)
-    n_truth = sum(int(r["n_truth"]) for r in rows)
-    n_both = sum(int(r["n_both"]) for r in rows)
+    return (
+        sum(int(r["n_pred"]) for r in rows),
+        sum(int(r["n_truth"]) for r in rows),
+        sum(int(r["n_both"]) for r in rows),
+    )
+
+
+def er_fuzzy_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                  min_sim: float = 0.88):
+    """PAIR-LEVEL quality report of the fuzzy matcher against the
+    exact n-gram-Jaccard near-duplicate pair set (the ER evaluation
+    behind the north rule's F1 criterion, as a first-class query):
+    how many pairs the sorted-neighborhood + Jaro-Winkler matcher
+    predicts, how many the exact Jaccard >= 0.5 truth set contains,
+    their overlap, and integer-ppm precision/recall. ONE row:
+    (pairs_pred, pairs_truth, pairs_both, precision_ppm, recall_ppm).
+    Counting machinery: :func:`_pair_eval_counts`."""
+    from hexhamming_ray.pipelines.text import ngram_jaccard_exact
+
+    n_pred, n_truth, n_both = _pair_eval_counts(
+        fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                       min_sim=min_sim),
+        ngram_jaccard_exact(sf_dir),
+    )
     return pa.table(
         {
             "pairs_pred": pa.array([n_pred], pa.int64()),
@@ -697,6 +702,59 @@ def er_fuzzy_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
                 [1_000_000 * n_both // n_truth if n_truth else 0],
                 pa.int64(),
             ),
+        }
+    )
+
+
+def blocking_strategy_report(sf_dir: str, *, key_len: int = 24,
+                             window: int = 4, min_sim: float = 0.88):
+    """The blocking-strategy BENCHMARK: every blocker in the toolkit
+    (prefix key, reversed-suffix key, their multikey union, and the
+    token-sort key) evaluated pair-level against the same exact
+    Jaccard >= 0.5 truth set. One row per strategy: (strategy,
+    pairs_pred, pairs_truth, pairs_both, precision_ppm, recall_ppm) —
+    the table an ER practitioner reads to pick a blocker. Four
+    bounded evaluations; each is the :func:`_pair_eval_counts`
+    single-exchange shape."""
+    from hexhamming_ray.pipelines.text import ngram_jaccard_exact
+
+    strategies = [
+        ("multikey",
+         fuzzy_match_multikey(sf_dir, key_len=key_len, window=window,
+                              min_sim=min_sim),
+         ("id_lo", "id_hi")),
+        ("prefix",
+         fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                        min_sim=min_sim),
+         ("a_id", "b_id")),
+        ("suffix_rev",
+         _sn_scored_pairs(sf_dir, key_len, window, _JwScorer(min_sim),
+                          key_mode="suffix_rev"),
+         ("a_id", "b_id")),
+        ("token_sort",
+         fuzzy_match_token_sort(sf_dir, key_len=key_len, window=window,
+                                min_sim=min_sim),
+         ("a_id", "b_id")),
+    ]
+    names, np_, nt, nb, prec, rec = [], [], [], [], [], []
+    for name, pred, cols in strategies:
+        a, t, b = _pair_eval_counts(
+            pred, ngram_jaccard_exact(sf_dir), pred_cols=cols
+        )
+        names.append(name)
+        np_.append(a)
+        nt.append(t)
+        nb.append(b)
+        prec.append(1_000_000 * b // a if a else 0)
+        rec.append(1_000_000 * b // t if t else 0)
+    return pa.table(
+        {
+            "strategy": pa.array(names, pa.string()),
+            "pairs_pred": pa.array(np_, pa.int64()),
+            "pairs_truth": pa.array(nt, pa.int64()),
+            "pairs_both": pa.array(nb, pa.int64()),
+            "precision_ppm": pa.array(prec, pa.int64()),
+            "recall_ppm": pa.array(rec, pa.int64()),
         }
     )
 
