@@ -82,6 +82,7 @@ _EXTENDED = [
     # round-4 fuzzy-ER family (sorted-neighborhood + strsim kernels)
     "fuzzy_match_jw",
     "fuzzy_match_multikey",
+    "fuzzy_match_token_sort",
     "er_fuzzy_clusters",
     "fuzzy_dedup_survivors",
 ]
