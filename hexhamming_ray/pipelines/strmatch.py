@@ -63,7 +63,8 @@ _REFINE_FACTOR = 2
 
 def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
                      num_partitions: int | None = None,
-                     key_mode: str = "prefix"):
+                     key_mode: str = "prefix",
+                     checkpoint_dir: str | None = None):
     """Shared sorted-neighborhood machinery: rank docs by (key,
     doc_id), emit all (a, b) pairs with rank gap <= ``window``, and
     apply ``scorer(amat, alen, bmat, blen, gaps) -> (keep_mask,
@@ -145,11 +146,19 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
             }
         )
 
-    keyed = (
-        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
-        .map_batches(key_rows, batch_format="pyarrow",
-                     zero_copy_batch=True, batch_size=None)
-        .materialize()  # consumed 2-3x: histogram pass(es) + rank pass
+    def build_keyed():
+        return _docs(
+            sf_dir, ["doc_id", "text"], hash_shuffle=True
+        ).map_batches(key_rows, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None)
+
+    # consumed 2-3x (histogram pass(es) + rank pass); with a
+    # checkpoint_dir the narrow key table resumes from Parquet (same
+    # knob as the minhash signature table, text.py)
+    from hexhamming_ray.state.checkpoint import Checkpointer
+
+    keyed = Checkpointer(checkpoint_dir).stage(
+        f"sn_keys_{key_mode}_{key_len}", build_keyed
     )
 
     counts = _bucket_counts(keyed, _N_BUCKETS)
@@ -359,12 +368,14 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
 
 
 def sorted_neighborhood_pairs(sf_dir: str, *, key_len: int = 24,
-                              window: int = 4):
+                              window: int = 4,
+                              checkpoint_dir: str | None = None):
     """The blocking operator itself: all document pairs within
     ``window`` positions of each other in (key, doc_id) rank order,
     key = first ``key_len`` chars. (a_id, b_id, gap) — oracle is the
     ROW_NUMBER self-join on rank difference."""
-    return _sn_scored_pairs(sf_dir, key_len, window, None)
+    return _sn_scored_pairs(sf_dir, key_len, window, None,
+                            checkpoint_dir=checkpoint_dir)
 
 
 class _LevScorer:
@@ -390,26 +401,31 @@ class _JwScorer:
 
 
 def fuzzy_match_levenshtein(sf_dir: str, *, key_len: int = 24,
-                            window: int = 4, max_dist: int = 6):
+                            window: int = 4, max_dist: int = 6,
+                            checkpoint_dir: str | None = None):
     """Sorted-neighborhood candidates scored with exact byte
     Levenshtein over the blocking key, kept when <= ``max_dist``.
     (a_id, b_id, lev_dist) — value-oracled against DuckDB's
     ``levenshtein`` on the identical candidate set."""
     return _sn_scored_pairs(sf_dir, key_len, window,
-                            _LevScorer(max_dist))
+                            _LevScorer(max_dist),
+                            checkpoint_dir=checkpoint_dir)
 
 
 def fuzzy_match_jw(sf_dir: str, *, key_len: int = 24, window: int = 4,
-                   min_sim: float = 0.88):
+                   min_sim: float = 0.88,
+                   checkpoint_dir: str | None = None):
     """Sorted-neighborhood candidates scored with Jaro-Winkler
     similarity (DuckDB-bit-exact kernel: byte-level, boost only above
     jaro 0.7), kept when >= ``min_sim``. (a_id, b_id, jw_sim)."""
     return _sn_scored_pairs(sf_dir, key_len, window,
-                            _JwScorer(min_sim))
+                            _JwScorer(min_sim),
+                            checkpoint_dir=checkpoint_dir)
 
 
 def fuzzy_match_token_sort(sf_dir: str, *, key_len: int = 24,
-                           window: int = 4, min_sim: float = 0.88):
+                           window: int = 4, min_sim: float = 0.88,
+                           checkpoint_dir: str | None = None):
     """Sorted-neighborhood matching on the TOKEN-SORTED key (the
     'token_sort_ratio' trick): word reordering no longer hides a
     near-duplicate, because both orderings normalize to the same
@@ -417,7 +433,8 @@ def fuzzy_match_token_sort(sf_dir: str, *, key_len: int = 24,
     scored with Jaro-Winkler on the normalized key.
     (a_id, b_id, jw_sim)."""
     return _sn_scored_pairs(sf_dir, key_len, window,
-                            _JwScorer(min_sim), key_mode="token_sort")
+                            _JwScorer(min_sim), key_mode="token_sort",
+                            checkpoint_dir=checkpoint_dir)
 
 
 def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,

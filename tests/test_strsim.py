@@ -280,3 +280,30 @@ def test_sn_skewed_prefix_corpus(ray_session, tmp_path):
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
         assert len(g) > 0
     con.close()
+
+
+def test_sn_checkpoint_resume(ray_session, tmp_path):
+    """checkpoint_dir: a re-run resumes the narrow key table from
+    Parquet (manifest marks the stage complete) and produces the
+    identical pair set."""
+    import json
+    import os
+
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    ck = str(tmp_path / "sn_ck")
+
+    def run():
+        return (
+            SM.fuzzy_match_jw(SF_DIR, checkpoint_dir=ck)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    first = run()
+    manifest = json.load(open(os.path.join(ck, "manifest.json")))
+    assert manifest["sn_keys_prefix_24"]["complete"]
+    resumed = run()  # second run re-reads the checkpointed stage
+    pd.testing.assert_frame_equal(first, resumed)
+    assert len(first) > 0
