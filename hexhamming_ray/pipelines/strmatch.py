@@ -61,6 +61,50 @@ _N_BUCKETS = 4096
 _REFINE_FACTOR = 2
 
 
+def _token_sort_keys(text, key_len: int) -> pa.Array:
+    """First ``key_len`` codepoints of the doc's TOKEN-SORTED text
+    ('fuzzywuzzy token_sort' normalization: word order no longer
+    hides a near-dup). Vectorized: split on \\s+ (RE2, same class
+    as DuckDB's \\S+ extract), ONE lexsort of the block's tokens
+    by (doc, token-bytes), rebuild with binary_join. Tokens sort
+    on a 4*key_len-byte padded prefix — a tie beyond that shares
+    >= key_len codepoints, so the sliced key is unaffected. Handles
+    SLICED list results (non-zero array offset / leading child rows)
+    by rebasing the child to the slice's value window."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lst = pc.split_pattern_regex(text, r"\s+")
+    n = len(lst)
+    if n == 0:
+        return pa.array([], pa.string())
+    offs = np.frombuffer(
+        lst.buffers()[1], dtype=np.int32, count=n + 1,
+        offset=lst.offset * 4,
+    ).astype(np.int64)
+    # rebase a sliced array: values is the FULL child, offsets are
+    # absolute into it — align flat with the slice's value window
+    flat = lst.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    lens = np.diff(offs)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    tokmat, toklens = pad_matrix(flat, width=4 * key_len)
+    keep = np.flatnonzero(toklens > 0)  # split leaves '' tokens
+    tok_s = np.ascontiguousarray(tokmat).view(
+        f"S{tokmat.shape[1]}"
+    ).ravel()[keep]
+    dr = doc_rep[keep]
+    order = np.lexsort((tok_s, dr))
+    sorted_vals = flat.take(pa.array(keep[order], pa.int64()))
+    new_lens = np.bincount(dr, minlength=n)
+    new_offs = np.concatenate(([0], np.cumsum(new_lens)))
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), sorted_vals
+        ),
+        " ",
+    )
+    return pc.utf8_slice_codeunits(joined, 0, key_len)
+
+
 def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
                      num_partitions: int | None = None,
                      key_mode: str = "prefix",
@@ -82,49 +126,12 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
 
     num_partitions = num_partitions or _default_partitions()
 
-    def token_sort_keys(text) -> pa.Array:
-        """First ``key_len`` codepoints of the doc's TOKEN-SORTED text
-        ('fuzzywuzzy token_sort' normalization: word order no longer
-        hides a near-dup). Vectorized: split on \\s+ (RE2, same class
-        as DuckDB's \\S+ extract), ONE lexsort of the block's tokens
-        by (doc, token-bytes), rebuild with binary_join. Tokens sort
-        on a 4*key_len-byte padded prefix — a tie beyond that shares
-        >= key_len codepoints, so the sliced key is unaffected."""
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        lst = pc.split_pattern_regex(text, r"\s+")
-        n = len(lst)
-        offs = np.frombuffer(
-            lst.buffers()[1], dtype=np.int32, count=n + 1,
-            offset=lst.offset * 4,
-        ).astype(np.int64)
-        flat = lst.values
-        lens = np.diff(offs)
-        doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
-        tokmat, toklens = pad_matrix(flat, width=4 * key_len)
-        keep = np.flatnonzero(toklens > 0)  # split leaves '' tokens
-        tok_s = np.ascontiguousarray(tokmat).view(
-            f"S{tokmat.shape[1]}"
-        ).ravel()[keep]
-        dr = doc_rep[keep]
-        order = np.lexsort((tok_s, dr))
-        sorted_vals = flat.take(pa.array(keep[order], pa.int64()))
-        new_lens = np.bincount(dr, minlength=n)
-        new_offs = np.concatenate(([0], np.cumsum(new_lens)))
-        joined = pc.binary_join(
-            pa.LargeListArray.from_arrays(
-                pa.array(new_offs, pa.int64()), sorted_vals
-            ),
-            " ",
-        )
-        return pc.utf8_slice_codeunits(joined, 0, key_len)
-
     def key_rows(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         if key_mode == "suffix_rev":
             text = pc.utf8_reverse(text)  # == DuckDB reverse()
         if key_mode == "token_sort":
-            keys = token_sort_keys(text)
+            keys = _token_sort_keys(text, key_len)
         else:
             keys = pc.utf8_slice_codeunits(text, 0, key_len)
         mat, _ = pad_matrix(keys, width=4)

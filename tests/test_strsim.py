@@ -307,3 +307,19 @@ def test_sn_checkpoint_resume(ray_session, tmp_path):
     resumed = run()  # second run re-reads the checkpointed stage
     pd.testing.assert_frame_equal(first, resumed)
     assert len(first) > 0
+
+
+def test_token_sort_keys_sliced_input():
+    """_token_sort_keys must be slice-safe: a sliced text array (and
+    the sliced ListArray split_pattern_regex yields) produces the same
+    keys as the equivalent unsliced array."""
+    from hexhamming_ray.pipelines.strmatch import _token_sort_keys
+
+    texts = ["zz top aa", "  ", "gamma beta alpha", "one", "b a c b"]
+    big = pa.array(["IGNORED lead row"] + texts)
+    sliced = big.slice(1)
+    fresh = pa.array(texts)
+    assert _token_sort_keys(sliced, 24).to_pylist() == \
+        _token_sort_keys(fresh, 24).to_pylist()
+    assert _token_sort_keys(fresh, 24).to_pylist() == [
+        "aa top zz", "", "alpha beta gamma", "one", "a b b c"]
