@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_survivors": SM.fuzzy_dedup_survivors,
         "er_fuzzy_eval": SM.er_fuzzy_eval,
         "blocking_strategy_report": SM.blocking_strategy_report,
+        "fuzzy_decontaminate_jw": SM.fuzzy_decontaminate_jw,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
         "pack_sequences": T.pack_sequences,
@@ -464,6 +465,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         # every blocker vs the same Jaccard truth set, one row each
         "blocking_strategy_report": _blocking_report_sql(),
+        # fuzzy decontamination: training docs JW-close to a benchmark
+        # (doc_id % 50 == 0) doc's key — cross-side pairs only
+        "fuzzy_decontaminate_jw": (
+            _SN_CTE
+            + "SELECT CASE WHEN a.doc_id % 50 = 0 THEN b.doc_id "
+            " ELSE a.doc_id END AS doc_id, "
+            "CASE WHEN a.doc_id % 50 = 0 THEN a.doc_id "
+            " ELSE b.doc_id END AS bench_id, "
+            "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE ((a.doc_id % 50 = 0) <> (b.doc_id % 50 = 0)) "
+            "AND jaro_winkler_similarity(a.key, b.key) >= 0.88"
+        ),
         # keep-longest survivor per fuzzy cluster (ties -> min doc_id)
         "fuzzy_dedup_survivors": (
             "WITH RECURSIVE "

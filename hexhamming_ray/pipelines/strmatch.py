@@ -108,7 +108,8 @@ def _token_sort_keys(text, key_len: int) -> pa.Array:
 def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
                      num_partitions: int | None = None,
                      key_mode: str = "prefix",
-                     checkpoint_dir: str | None = None):
+                     checkpoint_dir: str | None = None,
+                     pair_filter=None):
     """Shared sorted-neighborhood machinery: rank docs by (key,
     doc_id), emit all (a, b) pairs with rank gap <= ``window``, and
     apply ``scorer(amat, alen, bmat, blen, gaps) -> (keep_mask,
@@ -347,6 +348,9 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
         a_i = np.concatenate(a_idx)
         b_i = np.concatenate(b_idx)
         gap = np.concatenate(gaps)
+        if pair_filter is not None:
+            m = pair_filter(ids_s[a_i], ids_s[b_i])
+            a_i, b_i, gap = a_i[m], b_i[m], gap[m]
         cols = {
             "a_id": pa.array(ids_s[a_i], pa.int64()),
             "b_id": pa.array(ids_s[b_i], pa.int64()),
@@ -442,6 +446,45 @@ def fuzzy_match_token_sort(sf_dir: str, *, key_len: int = 24,
     return _sn_scored_pairs(sf_dir, key_len, window,
                             _JwScorer(min_sim), key_mode="token_sort",
                             checkpoint_dir=checkpoint_dir)
+
+
+def fuzzy_decontaminate_jw(sf_dir: str, *, key_len: int = 24,
+                           window: int = 4, min_sim: float = 0.88):
+    """FUZZY decontamination: training documents whose blocking key is
+    Jaro-Winkler-close to a BENCHMARK document's (the ``doc_id % 50 ==
+    0`` eval subset, same convention as ``decontaminate_docs``). The
+    edit-tolerant sibling of the exact n-gram and Jaccard scans — it
+    catches contamination that survives both because a few characters
+    changed. (doc_id, bench_id, jw_sim).
+
+    Shape: ONE ranked pass over the UNION of both sets (cross-set
+    sorted-neighborhood — no extra table, no join); the cross-side
+    mask is pure doc_id arithmetic applied inside the pair block."""
+
+    def cross_side(a_ids, b_ids):
+        return (a_ids % 50 == 0) != (b_ids % 50 == 0)
+
+    pairs = _sn_scored_pairs(sf_dir, key_len, window,
+                             _JwScorer(min_sim),
+                             pair_filter=cross_side)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        a_is_bench = a % 50 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.where(a_is_bench, b, a), pa.int64()),
+                "bench_id": pa.array(np.where(a_is_bench, a, b),
+                                     pa.int64()),
+                "jw_sim": batch.column("jw_sim"),
+            }
+        )
+
+    return pairs.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
 
 
 def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,

@@ -282,7 +282,7 @@ DOC_QUERIES = [
     "sorted_neighborhood_pairs", "fuzzy_match_levenshtein",
     "fuzzy_match_jw", "fuzzy_match_multikey", "er_fuzzy_clusters",
     "fuzzy_dedup_survivors", "er_fuzzy_eval", "fuzzy_match_token_sort",
-    "blocking_strategy_report",
+    "blocking_strategy_report", "fuzzy_decontaminate_jw",
 ]
 
 
