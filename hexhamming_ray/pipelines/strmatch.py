@@ -488,7 +488,8 @@ def fuzzy_decontaminate_jw(sf_dir: str, *, key_len: int = 24,
 
 
 def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,
-                         window: int = 4, min_sim: float = 0.88):
+                         window: int = 4, min_sim: float = 0.88,
+                         checkpoint_dir: str | None = None):
     """Multi-pass sorted-neighborhood matching (the classic fix for
     single-key blocking's blind spot: an edit INSIDE the blocking key
     moves a record out of its neighborhood). Two passes — prefix key
@@ -498,10 +499,12 @@ def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,
     stays linear (2 * n * window candidates corpus-wide)."""
     passes = [
         fuzzy_match_jw(
-            sf_dir, key_len=key_len, window=window, min_sim=min_sim
+            sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+            checkpoint_dir=checkpoint_dir,
         ),
         _sn_scored_pairs(sf_dir, key_len, window, _JwScorer(min_sim),
-                         key_mode="suffix_rev"),
+                         key_mode="suffix_rev",
+                         checkpoint_dir=checkpoint_dir),
     ]
 
     def norm(batch: pa.Table) -> pa.Table:
@@ -555,7 +558,8 @@ def fuzzy_match_multikey(sf_dir: str, *, key_len: int = 24,
 
 
 def fuzzy_dedup_survivors(sf_dir: str, *, key_len: int = 24,
-                          window: int = 4, min_sim: float = 0.88):
+                          window: int = 4, min_sim: float = 0.88,
+                          checkpoint_dir: str | None = None):
     """The curation ACTION over fuzzy clusters: keep ONE survivor per
     cluster — the LONGEST document (ties -> min doc_id), the usual
     keep-best-copy rule when near-duplicates differ by truncation.
@@ -569,7 +573,8 @@ def fuzzy_dedup_survivors(sf_dir: str, *, key_len: int = 24,
     from hexhamming_ray.pipelines.text import _default_partitions, _docs
 
     labels = er_fuzzy_clusters(
-        sf_dir, key_len=key_len, window=window, min_sim=min_sim
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        checkpoint_dir=checkpoint_dir,
     )
 
     def tag_lab(batch: pa.Table) -> pa.Table:
@@ -827,7 +832,8 @@ def blocking_strategy_report(sf_dir: str, *, key_len: int = 24,
 
 
 def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
-                      window: int = 4, min_sim: float = 0.88):
+                      window: int = 4, min_sim: float = 0.88,
+                      checkpoint_dir: str | None = None):
     """Transitive fuzzy-duplicate clusters: Jaro-Winkler match pairs
     as edges -> the distributed union-find -> every document labeled
     with its component's min doc_id (isolated docs label themselves).
@@ -843,7 +849,8 @@ def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
     )
 
     pairs = fuzzy_match_jw(
-        sf_dir, key_len=key_len, window=window, min_sim=min_sim
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        checkpoint_dir=checkpoint_dir,
     )
 
     def as_edges(batch: pa.Table) -> pa.Table:

@@ -323,3 +323,33 @@ def test_token_sort_keys_sliced_input():
         _token_sort_keys(fresh, 24).to_pylist()
     assert _token_sort_keys(fresh, 24).to_pylist() == [
         "aa top zz", "", "alpha beta gamma", "one", "a b b c"]
+
+
+def test_hypothesis_strsim_vs_duckdb():
+    """Property fuzz: arbitrary printable-ASCII + Latin-1 + CJK
+    strings, kernels bit-exact vs DuckDB (shrinks to a minimal
+    counterexample on failure)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcXYZ 019#.-") + ["é", "ß", "中", "文"]
+    )
+    con = duckdb.connect()
+
+    @given(
+        st.text(alphabet=alphabet, max_size=16),
+        st.text(alphabet=alphabet, max_size=16),
+    )
+    @settings(max_examples=250, deadline=None)
+    def inner(a, b):
+        lev, jw = _kernels([(a, b)])
+        rl, rj = con.execute(
+            "SELECT levenshtein(?, ?), jaro_winkler_similarity(?, ?)",
+            [a, b, a, b],
+        ).fetchone()
+        assert int(lev[0]) == rl, (a, b)
+        assert float(jw[0]) == rj, (a, b)
+
+    inner()
+    con.close()
