@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": SM.sorted_neighborhood_pairs,
         "fuzzy_match_levenshtein": SM.fuzzy_match_levenshtein,
         "fuzzy_match_jw": SM.fuzzy_match_jw,
+        "fuzzy_match_damerau": SM.fuzzy_match_damerau,
+        "fuzzy_match_charjac": SM.fuzzy_match_charjac,
         "fuzzy_match_multikey": SM.fuzzy_match_multikey,
         "fuzzy_match_token_sort": SM.fuzzy_match_token_sort,
         "er_fuzzy_clusters": SM.er_fuzzy_clusters,
@@ -360,6 +362,28 @@ def oracle_sql() -> dict[str, str]:
             "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
             "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
             "WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88"
+        ),
+        # candidates scored with TRUE (unrestricted) Damerau-Levenshtein
+        # — transposition charged ONE op ('CA'->'ABC' = 2, not OSA's 3);
+        # kernel pinned bit-exact vs DuckDB in tests/test_strsim.py
+        "fuzzy_match_damerau": (
+            _SN_CTE
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(damerau_levenshtein(a.key, b.key) AS BIGINT) AS dl_dist "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE damerau_levenshtein(a.key, b.key) <= 6"
+        ),
+        # candidates scored with the distinct-byte-set Jaccard (DuckDB
+        # jaccard semantics); DuckDB RAISES on an empty argument, so the
+        # guard is a non-short-circuit-safe CASE, and the engine drops
+        # empty-key pairs to match
+        "fuzzy_match_charjac": (
+            _SN_CTE
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "jaccard(a.key, b.key) AS cj_sim "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE CASE WHEN a.key = '' OR b.key = '' THEN FALSE "
+            " ELSE jaccard(a.key, b.key) >= 0.9 END"
         ),
         # token-sort normalization: the key is the first 24 chars of
         # the doc's SORTED token sequence (word reordering no longer

@@ -80,6 +80,111 @@ def levenshtein_batch(amat, alen, bmat, blen):
     return res
 
 
+def damerau_levenshtein_batch(amat, alen, bmat, blen,
+                              chunk: int = 16384):
+    """TRUE (unrestricted) Damerau-Levenshtein distance for every
+    row-pair -> int64[P], DuckDB ``damerau_levenshtein`` semantics
+    (byte-based; probe: ``damerau_levenshtein('CA','ABC') = 2`` — the
+    unrestricted distance, not the OSA restriction's 3).
+
+    Lowrance-Wagner DP vectorized across pairs: the full (P, La+2,
+    Lb+2) distance cube is kept because the transposition term gathers
+    from ARBITRARY earlier rows (``d[k-1, l-1]`` with ``k`` the last
+    row where ``b[j]`` occurred in ``a``); the per-row intra-row
+    insertion dependency is removed with the same prefix-min identity
+    as :func:`levenshtein_batch`, and the within-row "last match
+    column" ``db`` is a masked running max — every step is a whole-row
+    vector op across all pairs. Pairs are processed in ``chunk``-sized
+    sub-batches so the cube stays ~chunk x key_len^2 x 4 bytes."""
+    P = alen.shape[0]
+    out = np.empty(P, dtype=np.int64)
+    for s in range(0, P, chunk):
+        e = min(s + chunk, P)
+        out[s:e] = _dl_chunk(amat[s:e], alen[s:e], bmat[s:e], blen[s:e])
+    return out
+
+
+def _dl_chunk(amat, alen, bmat, blen):
+    P = alen.shape[0]
+    if P == 0:
+        return np.empty(0, dtype=np.int64)
+    La = int(alen.max())
+    Lb = bmat.shape[1]
+    maxd = np.int32(La + Lb + 1)
+    # cube index (i+1, j+1) holds d[i, j] of the classic formulation
+    # (i, j prefix lengths; index 0 is the maxdist border row/col)
+    D = np.empty((P, La + 2, Lb + 2), dtype=np.int32)
+    D[:, 0, :] = maxd
+    D[:, :, 0] = maxd
+    D[:, 1, 1:] = np.arange(Lb + 1, dtype=np.int32)[None, :]
+    if La:
+        D[:, 2:, 1] = np.arange(2, La + 2, dtype=np.int32)[None, :] - 1
+    res = blen.astype(np.int64).copy()  # alen == 0 -> blen
+    da = np.zeros((P, 256), dtype=np.int64)  # last row of char in a
+    rows = np.arange(P)
+    jj = np.arange(1, Lb + 1, dtype=np.int32)[None, :]  # 1-based j
+    arj = np.arange(Lb + 1, dtype=np.int32)[None, :]  # slope-1 ramp
+    bmat64 = bmat.astype(np.int64)
+    for i in range(1, La + 1):
+        ai = amat[:, i - 1]
+        cost = (ai[:, None] != bmat).astype(np.int32)
+        # db[j]: last j' < j (1-based) with b[j'] == a[i], else 0
+        run = np.maximum.accumulate(
+            np.where(ai[:, None] == bmat, jj, 0), axis=1
+        )
+        db = np.zeros((P, Lb), dtype=np.int32)
+        db[:, 1:] = run[:, :-1]
+        k = np.take_along_axis(da, bmat64, axis=1)  # (P, Lb)
+        # transposition: d[k-1, l-1] + (i-k-1) + 1 + (j-l-1)
+        trans = D[rows[:, None], k, db] + (
+            np.int32(i - 1) + jj - k.astype(np.int32) - db
+        )
+        # substitution d[i-1,j-1]+cost, deletion d[i-1,j]+1
+        core = np.minimum(D[:, i, 1:Lb + 1] + cost, D[:, i, 2:] + 1)
+        np.minimum(core, trans, out=core)
+        # fold the insertion chain: new[j] = min_{k<=j} cand[k] + (j-k)
+        cand = np.empty((P, Lb + 1), dtype=np.int32)
+        cand[:, 0] = i  # border d[i, 0] = i seeds the chain
+        cand[:, 1:] = core
+        np.subtract(cand, arj, out=cand)
+        np.minimum.accumulate(cand, axis=1, out=cand)
+        np.add(cand, arj, out=cand)
+        D[:, i + 1, 1:] = cand
+        da[rows, amat[:, i - 1].astype(np.int64)] = i
+        snap = alen == i
+        if snap.any():
+            res[snap] = D[snap, i + 1, blen[snap] + 1]
+    return res
+
+
+def charset_jaccard_batch(amat, alen, bmat, blen):
+    """DuckDB ``jaccard`` for every row-pair -> float64[P]: the
+    similarity of the two strings' DISTINCT BYTE sets (probe:
+    ``jaccard('abc','cba') = 1.0`` — set-of-bytes, order-free;
+    ``jaccard('éa','ea') = 0.25`` — bytes, not codepoints). One
+    256-slot presence bitmap per side, built with a vector scatter per
+    key column; the division is a single IEEE op on small integers, so
+    the result is bit-identical to the oracle's. DuckDB RAISES on an
+    empty argument — callers must mask out ``alen == 0 | blen == 0``
+    pairs; this kernel returns 0.0 for them."""
+    P = alen.shape[0]
+    if P == 0:
+        return np.empty(0, dtype=np.float64)
+    pres_a = np.zeros((P, 256), dtype=bool)
+    pres_b = np.zeros((P, 256), dtype=bool)
+    for i in range(amat.shape[1]):
+        sel = np.flatnonzero(alen > i)
+        pres_a[sel, amat[sel, i]] = True
+    for i in range(bmat.shape[1]):
+        sel = np.flatnonzero(blen > i)
+        pres_b[sel, bmat[sel, i]] = True
+    inter = (pres_a & pres_b).sum(axis=1).astype(np.float64)
+    union = (pres_a | pres_b).sum(axis=1).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = inter / union
+    return np.where(union > 0, j, 0.0)
+
+
 def jaro_winkler_batch(amat, alen, bmat, blen):
     """Jaro-Winkler similarity for every row-pair -> float64[P],
     DuckDB semantics: byte-level, matches found greedily left-to-right

@@ -283,6 +283,7 @@ DOC_QUERIES = [
     "fuzzy_match_jw", "fuzzy_match_multikey", "er_fuzzy_clusters",
     "fuzzy_dedup_survivors", "er_fuzzy_eval", "fuzzy_match_token_sort",
     "blocking_strategy_report", "fuzzy_decontaminate_jw",
+    "fuzzy_match_damerau", "fuzzy_match_charjac",
 ]
 
 

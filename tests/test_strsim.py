@@ -16,6 +16,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hexhamming_ray.functions.strsim import (  # noqa: E402
+    charset_jaccard_batch,
+    damerau_levenshtein_batch,
     jaro_winkler_batch,
     levenshtein_batch,
     pad_matrix,
@@ -63,7 +65,11 @@ def _duck_ref(cases):
         [(i, x, y) for i, (x, y) in enumerate(cases)],
     )
     ref = con.sql(
-        "SELECT levenshtein(a, b), jaro_winkler_similarity(a, b) "
+        "SELECT levenshtein(a, b), jaro_winkler_similarity(a, b), "
+        "damerau_levenshtein(a, b), "
+        # DuckDB jaccard RAISES on '' input — sentinel those (the
+        # engine kernel returns 0.0 and callers mask them out)
+        "CASE WHEN a = '' OR b = '' THEN -1.0 ELSE jaccard(a, b) END "
         "FROM t ORDER BY i"
     ).fetchall()
     con.close()
@@ -75,9 +81,13 @@ def _kernels(cases):
     b = pa.array([c[1] for c in cases])
     amat, alen = pad_matrix(a)
     bmat, blen = pad_matrix(b)
+    cj = charset_jaccard_batch(amat, alen, bmat, blen)
+    cj = np.where((alen == 0) | (blen == 0), -1.0, cj)
     return (
         levenshtein_batch(amat, alen, bmat, blen),
         jaro_winkler_batch(amat, alen, bmat, blen),
+        damerau_levenshtein_batch(amat, alen, bmat, blen),
+        cj,
     )
 
 
@@ -85,33 +95,43 @@ def test_kernels_bit_exact_vs_duckdb():
     """4k random + edge cases: Levenshtein equal as ints, Jaro-Winkler
     equal as exact doubles (same formula, same op order)."""
     cases = EDGE_CASES + _rand_cases(4000)
-    lev, jw = _kernels(cases)
+    lev, jw, dl, cj = _kernels(cases)
     ref = _duck_ref(cases)
-    for i, (rl, rj) in enumerate(ref):
+    for i, (rl, rj, rd, rc) in enumerate(ref):
         assert int(lev[i]) == rl, (cases[i], int(lev[i]), rl)
         assert float(jw[i]) == rj, (cases[i], float(jw[i]), rj)
+        assert int(dl[i]) == rd, (cases[i], int(dl[i]), rd)
+        assert float(cj[i]) == rc, (cases[i], float(cj[i]), rc)
 
 
 def test_kernels_low_alphabet_sweep():
     """2-letter alphabet maximizes matches/transposition collisions —
     the hard corner of the greedy Jaro matcher."""
     cases = _rand_cases(2000, seed=23, alphabet="ab", max_len=10)
-    lev, jw = _kernels(cases)
+    lev, jw, dl, cj = _kernels(cases)
     ref = _duck_ref(cases)
-    for i, (rl, rj) in enumerate(ref):
+    for i, (rl, rj, rd, rc) in enumerate(ref):
         assert int(lev[i]) == rl
         assert float(jw[i]) == rj
+        assert int(dl[i]) == rd, (cases[i], int(dl[i]), rd)
+        assert float(cj[i]) == rc
 
 
 def test_levenshtein_symmetry_and_bounds():
     cases = _rand_cases(500, seed=5)
-    lev_ab, _ = _kernels(cases)
-    lev_ba, _ = _kernels([(b, a) for a, b in cases])
+    lev_ab, _, dl_ab, cj_ab = _kernels(cases)
+    lev_ba, _, dl_ba, cj_ba = _kernels([(b, a) for a, b in cases])
     assert (lev_ab == lev_ba).all()
+    assert (dl_ab == dl_ba).all()
+    assert (cj_ab == cj_ba).all()
     la = np.array([len(a) for a, _ in cases])
     lb = np.array([len(b) for _, b in cases])
     assert (lev_ab >= np.abs(la - lb)).all()
     assert (lev_ab <= np.maximum(la, lb)).all()
+    # Damerau never exceeds Levenshtein (extra op available), and a
+    # transposition saves at most half the substitutions
+    assert (dl_ab <= lev_ab).all()
+    assert (dl_ab * 2 >= lev_ab).all()
 
 
 def test_pad_matrix_width_clips():
@@ -343,13 +363,17 @@ def test_hypothesis_strsim_vs_duckdb():
     )
     @settings(max_examples=250, deadline=None)
     def inner(a, b):
-        lev, jw = _kernels([(a, b)])
-        rl, rj = con.execute(
-            "SELECT levenshtein(?, ?), jaro_winkler_similarity(?, ?)",
-            [a, b, a, b],
+        lev, jw, dl, cj = _kernels([(a, b)])
+        rl, rj, rd, rc = con.execute(
+            "SELECT levenshtein(?, ?), jaro_winkler_similarity(?, ?), "
+            "damerau_levenshtein(?, ?), "
+            "CASE WHEN ? = '' OR ? = '' THEN -1.0 ELSE jaccard(?, ?) END",
+            [a, b, a, b, a, b, a, b, a, b],
         ).fetchone()
         assert int(lev[0]) == rl, (a, b)
         assert float(jw[0]) == rj, (a, b)
+        assert int(dl[0]) == rd, (a, b)
+        assert float(cj[0]) == rc, (a, b)
 
     inner()
     con.close()
