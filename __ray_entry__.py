@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_survivors": SM.fuzzy_dedup_survivors,
         "er_fuzzy_eval": SM.er_fuzzy_eval,
         "blocking_strategy_report": SM.blocking_strategy_report,
+        "qgram_blocking_pairs": SM.qgram_blocking_pairs,
+        "meta_blocking_wep": SM.meta_blocking_wep,
         "fuzzy_decontaminate_jw": SM.fuzzy_decontaminate_jw,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
@@ -271,6 +273,20 @@ def _sn_pair_cte(alias: str, key_expr: str) -> str:
     )
 
 
+_QGRAM_CTE = (
+    "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+    " FROM documents), "
+    "g AS (SELECT doc_id, substring(key, i, 20) AS gram "
+    " FROM k, UNNEST(generate_series(1, length(key) - 19)) AS t(i)), "
+    "gd AS (SELECT DISTINCT doc_id, gram FROM g), "
+    "keep AS (SELECT * FROM gd "
+    " QUALIFY COUNT(*) OVER (PARTITION BY gram) <= 8), "
+    "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    " CAST(COUNT(*) AS BIGINT) AS n_common FROM keep a JOIN keep b "
+    " ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+)
+
+
 _TRUTH_CTE = (
     "toks AS (SELECT doc_id, "
     " regexp_extract_all(text, '\\S+') AS t FROM documents), "
@@ -384,6 +400,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
             "WHERE CASE WHEN a.key = '' OR b.key = '' THEN FALSE "
             " ELSE jaccard(a.key, b.key) >= 0.9 END"
+        ),
+        # q-gram blocking with count filtering (Gravano et al.): pairs
+        # sharing >= 3 distinct key 20-grams, grams with df > 8 dropped
+        # (codepoint substring semantics both sides)
+        "qgram_blocking_pairs": (
+            _QGRAM_CTE + "SELECT * FROM p WHERE n_common >= 3"
+        ),
+        # meta-blocking Weighted Edge Pruning (Papadakis et al.): keep
+        # blocking-graph edges above the MEAN shared-gram count — the
+        # data-derived prune over the RAW candidate graph
+        "meta_blocking_wep": (
+            _QGRAM_CTE
+            + ", m AS (SELECT AVG(n_common) AS mu FROM p) "
+            "SELECT p.a_id, p.b_id, p.n_common FROM p, m "
+            "WHERE p.n_common > m.mu"
         ),
         # token-sort normalization: the key is the first 24 chars of
         # the doc's SORTED token sequence (word reordering no longer

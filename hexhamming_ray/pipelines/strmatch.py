@@ -927,3 +927,234 @@ def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
     nodes = _docs(sf_dir, ["doc_id"], hash_shuffle=True)
     return label_nodes(labels, nodes, "doc_id", "cluster_id",
                        broadcast_cap=GRAPH_LABEL_BROADCAST_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q-gram blocking (Gravano et al. count filtering) + meta-blocking WEP
+# ---------------------------------------------------------------------------
+
+
+def _qgram_pair_counts(sf_dir: str, q: int, key_len: int, df_cap: int,
+                       num_partitions: int | None = None):
+    """Shared q-gram blocking core -> Dataset (a_id, b_id, n_common):
+    the number of DISTINCT key q-grams two documents share, grams with
+    document frequency > ``df_cap`` dropped (a stop-gram filter — the
+    frequent-gram pairs are the quadratic blowup AND the least
+    discriminative, the same df-capping the shingle truth set uses).
+
+    Scale shape (the second blocking family next to sorted-
+    neighborhood; complements it because it needs NO global rank):
+
+    1. gram emission is ``key_len - q + 1`` vectorized codepoint
+       slices per batch (DuckDB ``substring`` semantics, so the CJK /
+       accent corpus oracles exactly); per-doc DISTINCT via one
+       in-block lexsort. Text never moves — only (gram, doc_id) rows.
+    2. ONE keyed exchange on ``gram`` co-locates each posting list;
+       the df filter is a run-length test inside the block (every
+       occurrence of a gram is co-resident), and pair emission is the
+       window-loop over runs — at most ``df_cap - 1`` vector passes,
+       pairs per gram bounded by ``df_cap**2 / 2``.
+    3. ONE keyed exchange on (a_id, b_id) sums the per-gram hits into
+       ``n_common`` (run-length again). Exchange rows are 24 bytes.
+
+    Driver holds nothing; no corpus-sized state at any stage."""
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _docs,
+        _run_reset_within,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    n_pos = key_len - q + 1
+    assert n_pos >= 1, "q must not exceed key_len"
+
+    empty_grams = pa.table(
+        {"gram": pa.array([], pa.string()),
+         "doc_id": pa.array([], pa.int64())}
+    )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_grams
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        keys = pc.utf8_slice_codeunits(text, 0, key_len)
+        klen = pc.utf8_length(keys).to_numpy()
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy()
+        parts, part_ids = [], []
+        for i in range(n_pos):
+            sel = np.flatnonzero(klen >= i + q)
+            if sel.shape[0] == 0:
+                continue
+            sub = keys.take(pa.array(sel, pa.int64()))
+            parts.append(pc.utf8_slice_codeunits(sub, i, i + q))
+            part_ids.append(ids[sel])
+        if not parts:
+            return empty_grams
+        grams = pa.concat_arrays([p.combine_chunks() if
+                                  isinstance(p, pa.ChunkedArray) else p
+                                  for p in parts])
+        gids = np.concatenate(part_ids)
+        # per-doc DISTINCT grams (the count filter counts a shared
+        # gram once however often it repeats inside one key)
+        mat, _ = pad_matrix(grams)
+        gs = np.ascontiguousarray(mat).view(f"S{mat.shape[1]}").ravel()
+        order = np.lexsort((gs, gids))
+        gs_s, gid_s = gs[order], gids[order]
+        first = np.ones(gs_s.shape[0], dtype=bool)
+        first[1:] = (gid_s[1:] != gid_s[:-1]) | (gs_s[1:] != gs_s[:-1])
+        sel = np.flatnonzero(first)
+        return pa.table(
+            {"gram": grams.take(pa.array(order[sel], pa.int64())),
+             "doc_id": pa.array(gid_s[sel], pa.int64())}
+        )
+
+    empty_pairs = pa.table(
+        {"a_id": pa.array([], pa.int64()),
+         "b_id": pa.array([], pa.int64())}
+    )
+
+    def pairs_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return empty_pairs
+        grams = batch.column("gram")
+        ids = batch.column("doc_id").to_numpy()
+        mat, _ = pad_matrix(grams)
+        gs = np.ascontiguousarray(mat).view(f"S{mat.shape[1]}").ravel()
+        order = np.lexsort((ids, gs))
+        gs_s, ids_s = gs[order], ids[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = gs_s[1:] != gs_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, m])
+        replen = np.repeat(lens, lens)
+        run = np.cumsum(new) - 1
+        keep = replen <= df_cap  # stop-gram df filter
+        a_idx, b_idx = [], []
+        for k in range(1, df_cap):
+            if k >= m:
+                break
+            mask = keep[:-k] & (run[k:] == run[:-k])
+            sel = np.flatnonzero(mask)
+            if sel.shape[0]:
+                a_idx.append(sel)
+                b_idx.append(sel + k)
+        if not a_idx:
+            return empty_pairs
+        a_i = np.concatenate(a_idx)
+        b_i = np.concatenate(b_idx)
+        # ids ascend within a run (lexsort tiebreak), so lo < hi
+        return pa.table(
+            {"a_id": pa.array(ids_s[a_i], pa.int64()),
+             "b_id": pa.array(ids_s[b_i], pa.int64())}
+        )
+
+    empty_counts = pa.table(
+        {"a_id": pa.array([], pa.int64()),
+         "b_id": pa.array([], pa.int64()),
+         "n_common": pa.array([], pa.int64())}
+    )
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return empty_counts
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, m])
+        return pa.table(
+            {"a_id": pa.array(a_s[starts], pa.int64()),
+             "b_id": pa.array(b_s[starts], pa.int64()),
+             "n_common": pa.array(lens.astype(np.int64), pa.int64())}
+        )
+
+    # sort=False exchanges throughout (ENGINEERING_NOTES #69): the
+    # per-block maps lexsort themselves
+    return (
+        _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+        .map_batches(gram_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["gram"])
+        .map_batches(pairs_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["a_id", "b_id"])
+        .map_batches(count_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def qgram_blocking_pairs(sf_dir: str, *, q: int = 20, key_len: int = 24,
+                         df_cap: int = 8, min_common: int = 3):
+    """q-gram blocking with COUNT FILTERING (the Gravano et al.
+    edit-similarity-join candidate generator): document pairs sharing
+    >= ``min_common`` distinct key q-grams, frequent grams (document
+    frequency > ``df_cap``) excluded. The second blocking family next
+    to sorted-neighborhood — order-free, so it survives edits that
+    push a record far away in sort order. (a_id, b_id, n_common)."""
+    pc_ds = _qgram_pair_counts(sf_dir, q, key_len, df_cap)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_common"), min_common)
+        )
+
+    return pc_ds.map_batches(flt, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+
+def meta_blocking_wep(sf_dir: str, *, q: int = 20, key_len: int = 24,
+                      df_cap: int = 8, min_common: int = 1,
+                      checkpoint_dir: str | None = None):
+    """Weighted Edge Pruning over the q-gram blocking graph (the
+    meta-blocking step of Papadakis et al.: treat candidate pairs as
+    edges weighted by shared-gram count and keep only edges ABOVE THE
+    MEAN weight — a data-derived, parameter-free second prune).
+    Applied to the RAW blocking graph (``min_common=1``), the classic
+    meta-blocking setting: WEP itself is the count filter, with a
+    data-derived threshold instead of a constant. The edge table is
+    consumed twice (scalar mean, then filter); it is candidate-bounded,
+    and a ``checkpoint_dir`` resumes it from Parquet instead of
+    pinning it in the object store. (a_id, b_id, n_common) with
+    n_common > mean(n_common)."""
+    from hexhamming_ray.state.checkpoint import Checkpointer
+
+    def build():
+        return qgram_blocking_pairs(
+            sf_dir, q=q, key_len=key_len, df_cap=df_cap,
+            min_common=min_common,
+        )
+
+    edges = Checkpointer(checkpoint_dir).stage(
+        f"qgram_edges_{q}_{key_len}_{df_cap}_{min_common}", build
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_common").to_numpy()
+        return pa.table(
+            {"s": pa.array([int(c.sum())], pa.int64()),
+             "n": pa.array([c.shape[0]], pa.int64())}
+        )
+
+    tot_s = tot_n = 0
+    for r in edges.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=None).take_all():
+        tot_s += r["s"]
+        tot_n += r["n"]
+
+    def flt(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_common").to_numpy()
+        # c > mean == c * n > sum in exact integers (no float mean:
+        # when c*n == sum the IEEE quotient is exact, so the oracle's
+        # AVG comparison agrees on the boundary too)
+        return batch.filter(pa.array(c * tot_n > tot_s))
+
+    return edges.map_batches(flt, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)

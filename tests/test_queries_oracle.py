@@ -284,6 +284,7 @@ DOC_QUERIES = [
     "fuzzy_dedup_survivors", "er_fuzzy_eval", "fuzzy_match_token_sort",
     "blocking_strategy_report", "fuzzy_decontaminate_jw",
     "fuzzy_match_damerau", "fuzzy_match_charjac",
+    "qgram_blocking_pairs", "meta_blocking_wep",
 ]
 
 

@@ -377,3 +377,61 @@ def test_hypothesis_strsim_vs_duckdb():
 
     inner()
     con.close()
+
+
+def test_qgram_blocking_partition_invariance(ray_session):
+    """q-gram pair counts must be identical at any partition count
+    (both keyed exchanges reorganize, never change, the pair set)."""
+    from hexhamming_ray.pipelines.strmatch import _qgram_pair_counts
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    a = canon(_qgram_pair_counts(SF_DIR, 20, 24, 8, num_partitions=1))
+    b = canon(_qgram_pair_counts(SF_DIR, 20, 24, 8, num_partitions=7))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_meta_blocking_wep_checkpoint_resume(ray_session, tmp_path):
+    """WEP's double-consumed edge table resumes from Parquet: the
+    manifest marks the stage complete and the re-run's survivor set is
+    identical."""
+    import json
+
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    ck = str(tmp_path / "wep_ck")
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    first = canon(SM.meta_blocking_wep(SF_DIR, checkpoint_dir=ck))
+    man = json.load(open(f"{ck}/manifest.json"))
+    stage = next(iter(man))
+    assert man[stage]["complete"]
+    again = canon(SM.meta_blocking_wep(SF_DIR, checkpoint_dir=ck))
+    pd.testing.assert_frame_equal(first, again)
+    assert len(first) > 0
+
+
+def test_wep_prunes_strictly_above_mean(ray_session):
+    """WEP semantics on the raw graph: survivors are exactly the edges
+    with weight strictly above the unpruned graph's mean weight."""
+    from hexhamming_ray.pipelines.strmatch import (
+        _qgram_pair_counts,
+        meta_blocking_wep,
+    )
+
+    raw = _qgram_pair_counts(SF_DIR, 20, 24, 8).to_pandas()
+    mu = raw["n_common"].mean()
+    want = raw[raw["n_common"] > mu]
+    got = meta_blocking_wep(SF_DIR).to_pandas()
+    key = ["a_id", "b_id", "n_common"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
