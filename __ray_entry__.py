@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_strategy_report": SM.blocking_strategy_report,
         "qgram_blocking_pairs": SM.qgram_blocking_pairs,
         "meta_blocking_wep": SM.meta_blocking_wep,
+        "cnp_blocking_pairs": SM.cnp_blocking_pairs,
+        "golden_record_docs": SM.golden_record_docs,
         "fuzzy_decontaminate_jw": SM.fuzzy_decontaminate_jw,
         # --- never-driver-checked, SQL-oracled: LLM-data tail ---
         "line_dedup_docs": T.line_dedup_docs,
@@ -415,6 +417,56 @@ def oracle_sql() -> dict[str, str]:
             + ", m AS (SELECT AVG(n_common) AS mu FROM p) "
             "SELECT p.a_id, p.b_id, p.n_common FROM p, m "
             "WHERE p.n_common > m.mu"
+        ),
+        # Cardinality Node Pruning (meta-blocking): each node keeps its
+        # 2 strongest edges (weight desc, neighbor asc); an edge
+        # survives if EITHER endpoint retained it
+        "cnp_blocking_pairs": (
+            _QGRAM_CTE
+            + ", d AS (SELECT a_id AS node, b_id AS other, n_common "
+            " FROM p UNION ALL SELECT b_id, a_id, n_common FROM p), "
+            "t AS (SELECT node, other FROM d QUALIFY ROW_NUMBER() "
+            " OVER (PARTITION BY node "
+            "  ORDER BY n_common DESC, other) <= 2), "
+            "s AS (SELECT DISTINCT LEAST(node, other) AS a_id, "
+            " GREATEST(node, other) AS b_id FROM t) "
+            "SELECT p.a_id, p.b_id, p.n_common "
+            "FROM p JOIN s USING (a_id, b_id)"
+        ),
+        # survivorship merge per fuzzy cluster: longest-member rep,
+        # majority lang (ties -> smallest), member count, char total
+        "golden_record_docs": (
+            "WITH RECURSIVE "
+            "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            " UNION "
+            " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a), "
+            "c AS (SELECT id AS doc_id, CAST(MIN(rr) AS BIGINT) "
+            " AS cluster_id FROM reach GROUP BY id), "
+            "j AS (SELECT c.cluster_id, c.doc_id, d.n_chars, d.lang "
+            " FROM c JOIN documents d ON d.doc_id = c.doc_id), "
+            "rep AS (SELECT cluster_id, doc_id AS rep_doc_id FROM j "
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id "
+            "  ORDER BY n_chars DESC, doc_id) = 1), "
+            "lc AS (SELECT cluster_id, lang, COUNT(*) AS n "
+            " FROM j GROUP BY 1, 2), "
+            "ml AS (SELECT cluster_id, lang FROM lc "
+            " QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id "
+            "  ORDER BY n DESC, lang) = 1), "
+            "agg AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) "
+            " AS n_members, CAST(SUM(n_chars) AS BIGINT) "
+            " AS total_chars FROM j GROUP BY 1) "
+            "SELECT agg.cluster_id, agg.n_members, rep.rep_doc_id, "
+            "ml.lang, agg.total_chars FROM agg "
+            "JOIN rep USING (cluster_id) JOIN ml USING (cluster_id)"
         ),
         # token-sort normalization: the key is the first 24 chars of
         # the doc's SORTED token sequence (word reordering no longer

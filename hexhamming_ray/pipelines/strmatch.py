@@ -1158,3 +1158,243 @@ def meta_blocking_wep(sf_dir: str, *, q: int = 20, key_len: int = 24,
 
     return edges.map_batches(flt, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
+
+
+def cnp_blocking_pairs(sf_dir: str, *, q: int = 20, key_len: int = 24,
+                       df_cap: int = 8, top_k: int = 2):
+    """Cardinality Node Pruning over the q-gram blocking graph (the
+    redundancy-positive CNP of the meta-blocking family): each node
+    keeps its ``top_k`` strongest edges (shared-gram count desc, then
+    neighbor id asc), and an edge survives if EITHER endpoint retained
+    it — per-entity candidate budgets instead of a global threshold,
+    the skew-robust prune (a hub node cannot flood the candidate set
+    past ``top_k * degree_bound``). (a_id, b_id, n_common).
+
+    Shape: the raw pair-count graph mirrors into directed rows, ONE
+    keyed exchange on ``node`` makes each adjacency list co-resident
+    (rank = run position after an in-block lexsort), and ONE keyed
+    exchange on the undirected pair dedups the two directions. Rows
+    are 24 bytes; degree lists never sit on the driver."""
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _run_reset_within,
+    )
+
+    nparts = _default_partitions()
+    raw = _qgram_pair_counts(sf_dir, q, key_len, df_cap)
+
+    empty_dir = pa.table(
+        {"node": pa.array([], pa.int64()),
+         "other": pa.array([], pa.int64()),
+         "n_common": pa.array([], pa.int64())}
+    )
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_dir
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        c = batch.column("n_common").to_numpy()
+        return pa.table(
+            {"node": pa.array(np.concatenate([a, b]), pa.int64()),
+             "other": pa.array(np.concatenate([b, a]), pa.int64()),
+             "n_common": pa.array(np.concatenate([c, c]), pa.int64())}
+        )
+
+    empty_pairs = pa.table(
+        {"a_id": pa.array([], pa.int64()),
+         "b_id": pa.array([], pa.int64()),
+         "n_common": pa.array([], pa.int64())}
+    )
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_pairs
+        node = batch.column("node").to_numpy()
+        other = batch.column("other").to_numpy()
+        c = batch.column("n_common").to_numpy()
+        order = np.lexsort((other, -c, node))
+        node_s = node[order]
+        rank = _run_reset_within(node_s)
+        sel = np.flatnonzero(rank < top_k)
+        n_k, o_k, c_k = node_s[sel], other[order][sel], c[order][sel]
+        return pa.table(
+            {"a_id": pa.array(np.minimum(n_k, o_k), pa.int64()),
+             "b_id": pa.array(np.maximum(n_k, o_k), pa.int64()),
+             "n_common": pa.array(c_k, pa.int64())}
+        )
+
+    def dedup_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_pairs
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        c = batch.column("n_common").to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(a_s.shape[0], dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        sel = order[first]
+        return pa.table(
+            {"a_id": pa.array(a[sel], pa.int64()),
+             "b_id": pa.array(b[sel], pa.int64()),
+             "n_common": pa.array(c[sel], pa.int64())}
+        )
+
+    return (
+        raw.map_batches(mirror, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=nparts, keys=["node"])
+        .map_batches(topk_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=nparts, keys=["a_id", "b_id"])
+        .map_batches(dedup_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def golden_record_docs(sf_dir: str, *, key_len: int = 24,
+                       window: int = 4, min_sim: float = 0.88,
+                       checkpoint_dir: str | None = None):
+    """SURVIVORSHIP: merge each fuzzy cluster into one golden record
+    with field-level rules — representative = the LONGEST member
+    (ties -> min doc_id), language = the cluster's MAJORITY lang
+    (ties -> lexicographically smallest), plus member count and total
+    chars. The merge step of an ER pipeline (match -> cluster ->
+    survive), distinct from :func:`fuzzy_dedup_survivors`, which PICKS
+    a row; this one SYNTHESIZES per-field values across members.
+    (cluster_id, n_members, rep_doc_id, lang, total_chars).
+
+    Shape: labels join (lang, n_chars) by the tagged-union doc_id
+    exchange (no join operator), then ONE cluster_id-keyed exchange;
+    every per-cluster rule is a run pass after one in-block lexsort
+    (member count = run length, total = reduceat, argmax = run head,
+    majority = nested run count). Text never moves."""
+    from hexhamming_ray.pipelines.text import _default_partitions, _docs
+
+    labels = er_fuzzy_clusters(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    def tag_lab(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+             "lang": pa.nulls(len(batch), pa.string()),
+             "n_chars": pa.nulls(len(batch), pa.int64())}
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "cluster_id": pa.nulls(len(batch), pa.int64()),
+             "lang": batch.column("lang"),
+             "n_chars": batch.column("n_chars").cast(pa.int64())}
+        )
+
+    merged_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cluster_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string()),
+         "n_chars": pa.array([], pa.int64())}
+    )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return merged_schema
+        is_lab = pc.is_valid(batch.column("cluster_id")).to_numpy(
+            zero_copy_only=False
+        )
+        ids = batch.column("doc_id").to_numpy()
+        clu = batch.column("cluster_id").fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        nch = batch.column("n_chars").fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        lo = np.argsort(ids[is_lab])
+        do = np.argsort(ids[~is_lab])
+        doc_rows = np.flatnonzero(~is_lab)[do]
+        return pa.table(
+            {"doc_id": pa.array(ids[is_lab][lo], pa.int64()),
+             "cluster_id": pa.array(clu[is_lab][lo], pa.int64()),
+             "lang": batch.column("lang").take(
+                 pa.array(doc_rows, pa.int64())),
+             "n_chars": pa.array(nch[~is_lab][do], pa.int64())}
+        )
+
+    golden_schema = pa.table(
+        {"cluster_id": pa.array([], pa.int64()),
+         "n_members": pa.array([], pa.int64()),
+         "rep_doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string()),
+         "total_chars": pa.array([], pa.int64())}
+    )
+
+    def golden_block(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return golden_schema
+        clu = batch.column("cluster_id").to_numpy()
+        nch = batch.column("n_chars").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lmat, _ = pad_matrix(lang)
+        lang_s = np.ascontiguousarray(lmat).view(
+            f"S{lmat.shape[1]}"
+        ).ravel()
+        # rep pick + count + total in ONE (cluster, -len, id) order
+        order = np.lexsort((ids, -nch, clu))
+        clu_s = clu[order]
+        head = np.ones(m, dtype=bool)
+        head[1:] = clu_s[1:] != clu_s[:-1]
+        starts = np.flatnonzero(head)
+        n_members = np.diff(np.r_[starts, m])
+        totals = np.add.reduceat(nch[order], starts)
+        rep_ids = ids[order][starts]
+        # majority lang: (cluster, lang) run counts, then per-cluster
+        # max count (ties -> smallest lang bytes) as another run head
+        o2 = np.lexsort((lang_s, clu))
+        cl2, ls2 = clu[o2], lang_s[o2]
+        new2 = np.ones(m, dtype=bool)
+        new2[1:] = (cl2[1:] != cl2[:-1]) | (ls2[1:] != ls2[:-1])
+        s2 = np.flatnonzero(new2)
+        cnt2 = np.diff(np.r_[s2, m])
+        cl3, ls3 = cl2[s2], ls2[s2]
+        # ls3 ascends within a cluster already; stable argsort on
+        # (-cnt) within cluster keeps the smallest-lang tie winner
+        o3 = np.lexsort((ls3, -cnt2, cl3))
+        cl3_s = cl3[o3]
+        head3 = np.ones(cl3_s.shape[0], dtype=bool)
+        head3[1:] = cl3_s[1:] != cl3_s[:-1]
+        maj_rows = o2[s2][o3[head3]]  # row of each winning run's head
+        return pa.table(
+            {"cluster_id": pa.array(clu_s[starts], pa.int64()),
+             "n_members": pa.array(n_members.astype(np.int64),
+                                   pa.int64()),
+             "rep_doc_id": pa.array(rep_ids, pa.int64()),
+             "lang": lang.take(pa.array(maj_rows, pa.int64())),
+             "total_chars": pa.array(totals.astype(np.int64),
+                                     pa.int64())}
+        )
+
+    nparts = _default_partitions()
+    u = labels.map_batches(
+        tag_lab, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"], hash_shuffle=True)
+        .map_batches(tag_doc, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    return (
+        u.repartition(num_blocks=nparts, keys=["doc_id"])
+        .map_batches(merge_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=nparts, keys=["cluster_id"])
+        .map_batches(golden_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

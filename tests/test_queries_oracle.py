@@ -285,6 +285,7 @@ DOC_QUERIES = [
     "blocking_strategy_report", "fuzzy_decontaminate_jw",
     "fuzzy_match_damerau", "fuzzy_match_charjac",
     "qgram_blocking_pairs", "meta_blocking_wep",
+    "cnp_blocking_pairs", "golden_record_docs",
 ]
 
 

@@ -435,3 +435,51 @@ def test_wep_prunes_strictly_above_mean(ray_session):
         want[key].sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_cnp_retention_properties(ray_session):
+    """CNP survivors are a subset of the raw graph, and every raw edge
+    in the top-k of either endpoint survives (redundancy-positive
+    semantics, recomputed in pandas from the raw graph)."""
+    from hexhamming_ray.pipelines.strmatch import (
+        _qgram_pair_counts,
+        cnp_blocking_pairs,
+    )
+
+    raw = _qgram_pair_counts(SF_DIR, 20, 24, 8).to_pandas()
+    got = cnp_blocking_pairs(SF_DIR).to_pandas()
+    d = pd.concat([
+        raw.rename(columns={"a_id": "node", "b_id": "other"}),
+        raw.rename(columns={"b_id": "node", "a_id": "other"}),
+    ])
+    d = d.sort_values(["node", "n_common", "other"],
+                      ascending=[True, False, True])
+    d["rk"] = d.groupby("node").cumcount()
+    top = d[d.rk < 2]
+    want = set(zip(np.minimum(top.node, top.other),
+                   np.maximum(top.node, top.other)))
+    have = set(zip(got.a_id, got.b_id))
+    assert have == want
+    assert have <= set(zip(raw.a_id, raw.b_id))
+    assert len(got) > 0
+
+
+def test_golden_record_agrees_with_survivor_pick(ray_session):
+    """golden_record's rep_doc_id must equal fuzzy_dedup_survivors'
+    per-cluster pick (same longest-member rule), and total/member
+    counts must reconcile with the raw cluster labels."""
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    golden = SM.golden_record_docs(SF_DIR).to_pandas()
+    surv = SM.fuzzy_dedup_survivors(SF_DIR).to_pandas()
+    m = golden.merge(surv, on="cluster_id", how="outer",
+                     indicator=True)
+    assert (m._merge == "both").all()
+    assert (m.rep_doc_id == m.doc_id).all()
+    labels = SM.er_fuzzy_clusters(SF_DIR).to_pandas()
+    sizes = labels.groupby("cluster_id").size()
+    g = golden.set_index("cluster_id").sort_index()
+    assert g.index.equals(sizes.sort_index().index)
+    assert (g.n_members.to_numpy()
+            == sizes.sort_index().to_numpy()).all()
+    assert g.n_members.sum() == len(labels)
