@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": SM.sorted_neighborhood_pairs,
         "fuzzy_match_levenshtein": SM.fuzzy_match_levenshtein,
         "fuzzy_match_jw": SM.fuzzy_match_jw,
+        "fuzzy_match_jaro": SM.fuzzy_match_jaro,
         "fuzzy_match_damerau": SM.fuzzy_match_damerau,
         "fuzzy_match_charjac": SM.fuzzy_match_charjac,
         "fuzzy_match_multikey": SM.fuzzy_match_multikey,
@@ -380,6 +381,16 @@ def oracle_sql() -> dict[str, str]:
             "jaro_winkler_similarity(a.key, b.key) AS jw_sim "
             "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
             "WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88"
+        ),
+        # candidates scored with PLAIN Jaro (no Winkler boost — the
+        # boost-free scorer for boilerplate-prefix keys; kernel shared
+        # with the JW path, bit-exact vs DuckDB jaro_similarity)
+        "fuzzy_match_jaro": (
+            _SN_CTE
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "jaro_similarity(a.key, b.key) AS jaro_sim "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            "WHERE jaro_similarity(a.key, b.key) >= 0.84"
         ),
         # candidates scored with TRUE (unrestricted) Damerau-Levenshtein
         # — transposition charged ONE op ('CA'->'ABC' = 2, not OSA's 3);

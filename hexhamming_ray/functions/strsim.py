@@ -185,14 +185,15 @@ def charset_jaccard_batch(amat, alen, bmat, blen):
     return np.where(union > 0, j, 0.0)
 
 
-def jaro_winkler_batch(amat, alen, bmat, blen):
-    """Jaro-Winkler similarity for every row-pair -> float64[P],
-    DuckDB semantics: byte-level, matches found greedily left-to-right
-    within the standard ``max(la,lb)//2 - 1`` window, transpositions =
-    ``floor(mismatched_matches / 2)``, Winkler prefix boost (scale
-    0.1, prefix capped at 4) applied only when jaro > 0.7, and 0.0
-    when either side is empty. The scan loops over ``a``'s positions
-    with the first-eligible-match argmax vectorized across pairs."""
+def jaro_batch(amat, alen, bmat, blen):
+    """Plain Jaro similarity for every row-pair -> float64[P],
+    DuckDB ``jaro_similarity`` semantics: byte-level, matches found
+    greedily left-to-right within the standard ``max(la,lb)//2 - 1``
+    window, transpositions = ``floor(mismatched_matches / 2)``, and
+    0.0 when either side is empty. The scan loops over ``a``'s
+    positions with the first-eligible-match argmax vectorized across
+    pairs. ``jaro_winkler_batch`` layers the Winkler prefix boost on
+    this exact value, so the two stay bit-consistent by construction."""
     P = alen.shape[0]
     if P == 0:
         return np.empty(0, dtype=np.float64)
@@ -238,7 +239,20 @@ def jaro_winkler_batch(amat, alen, bmat, blen):
     la = np.maximum(alen, 1).astype(np.float64)
     lb = np.maximum(blen, 1).astype(np.float64)
     jaro = (m / la + m / lb + (m - t) / safe_m) / 3.0
-    jaro = np.where((m > 0) & (alen > 0) & (blen > 0), jaro, 0.0)
+    return np.where((m > 0) & (alen > 0) & (blen > 0), jaro, 0.0)
+
+
+def jaro_winkler_batch(amat, alen, bmat, blen):
+    """Jaro-Winkler similarity for every row-pair -> float64[P]:
+    :func:`jaro_batch` plus the Winkler prefix boost (scale 0.1,
+    common prefix capped at 4 bytes), applied only when jaro > 0.7 —
+    the DuckDB ``jaro_winkler_similarity`` semantics, pinned by the
+    conformance sweep in tests/test_strsim.py."""
+    jaro = jaro_batch(amat, alen, bmat, blen)
+    P = alen.shape[0]
+    if P == 0:
+        return jaro
+    Lb = bmat.shape[1]
     # common prefix (cap 4, bounded by both lengths)
     pw = min(4, amat.shape[1], Lb)
     pm = (amat[:, :pw] == bmat[:, :pw]) & (

@@ -49,6 +49,7 @@ import pyarrow.compute as pc
 from hexhamming_ray.functions.strsim import (
     charset_jaccard_batch,
     damerau_levenshtein_batch,
+    jaro_batch,
     jaro_winkler_batch,
     levenshtein_batch,
     pad_matrix,
@@ -486,6 +487,31 @@ def fuzzy_match_jw(sf_dir: str, *, key_len: int = 24, window: int = 4,
     jaro 0.7), kept when >= ``min_sim``. (a_id, b_id, jw_sim)."""
     return _sn_scored_pairs(sf_dir, key_len, window,
                             _JwScorer(min_sim),
+                            checkpoint_dir=checkpoint_dir)
+
+
+class _JaroScorer:
+    schema = [("jaro_sim", pa.float64())]
+
+    def __init__(self, min_sim: float):
+        self.min_sim = min_sim
+
+    def __call__(self, amat, alen, bmat, blen, gaps):
+        j = jaro_batch(amat, alen, bmat, blen)
+        return j >= self.min_sim, [j]
+
+
+def fuzzy_match_jaro(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                     min_sim: float = 0.84,
+                     checkpoint_dir: str | None = None):
+    """Sorted-neighborhood candidates scored with PLAIN Jaro
+    similarity (no Winkler prefix boost — the scorer of choice when
+    record keys share long boilerplate prefixes that would otherwise
+    inflate every score by the full 0.1 boost). Kernel bit-exact vs
+    DuckDB's ``jaro_similarity``; kept when >= ``min_sim``.
+    (a_id, b_id, jaro_sim)."""
+    return _sn_scored_pairs(sf_dir, key_len, window,
+                            _JaroScorer(min_sim),
                             checkpoint_dir=checkpoint_dir)
 
 

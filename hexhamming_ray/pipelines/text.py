@@ -3641,11 +3641,14 @@ def inverted_index(sf_dir: str, *, min_df: int = 2, max_df: int = 385,
         starts = np.flatnonzero(new)
         lens = np.diff(np.r_[starts, n])
         doc_str = pc.cast(pa.array(doc, pa.int64()), pa.string())
+        # int64 offsets + LargeList: a partition's (tok, doc) pair
+        # count can exceed 2^31-1 at corpus scale (the same overflow
+        # cliff chunk_docs guards with LargeListArray)
         offsets = pa.array(
-            np.concatenate((starts, [n])).astype(np.int32), pa.int32()
+            np.concatenate((starts, [n])).astype(np.int64), pa.int64()
         )
         postings = pc.binary_join(
-            pa.ListArray.from_arrays(offsets, doc_str), ","
+            pa.LargeListArray.from_arrays(offsets, doc_str), ","
         )
         t = pa.table(
             {

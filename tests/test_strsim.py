@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hexhamming_ray.functions.strsim import (  # noqa: E402
     charset_jaccard_batch,
     damerau_levenshtein_batch,
+    jaro_batch,
     jaro_winkler_batch,
     levenshtein_batch,
     pad_matrix,
@@ -66,7 +67,7 @@ def _duck_ref(cases):
     )
     ref = con.sql(
         "SELECT levenshtein(a, b), jaro_winkler_similarity(a, b), "
-        "damerau_levenshtein(a, b), "
+        "damerau_levenshtein(a, b), jaro_similarity(a, b), "
         # DuckDB jaccard RAISES on '' input — sentinel those (the
         # engine kernel returns 0.0 and callers mask them out)
         "CASE WHEN a = '' OR b = '' THEN -1.0 ELSE jaccard(a, b) END "
@@ -87,6 +88,7 @@ def _kernels(cases):
         levenshtein_batch(amat, alen, bmat, blen),
         jaro_winkler_batch(amat, alen, bmat, blen),
         damerau_levenshtein_batch(amat, alen, bmat, blen),
+        jaro_batch(amat, alen, bmat, blen),
         cj,
     )
 
@@ -95,12 +97,13 @@ def test_kernels_bit_exact_vs_duckdb():
     """4k random + edge cases: Levenshtein equal as ints, Jaro-Winkler
     equal as exact doubles (same formula, same op order)."""
     cases = EDGE_CASES + _rand_cases(4000)
-    lev, jw, dl, cj = _kernels(cases)
+    lev, jw, dl, jr, cj = _kernels(cases)
     ref = _duck_ref(cases)
-    for i, (rl, rj, rd, rc) in enumerate(ref):
+    for i, (rl, rj, rd, rjr, rc) in enumerate(ref):
         assert int(lev[i]) == rl, (cases[i], int(lev[i]), rl)
         assert float(jw[i]) == rj, (cases[i], float(jw[i]), rj)
         assert int(dl[i]) == rd, (cases[i], int(dl[i]), rd)
+        assert float(jr[i]) == rjr, (cases[i], float(jr[i]), rjr)
         assert float(cj[i]) == rc, (cases[i], float(cj[i]), rc)
 
 
@@ -108,19 +111,20 @@ def test_kernels_low_alphabet_sweep():
     """2-letter alphabet maximizes matches/transposition collisions —
     the hard corner of the greedy Jaro matcher."""
     cases = _rand_cases(2000, seed=23, alphabet="ab", max_len=10)
-    lev, jw, dl, cj = _kernels(cases)
+    lev, jw, dl, jr, cj = _kernels(cases)
     ref = _duck_ref(cases)
-    for i, (rl, rj, rd, rc) in enumerate(ref):
+    for i, (rl, rj, rd, rjr, rc) in enumerate(ref):
         assert int(lev[i]) == rl
         assert float(jw[i]) == rj
         assert int(dl[i]) == rd, (cases[i], int(dl[i]), rd)
+        assert float(jr[i]) == rjr
         assert float(cj[i]) == rc
 
 
 def test_levenshtein_symmetry_and_bounds():
     cases = _rand_cases(500, seed=5)
-    lev_ab, _, dl_ab, cj_ab = _kernels(cases)
-    lev_ba, _, dl_ba, cj_ba = _kernels([(b, a) for a, b in cases])
+    lev_ab, _, dl_ab, _, cj_ab = _kernels(cases)
+    lev_ba, _, dl_ba, _, cj_ba = _kernels([(b, a) for a, b in cases])
     assert (lev_ab == lev_ba).all()
     assert (dl_ab == dl_ba).all()
     assert (cj_ab == cj_ba).all()
@@ -363,16 +367,17 @@ def test_hypothesis_strsim_vs_duckdb():
     )
     @settings(max_examples=250, deadline=None)
     def inner(a, b):
-        lev, jw, dl, cj = _kernels([(a, b)])
-        rl, rj, rd, rc = con.execute(
+        lev, jw, dl, jr, cj = _kernels([(a, b)])
+        rl, rj, rd, rjr, rc = con.execute(
             "SELECT levenshtein(?, ?), jaro_winkler_similarity(?, ?), "
-            "damerau_levenshtein(?, ?), "
+            "damerau_levenshtein(?, ?), jaro_similarity(?, ?), "
             "CASE WHEN ? = '' OR ? = '' THEN -1.0 ELSE jaccard(?, ?) END",
-            [a, b, a, b, a, b, a, b, a, b],
+            [a, b, a, b, a, b, a, b, a, b, a, b],
         ).fetchone()
         assert int(lev[0]) == rl, (a, b)
         assert float(jw[0]) == rj, (a, b)
         assert int(dl[0]) == rd, (a, b)
+        assert float(jr[0]) == rjr, (a, b)
         assert float(cj[0]) == rc, (a, b)
 
     inner()
