@@ -40,7 +40,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the 63 queries with existing CORRECTNESS_r01-r03 rows follow in
     # their original relative order.  Cumulative driver coverage across
     # rounds therefore reaches all 113.
+    from hexhamming_ray.pipelines import hamkey as HK
+
     return {
+        # --- Hamming-key ER (the reference's core predicate at corpus
+        # scale: pigeonhole band blocking, recall 1.0 by construction,
+        # DuckDB `mismatches` value oracle) ---
+        "hamming_key_pairs": HK.hamming_key_pairs,
+        "hamming_key_clusters": HK.hamming_key_clusters,
         # --- round-4 fuzzy-ER family (tier-central, new this round:
         # sorted-neighborhood blocking + DuckDB-bit-exact Levenshtein /
         # Jaro-Winkler kernels + transitive fuzzy clusters) ---
@@ -261,6 +268,18 @@ _SN_CTE = (
     " (ORDER BY key, doc_id) AS rn FROM k) "
 )
 
+# space-padded fixed-width key + byte-positional mismatch count — the
+# oracle for the pigeonhole Hamming-key family (ASCII corpus: DuckDB's
+# codepoint rpad/substring and the engine's byte matrix agree)
+_HK_KEY = "rpad(substring(text, 1, 32), 32, ' ')"
+_HK_EDGES = (
+    f"k AS (SELECT doc_id, {_HK_KEY} AS key FROM documents), "
+    "E AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+    " CAST(mismatches(a.key, b.key) AS BIGINT) AS ham_dist "
+    " FROM k a JOIN k b ON b.doc_id > a.doc_id "
+    " WHERE mismatches(a.key, b.key) <= 6) "
+)
+
 
 def _sn_pair_cte(alias: str, key_expr: str) -> str:
     """key CTE -> rank CTE -> normalized JW>=0.88 pair CTE p{alias}."""
@@ -358,6 +377,25 @@ def oracle_sql() -> dict[str, str]:
         # sorted-neighborhood blocking: all pairs within 4 positions of
         # (key, doc_id) rank order, key = first 24 chars (ASCII corpus:
         # DuckDB char semantics == engine byte semantics)
+        # pigeonhole Hamming-key search: every pair within byte-Hamming
+        # 6 on the space-padded 32-byte key (recall 1.0 by pigeonhole;
+        # engine verifies with the full-key byte kernel)
+        "hamming_key_pairs": (
+            "WITH " + _HK_EDGES + "SELECT a_id, b_id, ham_dist FROM E"
+        ),
+        # min-label transitive closure over the same edge list (the
+        # recursive-CTE oracle shape graph_components pinned)
+        "hamming_key_clusters": (
+            "WITH RECURSIVE " + _HK_EDGES + ", "
+            "ed AS (SELECT a_id AS a, b_id AS b FROM E "
+            " UNION SELECT b_id, a_id FROM E), "
+            "reach(id, r) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            " UNION "
+            " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a) "
+            "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component "
+            "FROM reach GROUP BY id"
+        ),
         "sorted_neighborhood_pairs": (
             _SN_CTE
             + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "

@@ -85,6 +85,9 @@ _EXTENDED = [
     "fuzzy_match_token_sort",
     "er_fuzzy_clusters",
     "fuzzy_dedup_survivors",
+    # Hamming-key ER (pigeonhole band blocking, exact recall)
+    "hamming_key_pairs",
+    "hamming_key_clusters",
 ]
 
 

@@ -1,0 +1,234 @@
+"""Hamming-key entity resolution: EXACT all-pairs Hamming search over
+fixed-width normalized record keys via pigeonhole band blocking.
+
+This is the reference's core predicate — ``check_hexstrings_within_dist``
+(``python_hexhamming.h:149-151``) / the batch scorer behind the method
+table at ``python_hexhamming.cc:421-428`` — lifted from a single
+pairwise call to a corpus-scale blocked search: two documents whose
+fixed-width keys differ in at most ``max_dist`` byte positions MUST
+agree exactly on at least one of ``max_dist + 1`` contiguous key bands
+(pigeonhole), so grouping by (band index, band value) finds every
+qualifying pair with recall 1.0 — no similarity estimate, no missed
+edge. The multi-index idea is public knowledge (Norouzi, Punjani &
+Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+CVPR 2012); the implementation below is original Ray Data engineering.
+
+Scale shape:
+
+1. ONE pruned read of (doc_id, text); keys are cut and space-padded
+   per block (byte matrix via ``pad_matrix`` — zero per-row Python).
+   Each doc emits ``n_bands`` narrow rows: (ckey, doc_id, key) where
+   ckey packs (band, band bytes) into one int64 and key is the
+   ``key_len``-byte normalized key (it rides along so verification
+   happens in the candidate's own block — no re-join with the corpus).
+2. ONE keyed exchange on ckey (hash partition; in-block lexsort, no
+   pre-sort — ENGINEERING_NOTES #69). Equal-ckey runs are candidate
+   buckets; within a run, pair emission is vectorized (len-2 fast
+   path + triu per longer run, the ``_pairs_from_runs`` shape).
+3. In-block verify: full-key byte Hamming distance for every candidate
+   pair at once (ONE ``!=`` broadcast + row sum — the same
+   loop-over-width-not-rows structure as stages/scoring.py), kept when
+   ``<= max_dist``. CANONICAL-BAND emission dedups across bands with
+   zero extra movement: a surviving pair is emitted only from the
+   FIRST band on which the two keys agree, so the global output is
+   exactly-once by construction (no distinct exchange).
+
+Flood note (honest): a group of m documents sharing a near-identical
+key is m(m-1)/2 TRUE pairs — quadratic output is inherent to the
+operator's exact semantics, not a blocking artifact (contrast the
+approximate LSH family in pipelines/text.py, which caps floods and
+reports ``pairs_capped``). Peak per-run memory is proportional to that
+run's own output. The exchange itself stays narrow: n_bands x
+(8 + 8 + key_len) bytes per document, independent of text length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hexhamming_ray.functions.strsim import pad_matrix
+
+# label-remap broadcast cap for hamming_key_clusters (same size-switch
+# as graph_components; above it the sort-based remap runs driver-free)
+HAMKEY_LABEL_BROADCAST_CAP = 2_000_000
+
+
+def _band_offsets(key_len: int, n_bands: int) -> np.ndarray:
+    """Band boundary offsets [0 .. key_len], widths as even as
+    possible (the wide bands first — ceil then floor)."""
+    base, extra = divmod(key_len, n_bands)
+    widths = np.full(n_bands, base, dtype=np.int64)
+    widths[:extra] += 1
+    return np.concatenate(([0], np.cumsum(widths)))
+
+
+def _key_matrix(text_col, key_len: int):
+    """Arrow string column -> (n, key_len) uint8 matrix of the
+    SPACE-padded first ``key_len`` bytes (DuckDB
+    ``rpad(substring(text, 1, L), L, ' ')`` semantics on the ASCII
+    corpus — byte slicing and codepoint slicing agree, the same
+    TESTDATA-probed assumption the sorted-neighborhood family pins)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    sliced = pc.utf8_slice_codeunits(text_col, 0, key_len)
+    mat, lens = pad_matrix(sliced, width=key_len)
+    pad = np.arange(key_len, dtype=np.int64)[None, :] >= lens[:, None]
+    mat[pad] = 0x20
+    return mat
+
+
+def _pack_bands(mat: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """(n, key_len) byte matrix -> (n_bands, n) int64 band values:
+    band bytes big-endian-packed into one integer (width <= 7 bytes so
+    (band << shift) | value stays inside int64)."""
+    n_bands = offs.shape[0] - 1
+    out = np.empty((n_bands, mat.shape[0]), dtype=np.int64)
+    for b in range(n_bands):
+        seg = mat[:, offs[b]:offs[b + 1]].astype(np.int64)
+        v = np.zeros(mat.shape[0], dtype=np.int64)
+        for j in range(seg.shape[1]):
+            v = (v << 8) | seg[:, j]
+        out[b] = v
+    return out
+
+
+def hamming_key_pairs(sf_dir: str, *, key_len: int = 32,
+                      max_dist: int = 6,
+                      num_partitions: int | None = None):
+    """All document pairs whose space-padded first-``key_len``-byte
+    keys are within Hamming distance ``max_dist`` (positional byte
+    mismatches — DuckDB ``mismatches`` semantics), found exactly via
+    pigeonhole band blocking. (a_id, b_id, ham_dist), a_id < b_id."""
+    from hexhamming_ray.pipelines.text import _default_partitions, _docs
+
+    n_bands = max_dist + 1
+    offs = _band_offsets(key_len, n_bands)
+    width = int((offs[1:] - offs[:-1]).max())
+    if width > 7 or n_bands << (8 * width) >= 1 << 63:
+        raise ValueError(
+            f"band value must fit int64: key_len={key_len} over "
+            f"{n_bands} bands needs {width}-byte bands (max 7)"
+        )
+    shift = 8 * width
+    num_partitions = num_partitions or _default_partitions()
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        mat = _key_matrix(batch.column("text"), key_len)
+        bvals = _pack_bands(mat, offs)
+        ids = batch.column("doc_id").to_numpy()
+        band_idx = np.repeat(
+            np.arange(n_bands, dtype=np.int64), n
+        )
+        ckey = (band_idx << shift) | bvals.reshape(-1)
+        keys = np.ascontiguousarray(mat).view(f"S{key_len}").ravel()
+        return pa.table(
+            {
+                "ckey": pa.array(ckey, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "key": pa.array(np.tile(keys, n_bands)),
+            }
+        )
+
+    def pair_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "ham_dist": pa.array([], pa.int64()),
+            }
+        )
+        n = len(batch)
+        if n < 2:
+            return empty
+        ckey = batch.column("ckey").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        kmat, _ = pad_matrix(batch.column("key"), width=key_len)
+        order = np.lexsort((ids, ckey))
+        ckey, ids, kmat = ckey[order], ids[order], kmat[order]
+        change = np.flatnonzero(ckey[1:] != ckey[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        lens = ends - starts
+        ii_l, jj_l = [], []
+        m2 = lens == 2
+        if m2.any():
+            s = starts[m2]
+            ii_l.append(s)
+            jj_l.append(s + 1)
+        for s, e in zip(starts[lens >= 3], ends[lens >= 3]):
+            ii, jj = np.triu_indices(int(e - s), k=1)
+            ii_l.append(ii + s)
+            jj_l.append(jj + s)
+        if not ii_l:
+            return empty
+        ii = np.concatenate(ii_l)
+        jj = np.concatenate(jj_l)
+        diff = kmat[ii] != kmat[jj]  # (P, key_len)
+        ham = diff.sum(axis=1).astype(np.int64)
+        keep = ham <= max_dist
+        # canonical-band emission: only the FIRST band on which the
+        # two keys agree owns the pair (exactly-once, no distinct)
+        pair_band = ckey[ii] >> shift
+        band_eq = np.empty((n_bands, ii.shape[0]), dtype=bool)
+        for b in range(n_bands):
+            band_eq[b] = ~diff[:, offs[b]:offs[b + 1]].any(axis=1)
+        first_eq = band_eq.argmax(axis=0)
+        keep &= first_eq == pair_band
+        if not keep.any():
+            return empty
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        return pa.table(
+            {
+                "a_id": pa.array(np.minimum(a, b), pa.int64()),
+                "b_id": pa.array(np.maximum(a, b), pa.int64()),
+                "ham_dist": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    banded = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True
+                   ).map_batches(
+        key_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return banded.repartition(
+        num_blocks=num_partitions, keys=["ckey"], sort=False
+    ).map_batches(
+        pair_block, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def hamming_key_clusters(sf_dir: str, *, key_len: int = 32,
+                         max_dist: int = 6,
+                         num_partitions: int | None = None):
+    """Connected components over the ``hamming_key_pairs`` edge list:
+    every document labeled with the MIN doc_id reachable through
+    Hamming-``max_dist`` key matches — the exact-Hamming sibling of
+    ``er_exact_clusters``. (doc_id, component).
+
+    Scale shape: edges-only distributed union-find (state/unionfind.py,
+    the flagship ER machinery); the label remap is size-switched under
+    ``HAMKEY_LABEL_BROADCAST_CAP`` with the sort-based driver-free
+    remap above it, like every broadcast plan in the repo."""
+    from hexhamming_ray.pipelines.text import _docs
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        label_nodes,
+    )
+
+    edges = hamming_key_pairs(
+        sf_dir, key_len=key_len, max_dist=max_dist,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: pa.table(
+            {"id_lo": b.column("a_id"), "id_hi": b.column("b_id")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    labels = connected_components(edges)
+    nodes = _docs(sf_dir, ["doc_id"], hash_shuffle=True)
+    return label_nodes(labels, nodes, "doc_id", "component",
+                       broadcast_cap=HAMKEY_LABEL_BROADCAST_CAP)
