@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB `mismatches` value oracle) ---
         "hamming_key_pairs": HK.hamming_key_pairs,
         "hamming_key_clusters": HK.hamming_key_clusters,
+        "token_cosine_pairs": T.token_cosine_pairs,
         # --- round-4 fuzzy-ER family (tier-central, new this round:
         # sorted-neighborhood blocking + DuckDB-bit-exact Levenshtein /
         # Jaro-Winkler kernels + transitive fuzzy clusters) ---
@@ -377,6 +378,32 @@ def oracle_sql() -> dict[str, str]:
         # sorted-neighborhood blocking: all pairs within 4 positions of
         # (key, doc_id) rank order, key = first 24 chars (ASCII corpus:
         # DuckDB char semantics == engine byte semantics)
+        # distinct-token (binary term-vector) cosine + Dice over the
+        # DF-capped vocabulary; x1000 floors computed with the SAME
+        # float expression order as the engine (IEEE-deterministic)
+        "token_cosine_pairs": (
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            " unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            " FROM documents), "
+            "kept AS (SELECT tok FROM tok GROUP BY tok "
+            " HAVING COUNT(*) <= 64), "
+            "tk AS (SELECT t.doc_id, t.tok FROM tok t "
+            " JOIN kept USING (tok)), "
+            "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n "
+            " FROM tk GROUP BY doc_id), "
+            "i AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+            " CAST(COUNT(*) AS BIGINT) AS inter FROM tk a JOIN tk b "
+            " ON a.tok = b.tok AND b.doc_id > a.doc_id GROUP BY 1, 2) "
+            "SELECT i.id_lo, i.id_hi, i.inter, "
+            " CAST(FLOOR(1000.0 * i.inter / sqrt(CAST(sa.n AS DOUBLE) "
+            "  * CAST(sb.n AS DOUBLE))) AS BIGINT) AS cosine_x1000, "
+            " CAST(FLOOR(2000.0 * i.inter / (sa.n + sb.n)) AS BIGINT) "
+            "  AS dice_x1000 "
+            "FROM i JOIN sz sa ON sa.doc_id = i.id_lo "
+            "JOIN sz sb ON sb.doc_id = i.id_hi "
+            "WHERE FLOOR(1000.0 * i.inter / sqrt(CAST(sa.n AS DOUBLE) "
+            " * CAST(sb.n AS DOUBLE))) >= 600"
+        ),
         # pigeonhole Hamming-key search: every pair within byte-Hamming
         # 6 on the space-padded 32-byte key (recall 1.0 by pigeonhole;
         # engine verifies with the full-key byte kernel)

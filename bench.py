@@ -88,6 +88,8 @@ _EXTENDED = [
     # Hamming-key ER (pigeonhole band blocking, exact recall)
     "hamming_key_pairs",
     "hamming_key_clusters",
+    # distinct-token cosine/Dice pair scan (DF-capped vocabulary)
+    "token_cosine_pairs",
 ]
 
 

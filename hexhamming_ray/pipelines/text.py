@@ -1223,6 +1223,38 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     )
 
 
+def _sum_runs(key_cols, val_col, out_col):
+    """Keyed-repartition finalizer: one vectorized reduceat per
+    sorted block (replaces a full groupby aggregate — same
+    exchange, no aggregator-per-group machinery). Shared by
+    ngram_jaccard_exact and token_cosine_pairs."""
+
+    def agg(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {**{k: pa.array([], pa.int64()) for k in key_cols},
+                 out_col: pa.array([], pa.int64())}
+            )
+        keys = [batch.column(k).to_numpy() for k in key_cols]
+        order = np.lexsort(tuple(reversed(keys)))
+        keys = [k[order] for k in keys]
+        vals = batch.column(val_col).to_numpy()[order]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for k in keys:
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {**{kc: pa.array(k[starts], pa.int64())
+                for kc, k in zip(key_cols, keys)},
+             out_col: pa.array(
+                 np.add.reduceat(vals, starts), pa.int64())}
+        )
+
+    return agg
+
+
 def _jaccard_keep(c, na, nb, threshold):
     """Shared Jaccard finalize for both ngram_jaccard_exact plans:
     jac = |inter| / |union|, floored to x1000 — ONE place, so the
@@ -1370,36 +1402,6 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         )
         return pa.concat_tables([pairs_t, size_rows])
 
-    def _sum_runs(key_cols, val_col, out_col):
-        """Keyed-repartition finalizer: one vectorized reduceat per
-        sorted block (replaces a full groupby aggregate — same
-        exchange, no aggregator-per-group machinery)."""
-
-        def agg(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            if n == 0:
-                return pa.table(
-                    {**{k: pa.array([], pa.int64()) for k in key_cols},
-                     out_col: pa.array([], pa.int64())}
-                )
-            keys = [batch.column(k).to_numpy() for k in key_cols]
-            order = np.lexsort(tuple(reversed(keys)))
-            keys = [k[order] for k in keys]
-            vals = batch.column(val_col).to_numpy()[order]
-            new = np.zeros(n, dtype=bool)
-            new[0] = True
-            for k in keys:
-                new[1:] |= k[1:] != k[:-1]
-            starts = np.flatnonzero(new)
-            return pa.table(
-                {**{kc: pa.array(k[starts], pa.int64())
-                    for kc, k in zip(key_cols, keys)},
-                 out_col: pa.array(
-                     np.add.reduceat(vals, starts), pa.int64())}
-            )
-
-        return agg
-
     # shingle explode -> ONE s-exchange -> tagged pair/size emission ->
     # ONE (id_lo, id_hi) exchange summing both row kinds (size rows
     # group on (doc_id, -1), pair rows on the pair) -> materialize the
@@ -1474,6 +1476,8 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
             }
         )
         if len(it) == 0:
+            # stays a Dataset: er_fuzzy_eval / blocking_strategy_report
+            # chain Dataset ops on the truth set
             return ray.data.from_arrow(out_schema)
         lo = it.column("id_lo").to_numpy()
         hi = it.column("id_hi").to_numpy()
@@ -1581,6 +1585,246 @@ def ngram_jaccard_allpairs(sf_dir: str, *, threshold: float = 0.5):
     )
     return _ngram_verify_broadcast(sf_dir, cands, threshold,
                                    floor_round=True)
+
+
+def _cos_dice_keep(c, na, nb, min_x1000: int):
+    """Shared token-set cosine/dice finalize for BOTH
+    token_cosine_pairs plans (broadcast and join — one place, the two
+    cannot drift): Salton binary cosine |A∩B| / sqrt(|A||B|) and Dice
+    2|A∩B| / (|A|+|B|), floored to x1000; keep when the cosine floor
+    clears ``min_x1000`` (integer compare — no float boundary
+    asymmetry between engines)."""
+    cos = np.floor(1000.0 * c / np.sqrt(na * nb)).astype(np.int64)
+    dice = np.floor(2000.0 * c / (na + nb)).astype(np.int64)
+    keep = cos >= min_x1000
+    return cos[keep], dice[keep], keep
+
+
+def token_cosine_pairs(sf_dir: str, *, min_x1000: int = 600,
+                       max_df: int = 64,
+                       num_partitions: int | None = None):
+    """EXACT all-pairs DISTINCT-TOKEN cosine similarity (Salton binary
+    term-vector cosine) over the DF-capped vocabulary: whitespace
+    tokens occurring in more than ``max_df`` documents are dropped from
+    every set (stop-word pruning — the same skew guard as
+    ngram_jaccard_exact's stop-shingles), then every pair sharing a
+    surviving token is scored with cosine = |A∩B| / sqrt(|A| |B|) and
+    Dice = 2|A∩B| / (|A|+|B|), kept when the x1000-floored cosine
+    clears ``min_x1000``. The token-level sibling of the 3-gram Jaccard
+    scan — set semantics on WORDS, so it pairs documents that share
+    vocabulary regardless of word order or local edits.
+    (id_lo, id_hi, inter, cosine_x1000, dice_x1000).
+
+    Shape (the ngram_jaccard_exact one-pass shape on a string key):
+    per-block distinct (doc, tok) partials -> ONE tok-keyed exchange ->
+    per-run DF filter emitting pair rows AND sentinel-tagged kept-size
+    rows from the SAME pass -> ONE (id_lo, id_hi) exchange summing both
+    kinds (shared ``_sum_runs`` reduceat finalizer) -> size-switched
+    finalize (broadcast lut under ``BROADCAST_PAIR_CAP``, candidate-
+    bounded hash joins above). The corpus x tokens explode streams
+    through exactly one exchange and is never materialized; exchange
+    rows are vocabulary-bounded after the per-block distinct."""
+    num_partitions = num_partitions or _default_partitions()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _doc_tok_tf(batch)
+        return t.select(["doc_id", "tok"])
+
+    tk = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def pairs_and_sizes(batch: pa.Table) -> pa.Table:
+        """One tok-partitioned block: group to per-token doc lists,
+        drop tokens over the DF cap (tok fully co-located by the hash
+        exchange, so run length IS global df), emit pre-counted pair
+        rows and sentinel-tagged (doc, -1, n_kept) size rows in ONE
+        pass."""
+        empty = pa.table(
+            {
+                "id_lo": pa.array([], pa.int64()),
+                "id_hi": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        g = batch.group_by("tok").aggregate([("doc_id", "list")])
+        lst = g.column("doc_id_list")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lens = pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = lst.flatten().to_numpy()
+        keep_run = lens <= max_df
+        # sizes: per-doc count of DF-surviving tokens in this block
+        kept_ids = flat[np.repeat(keep_run, lens)]
+        uniq, cnt = np.unique(kept_ids, return_counts=True)
+        sizes_t = pa.table(
+            {
+                "id_lo": pa.array(uniq, pa.int64()),
+                "id_hi": pa.array(
+                    np.full(uniq.shape[0], -1, dtype=np.int64), pa.int64()
+                ),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+        # pairs from runs 2 <= len <= max_df
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        lo_l, hi_l = [], []
+        m2 = keep_run & (lens == 2)
+        if m2.any():
+            s0 = offs[:-1][m2]
+            a, b = flat[s0], flat[s0 + 1]
+            lo_l.append(np.minimum(a, b))
+            hi_l.append(np.maximum(a, b))
+        for s0, e0 in zip(offs[:-1][keep_run & (lens >= 3)],
+                          offs[1:][keep_run & (lens >= 3)]):
+            run = np.sort(flat[s0:e0])
+            ii, jj = np.triu_indices(run.shape[0], k=1)
+            lo_l.append(run[ii])
+            hi_l.append(run[jj])
+        if not lo_l:
+            return sizes_t if len(sizes_t) else empty
+        pair = np.stack(
+            [np.concatenate(lo_l), np.concatenate(hi_l)], axis=1
+        )
+        upair, ucnt = np.unique(pair, axis=0, return_counts=True)
+        pairs_t = pa.table(
+            {
+                "id_lo": pa.array(upair[:, 0], pa.int64()),
+                "id_hi": pa.array(upair[:, 1], pa.int64()),
+                "c": pa.array(ucnt, pa.int64()),
+            }
+        )
+        return pa.concat_tables([pairs_t, sizes_t])
+
+    summed = (
+        tk.repartition(num_blocks=num_partitions, keys=["tok"], sort=False)
+        .map_batches(
+            pairs_and_sizes, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        .repartition(
+            num_blocks=num_partitions, keys=["id_lo", "id_hi"], sort=False
+        )
+        .map_batches(
+            _sum_runs(["id_lo", "id_hi"], "c", "v"),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        .materialize()
+    )
+
+    def split_inter(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater_equal(batch.column("id_hi"), 0))
+        return pa.table(
+            {
+                "id_lo": kept.column("id_lo"),
+                "id_hi": kept.column("id_hi"),
+                "inter": kept.column("v"),
+            }
+        )
+
+    def split_sizes(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.less(batch.column("id_hi"), 0))
+        return pa.table(
+            {"doc_id": kept.column("id_lo"), "n_kept": kept.column("v")}
+        )
+
+    inter = summed.map_batches(
+        split_inter, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    sizes = summed.map_batches(
+        split_sizes, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    out_schema = pa.table(
+        {
+            "id_lo": pa.array([], pa.int64()),
+            "id_hi": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "cosine_x1000": pa.array([], pa.int64()),
+            "dice_x1000": pa.array([], pa.int64()),
+        }
+    )
+    if inter.count() <= BROADCAST_PAIR_CAP:
+        import ray
+
+        it = _gather_table(
+            inter,
+            pa.schema([("id_lo", pa.int64()), ("id_hi", pa.int64()),
+                       ("inter", pa.int64())]),
+        )
+        if len(it) == 0:
+            # a pa.Table keeps its schema at 0 rows, where a 0-row
+            # Dataset.to_pandas() drops it (the q11 driver-contract fix)
+            return out_schema
+        lo = it.column("id_lo").to_numpy()
+        hi = it.column("id_hi").to_numpy()
+        ids_ref = ray.put(np.unique(np.concatenate([lo, hi])))
+        st = _gather_table(
+            sizes.map_batches(
+                _BroadcastSemiFilter(ids_ref, "doc_id"),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ).materialize(),
+            pa.schema([("doc_id", pa.int64()), ("n_kept", pa.int64())]),
+        )
+        sid = st.column("doc_id").to_numpy()
+        order = np.argsort(sid)
+        sid, sn = sid[order], st.column("n_kept").to_numpy()[order]
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
+        c = it.column("inter").to_numpy().astype(np.float64)
+        plo, hlo = _lut_probe(sid, lo)
+        phi, hhi = _lut_probe(sid, hi)
+        assert hlo.all() and hhi.all(), "candidate id missing size row"
+        na = sn[plo].astype(np.float64)
+        nb = sn[phi].astype(np.float64)
+        cos, dice, keep = _cos_dice_keep(c, na, nb, min_x1000)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_lo": pa.array(lo[keep], pa.int64()),
+                    "id_hi": pa.array(hi[keep], pa.int64()),
+                    "inter": pa.array(
+                        c[keep].astype(np.int64), pa.int64()
+                    ),
+                    "cosine_x1000": pa.array(cos, pa.int64()),
+                    "dice_x1000": pa.array(dice, pa.int64()),
+                }
+            )
+        )
+
+    j = _join_col(inter, sizes, "id_lo", "n_lo", "n_kept", num_partitions)
+    j = _join_col(j, sizes, "id_hi", "n_hi", "n_kept", num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema
+        c = batch.column("inter").to_numpy().astype(np.float64)
+        na = batch.column("n_lo").to_numpy().astype(np.float64)
+        nb = batch.column("n_hi").to_numpy().astype(np.float64)
+        cos, dice, keep = _cos_dice_keep(c, na, nb, min_x1000)
+        keep_pa = pa.array(keep)
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").filter(keep_pa),
+                "id_hi": batch.column("id_hi").filter(keep_pa),
+                "inter": batch.column("inter").filter(keep_pa),
+                "cosine_x1000": pa.array(cos, pa.int64()),
+                "dice_x1000": pa.array(dice, pa.int64()),
+            }
+        )
+
+    return j.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
 
 
 def top_tokens_per_lang(sf_dir: str, *, k: int = 10,
