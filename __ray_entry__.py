@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB `mismatches` value oracle) ---
         "hamming_key_pairs": HK.hamming_key_pairs,
         "hamming_key_clusters": HK.hamming_key_clusters,
+        "er_hamming_eval": HK.er_hamming_eval,
         "token_cosine_pairs": T.token_cosine_pairs,
         # --- round-4 fuzzy-ER family (tier-central, new this round:
         # sorted-neighborhood blocking + DuckDB-bit-exact Levenshtein /
@@ -409,6 +410,24 @@ def oracle_sql() -> dict[str, str]:
         # engine verifies with the full-key byte kernel)
         "hamming_key_pairs": (
             "WITH " + _HK_EDGES + "SELECT a_id, b_id, ham_dist FROM E"
+        ),
+        # the Hamming-key blocker vs the exact Jaccard truth set —
+        # the er_fuzzy_eval report for the pigeonhole family
+        "er_hamming_eval": (
+            "WITH " + _HK_EDGES + ", "
+            "pf AS (SELECT a_id AS id_lo, b_id AS id_hi FROM E), "
+            + _TRUTH_CTE + ", "
+            "np_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pf), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tr), "
+            "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS v "
+            " FROM pf JOIN tr USING (id_lo, id_hi)) "
+            "SELECT np_.v AS pairs_pred, nt.v AS pairs_truth, "
+            "nb.v AS pairs_both, "
+            "CAST(CASE WHEN np_.v > 0 THEN 1000000 * nb.v // np_.v "
+            " ELSE 0 END AS BIGINT) AS precision_ppm, "
+            "CAST(CASE WHEN nt.v > 0 THEN 1000000 * nb.v // nt.v "
+            " ELSE 0 END AS BIGINT) AS recall_ppm "
+            "FROM np_, nt, nb"
         ),
         # min-label transitive closure over the same edge list (the
         # recursive-CTE oracle shape graph_components pinned)

@@ -201,6 +201,42 @@ def hamming_key_pairs(sf_dir: str, *, key_len: int = 32,
     )
 
 
+def er_hamming_eval(sf_dir: str, *, key_len: int = 32,
+                    max_dist: int = 6):
+    """Pair-level precision/recall of the Hamming-key blocker against
+    the exact token-3-gram Jaccard >= 0.5 truth set — the
+    ``er_fuzzy_eval`` report for the pigeonhole family, so a
+    practitioner can read positional-key matching against the
+    edit-window blockers on the same scale. ONE row: (pairs_pred,
+    pairs_truth, pairs_both, precision_ppm, recall_ppm).
+
+    Scale shape: both pair sets meet in the shared
+    ``_pair_eval_counts`` single-exchange counter (tagged 17-byte
+    rows, adjacent-duplicate overlap, single-row partials)."""
+    from hexhamming_ray.pipelines.strmatch import _pair_eval_counts
+    from hexhamming_ray.pipelines.text import ngram_jaccard_exact
+
+    n_pred, n_truth, n_both = _pair_eval_counts(
+        hamming_key_pairs(sf_dir, key_len=key_len, max_dist=max_dist),
+        ngram_jaccard_exact(sf_dir),
+    )
+    return pa.table(
+        {
+            "pairs_pred": pa.array([n_pred], pa.int64()),
+            "pairs_truth": pa.array([n_truth], pa.int64()),
+            "pairs_both": pa.array([n_both], pa.int64()),
+            "precision_ppm": pa.array(
+                [1_000_000 * n_both // n_pred if n_pred else 0],
+                pa.int64(),
+            ),
+            "recall_ppm": pa.array(
+                [1_000_000 * n_both // n_truth if n_truth else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def hamming_key_clusters(sf_dir: str, *, key_len: int = 32,
                          max_dist: int = 6,
                          num_partitions: int | None = None):

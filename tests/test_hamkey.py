@@ -176,6 +176,20 @@ def test_clusters_label_paths_agree(ray_session, tmp_path):
     assert broadcast.component.nunique() < len(broadcast)
 
 
+def test_er_hamming_eval_consistency(ray_session):
+    """The report's pairs_pred must equal the blocker's own pair
+    count, and both ppm ratios must be exact integer arithmetic on
+    the three counts."""
+    rep = HK.er_hamming_eval(SF_DIR).to_pandas().iloc[0]
+    n_pairs = HK.hamming_key_pairs(SF_DIR).count()
+    assert rep.pairs_pred == n_pairs
+    assert 0 <= rep.pairs_both <= min(rep.pairs_pred, rep.pairs_truth)
+    if rep.pairs_pred:
+        assert rep.precision_ppm == 1_000_000 * rep.pairs_both // rep.pairs_pred
+    if rep.pairs_truth:
+        assert rep.recall_ppm == 1_000_000 * rep.pairs_both // rep.pairs_truth
+
+
 def test_band_value_overflow_guard():
     with pytest.raises(ValueError):
         HK.hamming_key_pairs(SF_DIR, key_len=64, max_dist=1)
