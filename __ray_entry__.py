@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_levenshtein": SM.fuzzy_match_levenshtein,
         "fuzzy_match_jw": SM.fuzzy_match_jw,
         "fuzzy_match_jaro": SM.fuzzy_match_jaro,
+        "fuzzy_match_consensus": SM.fuzzy_match_consensus,
         "fuzzy_match_damerau": SM.fuzzy_match_damerau,
         "fuzzy_match_charjac": SM.fuzzy_match_charjac,
         "fuzzy_match_multikey": SM.fuzzy_match_multikey,
@@ -475,6 +476,21 @@ def oracle_sql() -> dict[str, str]:
             "jaro_similarity(a.key, b.key) AS jaro_sim "
             "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
             "WHERE jaro_similarity(a.key, b.key) >= 0.84"
+        ),
+        # ensemble vote: keep when >= 2 of {lev<=6, jw>=0.88,
+        # charjac>=0.9} agree; empty keys are a NON-vote on the jaccard
+        # leg (DuckDB jaccard raises on empty input), not a dropped pair
+        "fuzzy_match_consensus": (
+            _SN_CTE
+            + "SELECT a_id, b_id, votes FROM ("
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST((levenshtein(a.key, b.key) <= 6)::INT "
+            " + (jaro_winkler_similarity(a.key, b.key) >= 0.88)::INT "
+            " + (CASE WHEN a.key = '' OR b.key = '' THEN 0 "
+            "    WHEN jaccard(a.key, b.key) >= 0.9 THEN 1 ELSE 0 END) "
+            " AS BIGINT) AS votes "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4) "
+            "WHERE votes >= 2"
         ),
         # candidates scored with TRUE (unrestricted) Damerau-Levenshtein
         # — transposition charged ONE op ('CA'->'ABC' = 2, not OSA's 3);

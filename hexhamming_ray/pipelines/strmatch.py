@@ -490,6 +490,53 @@ def fuzzy_match_jw(sf_dir: str, *, key_len: int = 24, window: int = 4,
                             checkpoint_dir=checkpoint_dir)
 
 
+class _ConsensusScorer:
+    """Ensemble vote over three independent scorers on the same padded
+    matrices (one pass, no extra stage): byte Levenshtein <= max_dist,
+    Jaro-Winkler >= min_jw, charset Jaccard >= min_cj (empty keys
+    vote 0 — DuckDB's jaccard raises on empty input, so the oracle's
+    CASE treats them as a non-vote, not a dropped pair). Keep when
+    >= min_votes of 3 agree — the cheap Fellegi-Sunter-flavored
+    redundancy that survives any single scorer's blind spot."""
+
+    schema = [("votes", pa.int64())]
+
+    def __init__(self, max_dist: int, min_jw: float, min_cj: float,
+                 min_votes: int):
+        self.max_dist = max_dist
+        self.min_jw = min_jw
+        self.min_cj = min_cj
+        self.min_votes = min_votes
+
+    def __call__(self, amat, alen, bmat, blen, gaps):
+        v_lev = levenshtein_batch(amat, alen, bmat, blen) <= self.max_dist
+        v_jw = jaro_winkler_batch(amat, alen, bmat, blen) >= self.min_jw
+        cj = charset_jaccard_batch(amat, alen, bmat, blen)
+        v_cj = (alen > 0) & (blen > 0) & (cj >= self.min_cj)
+        votes = (
+            v_lev.astype(np.int64) + v_jw.astype(np.int64)
+            + v_cj.astype(np.int64)
+        )
+        return votes >= self.min_votes, [votes]
+
+
+def fuzzy_match_consensus(sf_dir: str, *, key_len: int = 24,
+                          window: int = 4, max_dist: int = 6,
+                          min_jw: float = 0.88, min_cj: float = 0.9,
+                          min_votes: int = 2,
+                          checkpoint_dir: str | None = None):
+    """Sorted-neighborhood candidates kept when >= ``min_votes`` of
+    three scorers agree (Levenshtein / Jaro-Winkler / charset
+    Jaccard at the registry defaults) — ensemble matching: each
+    scorer's false negatives are outvoted by the other two.
+    (a_id, b_id, votes)."""
+    return _sn_scored_pairs(
+        sf_dir, key_len, window,
+        _ConsensusScorer(max_dist, min_jw, min_cj, min_votes),
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 class _JaroScorer:
     schema = [("jaro_sim", pa.float64())]
 

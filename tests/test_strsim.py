@@ -193,6 +193,28 @@ def test_er_fuzzy_clusters_label_paths_agree(ray_session):
     assert broadcast.cluster_id.nunique() < len(broadcast)  # real merges
 
 
+def test_consensus_vote_lattice(ray_session):
+    """votes>=3 ⊆ votes>=2 ⊆ votes>=1, and the 3-vote set equals the
+    intersection of the three single-scorer matchers at the same
+    thresholds (the ensemble cannot invent or lose a unanimous
+    pair)."""
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    def pairs(ds, cols=("a_id", "b_id")):
+        df = ds.to_pandas()
+        return set(zip(df[cols[0]], df[cols[1]]))
+
+    v1 = pairs(SM.fuzzy_match_consensus(SF_DIR, min_votes=1))
+    v2 = pairs(SM.fuzzy_match_consensus(SF_DIR, min_votes=2))
+    v3 = pairs(SM.fuzzy_match_consensus(SF_DIR, min_votes=3))
+    assert v3 <= v2 <= v1
+    lev = pairs(SM.fuzzy_match_levenshtein(SF_DIR))
+    jw = pairs(SM.fuzzy_match_jw(SF_DIR))
+    cj = pairs(SM.fuzzy_match_charjac(SF_DIR))
+    assert v3 == (lev & jw & cj)
+    assert len(v2) > 0
+
+
 @pytest.mark.parametrize("n_docs", [0, 1, 3])
 def test_strmatch_tiny_corpora(ray_session, tmp_path, n_docs):
     """Degenerate corpus sizes: fewer docs than the window (and the
@@ -223,7 +245,8 @@ def test_strmatch_tiny_corpora(ray_session, tmp_path, n_docs):
     )
     for name in ["sorted_neighborhood_pairs", "fuzzy_match_jw",
                  "fuzzy_match_multikey", "fuzzy_match_token_sort",
-                 "er_fuzzy_clusters", "fuzzy_dedup_survivors"]:
+                 "er_fuzzy_clusters", "fuzzy_dedup_survivors",
+                 "fuzzy_match_consensus", "fuzzy_match_jaro"]:
         got = entry.queries()[name](str(d)).to_pandas()
         want = con.sql(entry.oracle_sql()[name]).df()
         assert len(got) == len(want), (name, len(got), len(want))
