@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamming_key_pairs": HK.hamming_key_pairs,
         "hamming_key_clusters": HK.hamming_key_clusters,
         "er_hamming_eval": HK.er_hamming_eval,
+        "hamming_decontaminate": HK.hamming_decontaminate,
         "token_cosine_pairs": T.token_cosine_pairs,
         # --- round-4 fuzzy-ER family (tier-central, new this round:
         # sorted-neighborhood blocking + DuckDB-bit-exact Levenshtein /
@@ -411,6 +412,16 @@ def oracle_sql() -> dict[str, str]:
         # engine verifies with the full-key byte kernel)
         "hamming_key_pairs": (
             "WITH " + _HK_EDGES + "SELECT a_id, b_id, ham_dist FROM E"
+        ),
+        # positional decontamination: training docs Hamming-close to a
+        # benchmark (doc_id % 50 == 0) doc's fixed-width key
+        "hamming_decontaminate": (
+            "WITH " + _HK_EDGES +
+            "SELECT CASE WHEN a_id % 50 = 0 THEN b_id ELSE a_id END "
+            " AS doc_id, "
+            "CASE WHEN a_id % 50 = 0 THEN a_id ELSE b_id END "
+            " AS bench_id, ham_dist "
+            "FROM E WHERE (a_id % 50 = 0) <> (b_id % 50 = 0)"
         ),
         # the Hamming-key blocker vs the exact Jaccard truth set —
         # the er_fuzzy_eval report for the pigeonhole family

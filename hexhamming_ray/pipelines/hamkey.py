@@ -96,11 +96,15 @@ def _pack_bands(mat: np.ndarray, offs: np.ndarray) -> np.ndarray:
 
 def hamming_key_pairs(sf_dir: str, *, key_len: int = 32,
                       max_dist: int = 6,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      pair_filter=None):
     """All document pairs whose space-padded first-``key_len``-byte
     keys are within Hamming distance ``max_dist`` (positional byte
     mismatches — DuckDB ``mismatches`` semantics), found exactly via
-    pigeonhole band blocking. (a_id, b_id, ham_dist), a_id < b_id."""
+    pigeonhole band blocking. (a_id, b_id, ham_dist), a_id < b_id.
+    ``pair_filter(a_ids, b_ids) -> bool mask`` drops pairs INSIDE the
+    pair block before emission (the _sn_scored_pairs hook — cross-set
+    variants pay no extra stage)."""
     from hexhamming_ray.pipelines.text import _default_partitions, _docs
 
     n_bands = max_dist + 1
@@ -177,6 +181,8 @@ def hamming_key_pairs(sf_dir: str, *, key_len: int = 32,
             band_eq[b] = ~diff[:, offs[b]:offs[b + 1]].any(axis=1)
         first_eq = band_eq.argmax(axis=0)
         keep &= first_eq == pair_band
+        if pair_filter is not None:
+            keep &= pair_filter(ids[ii], ids[jj])
         if not keep.any():
             return empty
         a, b = ids[ii[keep]], ids[jj[keep]]
@@ -197,6 +203,50 @@ def hamming_key_pairs(sf_dir: str, *, key_len: int = 32,
         num_blocks=num_partitions, keys=["ckey"], sort=False
     ).map_batches(
         pair_block, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def hamming_decontaminate(sf_dir: str, *, key_len: int = 32,
+                          max_dist: int = 6,
+                          num_partitions: int | None = None):
+    """POSITIONAL decontamination: training documents whose fixed-width
+    key is within Hamming ``max_dist`` of a BENCHMARK document's
+    (the ``doc_id % 50 == 0`` eval subset — the same convention as
+    ``decontaminate_docs`` / ``fuzzy_decontaminate_jw``). The fourth
+    decontamination modality: exact n-gram overlap, cross-set Jaccard,
+    JW edit tolerance, and now positional byte agreement — catches
+    templated contamination where a fixed-layout header matches
+    byte-for-byte up to a few substituted fields.
+    (doc_id, bench_id, ham_dist).
+
+    Shape: the pigeonhole pair machinery with the cross-side mask
+    applied INSIDE the pair block (pure doc_id arithmetic, no second
+    table, no join); recall 1.0 by construction as always."""
+
+    def cross_side(a_ids, b_ids):
+        return (a_ids % 50 == 0) != (b_ids % 50 == 0)
+
+    pairs = hamming_key_pairs(
+        sf_dir, key_len=key_len, max_dist=max_dist,
+        num_partitions=num_partitions, pair_filter=cross_side,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        a_is_bench = a % 50 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.where(a_is_bench, b, a), pa.int64()),
+                "bench_id": pa.array(np.where(a_is_bench, a, b),
+                                     pa.int64()),
+                "ham_dist": batch.column("ham_dist"),
+            }
+        )
+
+    return pairs.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
 

@@ -176,6 +176,47 @@ def test_clusters_label_paths_agree(ray_session, tmp_path):
     assert broadcast.component.nunique() < len(broadcast)
 
 
+def test_hamming_decontaminate_planted(ray_session, tmp_path):
+    """Benchmark docs are doc_id % 50 == 0 (ids 0 and 50 here). Doc 1
+    = bench 0 with 2 substitutions (kept), doc 2 = bench 0 with 8
+    (dropped, > max_dist), doc 51 = bench 50 verbatim (kept, dist 0);
+    fillers are seeded random 40-char strings (pairwise Hamming ~29).
+    Orientation: doc_id is always the training side."""
+    rng = random.Random(99)
+    alpha = "abcdefghij "
+    fill = lambda: "".join(rng.choice(alpha) for _ in range(40))  # noqa: E731
+    A, B = fill(), fill()
+    texts = []
+    for i in range(55):
+        texts.append(fill())
+    texts[0] = A
+    texts[50] = B
+    a1 = list(A)
+    a1[3], a1[17] = "z", "z"
+    texts[1] = "".join(a1)
+    a2 = list(A)
+    for p in (1, 4, 9, 13, 20, 25, 28, 30):
+        a2[p] = "z"
+    texts[2] = "".join(a2)
+    texts[51] = B
+    d = _write_corpus(tmp_path, texts, name="dec")
+    dec = (
+        HK.hamming_decontaminate(d)
+        .to_pandas()
+        .sort_values(["doc_id", "bench_id"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in dec.itertuples(index=False)] == [
+        (1, 0, 2), (51, 50, 0)
+    ]
+    # cross-filtered pair set must agree with the unfiltered pairs
+    pairs = HK.hamming_key_pairs(d).to_pandas()
+    cross = pairs[(pairs.a_id % 50 == 0) != (pairs.b_id % 50 == 0)]
+    assert len(cross) == len(dec)
+    assert (dec.bench_id % 50 == 0).all()
+    assert (dec.doc_id % 50 != 0).all()
+
+
 def test_er_hamming_eval_consistency(ray_session):
     """The report's pairs_pred must equal the blocker's own pair
     count, and both ppm ratios must be exact integer arithmetic on
