@@ -272,10 +272,15 @@ _SN_CTE = (
     " (ORDER BY key, doc_id) AS rn FROM k) "
 )
 
-# space-padded fixed-width key + byte-positional mismatch count — the
-# oracle for the pigeonhole Hamming-key family (ASCII corpus: DuckDB's
-# codepoint rpad/substring and the engine's byte matrix agree)
-_HK_KEY = "rpad(substring(text, 1, 32), 32, ' ')"
+# space-padded fixed-width key over the PRINTABLE-ASCII projection +
+# byte-positional mismatch count — the oracle for the pigeonhole
+# Hamming-key family. The '[^ -~]' strip makes codepoints == bytes on
+# ANY corpus (multi-byte UTF-8 is all bytes >= 0x80), which DuckDB's
+# byte-based equal-length `mismatches` requires
+_HK_KEY = (
+    "rpad(substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 32), "
+    "32, ' ')"
+)
 _HK_EDGES = (
     f"k AS (SELECT doc_id, {_HK_KEY} AS key FROM documents), "
     "E AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
@@ -352,10 +357,13 @@ def _blocking_report_sql() -> str:
             ("prefix", "ppre"),
             ("suffix_rev", "psuf"),
             ("token_sort", "ptok"),
+            ("hamming", "pham"),
         ]
     )
     return (
         "WITH "
+        + _HK_EDGES
+        + ", pham AS (SELECT a_id AS id_lo, b_id AS id_hi FROM E), "
         + _sn_pair_cte("pre", "substring(text, 1, 24)")
         + ", "
         + _sn_pair_cte("suf", "substring(reverse(text), 1, 24)")

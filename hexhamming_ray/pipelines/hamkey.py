@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from hexhamming_ray.functions.strsim import pad_matrix
 
@@ -65,17 +64,36 @@ def _band_offsets(key_len: int, n_bands: int) -> np.ndarray:
 
 
 def _key_matrix(text_col, key_len: int):
-    """Arrow string column -> (n, key_len) uint8 matrix of the
-    SPACE-padded first ``key_len`` bytes (DuckDB
-    ``rpad(substring(text, 1, L), L, ' ')`` semantics on the ASCII
-    corpus — byte slicing and codepoint slicing agree, the same
-    TESTDATA-probed assumption the sorted-neighborhood family pins)."""
+    """Arrow string column -> (n, key_len) uint8 matrix: the SPACE-
+    padded first ``key_len`` bytes of the document's PRINTABLE-ASCII
+    projection (bytes 0x20-0x7E kept, everything else dropped).
+    Multi-byte UTF-8 sequences consist entirely of bytes >= 0x80 and
+    ASCII bytes map 1:1 to codepoints, so this byte-level strip equals
+    DuckDB's codepoint-level ``regexp_replace(text, '[^ -~]', '',
+    'g')`` — the ``mismatches`` oracle (which REQUIRES equal byte
+    length) stays exact on ANY unicode corpus, pinned by the
+    adversarial CJK/accent corpus test. One pass over the flattened
+    utf-8 buffer, no per-row Python."""
+    from hexhamming_ray.functions.hashing import utf8_view
+
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
-    sliced = pc.utf8_slice_codeunits(text_col, 0, key_len)
-    mat, lens = pad_matrix(sliced, width=key_len)
-    pad = np.arange(key_len, dtype=np.int64)[None, :] >= lens[:, None]
-    mat[pad] = 0x20
+    buf, lens, starts = utf8_view(text_col)
+    n = lens.shape[0]
+    mat = np.full((n, max(key_len, 1)), 0x20, dtype=np.uint8)
+    total = int(lens.sum())
+    if n == 0 or total == 0:
+        return mat
+    # utf8_view guarantees docs back-to-back in buf from starts[0]
+    vals = buf[starts[0]: starts[0] + total]
+    keep = (vals >= 0x20) & (vals <= 0x7E)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    cs = np.concatenate(([0], np.cumsum(keep)))
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # 1-based rank of each KEPT byte within its own document
+    rank = cs[1:] - cs[offs[:-1]][doc_rep]
+    sel = keep & (rank <= key_len)
+    mat[doc_rep[sel], rank[sel] - 1] = vals[sel]
     return mat
 
 
@@ -98,10 +116,12 @@ def hamming_key_pairs(sf_dir: str, *, key_len: int = 32,
                       max_dist: int = 6,
                       num_partitions: int | None = None,
                       pair_filter=None):
-    """All document pairs whose space-padded first-``key_len``-byte
-    keys are within Hamming distance ``max_dist`` (positional byte
-    mismatches — DuckDB ``mismatches`` semantics), found exactly via
-    pigeonhole band blocking. (a_id, b_id, ham_dist), a_id < b_id.
+    """All document pairs whose normalized keys (space-padded first
+    ``key_len`` bytes of the printable-ASCII projection, see
+    :func:`_key_matrix`) are within Hamming distance ``max_dist``
+    (positional byte mismatches — DuckDB ``mismatches`` semantics),
+    found exactly via pigeonhole band blocking.
+    (a_id, b_id, ham_dist), a_id < b_id.
     ``pair_filter(a_ids, b_ids) -> bool mask`` drops pairs INSIDE the
     pair block before emission (the _sn_scored_pairs hook — cross-set
     variants pay no extra stage)."""

@@ -909,13 +909,14 @@ def er_fuzzy_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
 def blocking_strategy_report(sf_dir: str, *, key_len: int = 24,
                              window: int = 4, min_sim: float = 0.88):
     """The blocking-strategy BENCHMARK: every blocker in the toolkit
-    (prefix key, reversed-suffix key, their multikey union, and the
-    token-sort key) evaluated pair-level against the same exact
-    Jaccard >= 0.5 truth set. One row per strategy: (strategy,
-    pairs_pred, pairs_truth, pairs_both, precision_ppm, recall_ppm) —
-    the table an ER practitioner reads to pick a blocker. Four
-    bounded evaluations; each is the :func:`_pair_eval_counts`
-    single-exchange shape."""
+    (prefix key, reversed-suffix key, their multikey union, the
+    token-sort key, and the pigeonhole Hamming-key blocker) evaluated
+    pair-level against the same exact Jaccard >= 0.5 truth set. One
+    row per strategy: (strategy, pairs_pred, pairs_truth, pairs_both,
+    precision_ppm, recall_ppm) — the table an ER practitioner reads to
+    pick a blocker. Five bounded evaluations; each is the
+    :func:`_pair_eval_counts` single-exchange shape."""
+    from hexhamming_ray.pipelines.hamkey import hamming_key_pairs
     from hexhamming_ray.pipelines.text import ngram_jaccard_exact
 
     strategies = [
@@ -934,6 +935,9 @@ def blocking_strategy_report(sf_dir: str, *, key_len: int = 24,
         ("token_sort",
          fuzzy_match_token_sort(sf_dir, key_len=key_len, window=window,
                                 min_sim=min_sim),
+         ("a_id", "b_id")),
+        ("hamming",
+         hamming_key_pairs(sf_dir),
          ("a_id", "b_id")),
     ]
     names, np_, nt, nb, prec, rec = [], [], [], [], [], []

@@ -31,7 +31,12 @@ def test_band_offsets_properties():
 
 
 def _brute_pairs(texts, key_len, max_dist):
-    keys = [t.encode()[:key_len].ljust(key_len, b" ") for t in texts]
+    keys = [
+        bytes(b for b in t.encode() if 0x20 <= b <= 0x7E)[
+            :key_len
+        ].ljust(key_len, b" ")
+        for t in texts
+    ]
     mat = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(
         len(keys), key_len
     )
@@ -133,7 +138,8 @@ def test_identical_keys_emitted_once(ray_session, tmp_path):
 def test_tiny_corpora_vs_oracle(ray_session, tmp_path, n_docs):
     """Degenerate sizes incl. docs SHORTER than key_len (space padding
     must agree with DuckDB rpad) and the empty corpus."""
-    texts = ["short", "short!", "a longer document well past the key"]
+    texts = ["short", "short!",
+             "a lönger döcument wéll past the key 中文"]
     d = _write_corpus(tmp_path, texts[:n_docs], name=f"tiny{n_docs}")
     entry = __import__("__ray_entry__")
     con = duckdb.connect()
@@ -174,6 +180,34 @@ def test_clusters_label_paths_agree(ray_session, tmp_path):
         HK.HAMKEY_LABEL_BROADCAST_CAP = old
     pd.testing.assert_frame_equal(broadcast, remap)
     assert broadcast.component.nunique() < len(broadcast)
+
+
+def test_unicode_projection(ray_session, tmp_path):
+    """Non-printable / non-ASCII codepoints vanish from the key on
+    BOTH engines: a doc differing from its twin only by interleaved
+    CJK/accents/newlines is Hamming-0 after projection."""
+    base = "the quick brown fox jumps over the lazy dog"
+    texts = [
+        base,
+        # base with unicode/control INSERTIONS only — the projection
+        # is byte-identical to base, so the pair is Hamming-0
+        "the 中quick brown\né fox jumps over\t the lazy dog",
+        "a completely different document altogether here",
+    ]
+    d = _write_corpus(tmp_path, texts, name="uni")
+    got = (
+        HK.hamming_key_pairs(d)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_pairs(texts, 32, 6)
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (0, 1, 0) in {tuple(r) for r in got.itertuples(index=False)}
 
 
 def test_hamming_decontaminate_planted(ray_session, tmp_path):
