@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the 63 queries with existing CORRECTNESS_r01-r03 rows follow in
     # their original relative order.  Cumulative driver coverage across
     # rounds therefore reaches all 113.
+    from hexhamming_ray.pipelines import ermetrics as EM
     from hexhamming_ray.pipelines import hamkey as HK
 
     return {
@@ -238,6 +239,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_priority_counts": R.lineitem_priority_counts,
         # --- multimodal plumbing (rows-only; synthetic media table) ---
         "media_features": _media_features_q,
+        # --- round-4 continuation: cluster-level ER evaluation +
+        # match-decision operators (round-5 rotation set) ---
+        "er_bcubed_eval": EM.er_bcubed_eval,
+        "er_rand_index": EM.er_rand_index,
+        "mutual_best_match": EM.mutual_best_match,
+        "fs_match_scores": EM.fs_match_scores,
+        "match_graph_triangles": EM.match_graph_triangles,
     }
 
 
@@ -339,6 +347,46 @@ _TRUTH_CTE = (
     " JOIN sizes sa ON sa.doc_id = inter.id_lo "
     " JOIN sizes sb ON sb.doc_id = inter.id_hi "
     " WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5)"
+)
+
+# shared prefix for the cluster-level evaluation oracles: fuzzy
+# PREDICTED clusters (recursive min-label closure over the JW >= 0.88
+# sorted-neighborhood pairs) x exact-Jaccard TRUTH clusters (closure
+# over the tr pair set), joined per document into joint cells with
+# both marginal cluster sizes
+_PRED_TRUTH_CELLS = (
+    "WITH RECURSIVE "
+    "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+    " FROM documents), "
+    "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+    " (ORDER BY key, doc_id) AS rn FROM k), "
+    "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+    " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+    " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+    "ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+    "reach(id, rr) AS ("
+    " SELECT doc_id, doc_id FROM documents "
+    " UNION "
+    " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a), "
+    "pred AS (SELECT id AS doc_id, MIN(rr) AS pcid "
+    " FROM reach GROUP BY id), "
+    + _TRUTH_CTE + ", "
+    "ted AS (SELECT id_lo AS a, id_hi AS b FROM tr "
+    " UNION SELECT id_hi, id_lo FROM tr), "
+    "treach(id, rr) AS ("
+    " SELECT doc_id, doc_id FROM documents "
+    " UNION "
+    " SELECT treach.id, ted.b FROM treach "
+    " JOIN ted ON treach.rr = ted.a), "
+    "tru AS (SELECT id AS doc_id, MIN(rr) AS tcid "
+    " FROM treach GROUP BY id), "
+    "j AS (SELECT pcid, tcid FROM pred JOIN tru USING (doc_id)), "
+    "cells AS (SELECT pcid, tcid, CAST(COUNT(*) AS BIGINT) AS c "
+    " FROM j GROUP BY 1, 2), "
+    "psz AS (SELECT pcid, CAST(COUNT(*) AS BIGINT) AS p "
+    " FROM j GROUP BY 1), "
+    "tsz AS (SELECT tcid, CAST(COUNT(*) AS BIGINT) AS t "
+    " FROM j GROUP BY 1), "
 )
 
 _TOKEN_SORT_KEY = (
@@ -2229,5 +2277,112 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_id "
             "JOIN sizes sb ON sb.doc_id = inter.bench_id "
             "WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.35"
+        ),
+        # B-cubed precision/recall of the fuzzy clustering vs the
+        # exact-Jaccard truth clustering; per-record ratios floored at
+        # ppm then averaged by floor division — identical integer
+        # expressions to the engine
+        "er_bcubed_eval": (
+            _PRED_TRUTH_CELLS
+            + "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j), "
+            "sp AS (SELECT CAST(SUM(c * ((1000000 * c) // p)) "
+            " AS BIGINT) AS s FROM cells JOIN psz USING (pcid)), "
+            "sr AS (SELECT CAST(SUM(c * ((1000000 * c) // t)) "
+            " AS BIGINT) AS s FROM cells JOIN tsz USING (tcid)) "
+            "SELECT nn.n AS n_docs, "
+            "CAST(sp.s // nn.n AS BIGINT) AS bcubed_precision_ppm, "
+            "CAST(sr.s // nn.n AS BIGINT) AS bcubed_recall_ppm, "
+            "CAST(CASE WHEN sp.s // nn.n + sr.s // nn.n > 0 "
+            " THEN (2 * (sp.s // nn.n) * (sr.s // nn.n)) "
+            "  // (sp.s // nn.n + sr.s // nn.n) ELSE 0 END AS BIGINT) "
+            " AS bcubed_f1_ppm "
+            "FROM nn, sp, sr"
+        ),
+        # Rand index of the same two labelings: pair-counting agreement
+        # in exact integer ppm
+        "er_rand_index": (
+            _PRED_TRUTH_CELLS
+            + "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j), "
+            "n11 AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) "
+            " AS BIGINT) AS v FROM cells), "
+            "sp2 AS (SELECT CAST(COALESCE(SUM(p * (p - 1) // 2), 0) "
+            " AS BIGINT) AS v FROM psz), "
+            "st2 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) "
+            " AS BIGINT) AS v FROM tsz) "
+            "SELECT nn.n AS n_docs, "
+            "CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS pairs_total, "
+            "n11.v AS pairs_same_both, sp2.v AS pairs_same_pred, "
+            "st2.v AS pairs_same_truth, "
+            "CAST(CASE WHEN nn.n > 1 THEN 1000000 * "
+            " (n11.v + (nn.n * (nn.n - 1) // 2 - sp2.v - st2.v + n11.v)) "
+            " // (nn.n * (nn.n - 1) // 2) ELSE 1000000 END AS BIGINT) "
+            " AS rand_index_ppm "
+            "FROM nn, n11, sp2, st2"
+        ),
+        # reciprocal best match: each side is the other's top-scoring
+        # candidate (ties toward the smaller partner id)
+        "mutual_best_match": (
+            _SN_CTE.rstrip() + ", "
+            "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "sym AS (SELECT a_id AS id, b_id AS partner, jw_sim FROM p "
+            " UNION ALL SELECT b_id, a_id, jw_sim FROM p), "
+            "best AS (SELECT id, partner, jw_sim FROM "
+            " (SELECT *, ROW_NUMBER() OVER (PARTITION BY id "
+            "  ORDER BY jw_sim DESC, partner ASC) AS rk FROM sym) "
+            " WHERE rk = 1) "
+            "SELECT x.id AS a_id, x.partner AS b_id, x.jw_sim "
+            "FROM best x JOIN best y "
+            "ON x.partner = y.id AND y.partner = x.id "
+            "WHERE x.id < x.partner"
+        ),
+        # Fellegi-Sunter weighted agreement over ALL SN candidates;
+        # the engine compares lang via a 64-bit string hash (equal
+        # hash == equal string, the line_dedup convention)
+        "fs_match_scores": (
+            _SN_CTE.rstrip() + ", "
+            "att AS (SELECT doc_id, lang AS l8, "
+            " n_chars // 64 AS lb, "
+            " len(regexp_extract_all(text, '\\S+')) // 16 AS tb "
+            " FROM documents), "
+            "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4), "
+            "s AS (SELECT a_id, b_id, "
+            " (CASE WHEN jw >= 0.92 THEN 30 ELSE -12 END) "
+            " + (CASE WHEN xa.l8 = xb.l8 THEN 24 ELSE -8 END) "
+            " + (CASE WHEN xa.lb = xb.lb THEN 18 ELSE -6 END) "
+            " + (CASE WHEN xa.tb = xb.tb THEN 14 ELSE -5 END) "
+            " AS fs_score "
+            " FROM p JOIN att xa ON xa.doc_id = p.a_id "
+            " JOIN att xb ON xb.doc_id = p.b_id) "
+            "SELECT a_id, b_id, CAST(fs_score AS BIGINT) AS fs_score, "
+            "CASE WHEN fs_score >= 50 THEN 'match' "
+            " WHEN fs_score >= 10 THEN 'possible' "
+            " ELSE 'nonmatch' END AS decision FROM s"
+        ),
+        # triangle census of the JW >= 0.80 match graph; every triangle
+        # is closed at exactly its 3 centers, so matched // 3 counts it
+        "match_graph_triangles": (
+            _SN_CTE.rstrip() + ", "
+            "e AS (SELECT LEAST(a.doc_id, b.doc_id) AS lo, "
+            " GREATEST(a.doc_id, b.doc_id) AS hi "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.80), "
+            "sym AS (SELECT lo AS ctr, hi AS nb FROM e "
+            " UNION ALL SELECT hi, lo FROM e), "
+            "w AS (SELECT a.ctr, a.nb AS b, c.nb AS c FROM sym a "
+            " JOIN sym c ON a.ctr = c.ctr AND c.nb > a.nb), "
+            "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM e), "
+            "nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM w), "
+            "nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM w "
+            " JOIN e ON w.b = e.lo AND w.c = e.hi) "
+            "SELECT ne.v AS n_edges, nw.v AS n_wedges, "
+            "CAST(nm.v // 3 AS BIGINT) AS n_triangles, "
+            "CAST(CASE WHEN nw.v > 0 THEN 1000000 * nm.v // nw.v "
+            " ELSE 0 END AS BIGINT) AS clustering_ppm "
+            "FROM ne, nw, nm"
         ),
     }

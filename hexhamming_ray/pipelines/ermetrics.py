@@ -1,0 +1,796 @@
+"""Cluster-level ER evaluation + match-decision operators.
+
+The reference is the pairwise scorer of a record-linkage system
+(method table ``python_hexhamming.cc:421-428``); this module supplies
+the EVALUATION and DECISION layers an ER practitioner runs on top of
+the blocking/scoring/clustering machinery already in strmatch.py:
+
+- :func:`er_bcubed_eval` — B-cubed precision/recall/F1 of the fuzzy
+  clustering against the exact-Jaccard truth clustering (the standard
+  cluster-level ER metric; Bagga & Baldwin 1998).
+- :func:`er_rand_index` — pair-counting Rand index of the same two
+  clusterings (all-integer, ppm).
+- :func:`mutual_best_match` — reciprocal-best-match linkage decision
+  (a pair survives iff each side is the other's best-scoring
+  candidate), the order-free one-to-one matcher.
+- :func:`fs_match_scores` — Fellegi-Sunter style multi-field
+  agreement weighting over blocked candidate pairs with
+  match/possible/nonmatch thresholds (Fellegi & Sunter 1969).
+- :func:`match_graph_triangles` — triangle census / global clustering
+  coefficient of the match graph (the transitivity diagnostic that
+  says whether threshold-pairs behave like equivalence classes).
+
+All five are deterministic and SQL-value-oracled. Scale shapes are
+the house patterns: narrow tagged unions meeting in ONE keyed
+exchange, per-block lexsort + run reduction, single-row partials
+coalesced driver-side, and every broadcast plan size-switched with
+the shuffle/join plan as the unconditional above-cap fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Attr-lut broadcast ceiling for fs_match_scores: 5M docs x 4 int64
+# arrays = 160 MB in ONE ray.put. Above it the two native hash joins
+# carry any corpus size.
+FS_ATTR_BROADCAST_CAP = 5_000_000
+
+# Fellegi-Sunter integer agreement/disagreement weights (fixed
+# log-likelihood-ratio surrogates, scaled so thresholds are ints) and
+# the decision cutoffs. Mirrored literally in the SQL oracle.
+FS_W = {
+    "jw": (30, -12),      # Jaro-Winkler(key) >= FS_JW_MIN
+    "lang": (24, -8),     # same lang (first 8 bytes)
+    "len": (18, -6),      # same n_chars // 64 band
+    "tok": (14, -5),      # same token-count // 16 band
+}
+FS_JW_MIN = 0.92
+FS_T_MATCH = 50
+FS_T_POSSIBLE = 10
+
+_DECISIONS = pa.array(["nonmatch", "possible", "match"], pa.string())
+
+
+def _truth_clusters(sf_dir: str):
+    """Truth labeling: connected components over the exact token-
+    3-gram Jaccard >= 0.5 pair set (the same truth set every blocker
+    evaluation in strmatch.py scores against), every document labeled
+    with its component's min doc_id via the size-switched
+    :func:`~hexhamming_ray.state.unionfind.label_nodes`."""
+    from hexhamming_ray.pipelines.text import _docs, ngram_jaccard_exact
+    from hexhamming_ray.stages.annsearch import GRAPH_LABEL_BROADCAST_CAP
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        label_nodes,
+    )
+
+    pairs = ngram_jaccard_exact(sf_dir)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").cast(pa.int64()),
+                "id_hi": batch.column("id_hi").cast(pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        as_edges, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    labels = connected_components(edges)
+    nodes = _docs(sf_dir, ["doc_id"], hash_shuffle=True)
+    return label_nodes(labels, nodes, "doc_id", "cluster_id",
+                       broadcast_cap=GRAPH_LABEL_BROADCAST_CAP)
+
+
+def _joint_labels(sf_dir: str, *, key_len: int, window: int,
+                  min_sim: float, num_partitions: int):
+    """(pcid, tcid) — one row per document carrying its PREDICTED
+    (fuzzy) and TRUTH (exact-Jaccard) cluster labels. The two label
+    Datasets (n rows x 16 bytes each) meet in ONE keyed exchange on
+    doc_id as a tagged union; each doc holds exactly one row per side,
+    so the merge is a lexsort + stride-2 gather per block."""
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
+
+    pred = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                             min_sim=min_sim)
+    truth = _truth_clusters(sf_dir)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "cid": batch.column("cluster_id").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(batch), side, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    empty = pa.table(
+        {
+            "pcid": pa.array([], pa.int64()),
+            "tcid": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy()
+        c = batch.column("cid").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, d))
+        d_s, c_s, s_s = d[order], c[order], s[order]
+        a = np.arange(0, d_s.shape[0], 2)
+        # every doc has exactly one pred + one truth row
+        assert (d_s[a] == d_s[a + 1]).all() and not s_s[a].any()
+        return pa.table(
+            {
+                "pcid": pa.array(c_s[a], pa.int64()),
+                "tcid": pa.array(c_s[a + 1], pa.int64()),
+            }
+        )
+
+    return (
+        pred.map_batches(tag(0), batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(truth.map_batches(tag(1), batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(merge, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def _cell_stats(j, key_col: str, other_col: str, num_partitions: int):
+    """Single-row-per-block partials after ONE keyed exchange of the
+    16-byte (pcid, tcid) rows on ``key_col``: all rows of one key
+    cluster (and hence all its joint cells) are co-resident, so one
+    lexsort yields cluster sizes p (runs of ``key_col``) and cell
+    sizes c (runs of the pair), and the block emits
+
+    - ``sum_ppm``   = sum over cells of ``c * ((1_000_000 * c) // p)``
+      (the exact-integer B-cubed numerator: each record in a cell
+      contributes ``ppm(c / p)`` floored),
+    - ``pairs_key`` = sum of C(p, 2)  (intra-cluster pairs of the key
+      side), ``pairs_cell`` = sum of C(c, 2) (pairs clustered together
+      on BOTH sides), ``n_rows`` = records seen."""
+    empty = pa.table(
+        {
+            "sum_ppm": pa.array([], pa.int64()),
+            "pairs_key": pa.array([], pa.int64()),
+            "pairs_cell": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+        }
+    )
+
+    def block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        k = batch.column(key_col).to_numpy()
+        o = batch.column(other_col).to_numpy()
+        order = np.lexsort((o, k))
+        k_s, o_s = k[order], o[order]
+        new_k = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        new_c = new_k | np.concatenate(([False], o_s[1:] != o_s[:-1]))
+        k_starts = np.flatnonzero(new_k)
+        c_starts = np.flatnonzero(new_c)
+        n = k_s.shape[0]
+        k_sizes = np.diff(np.append(k_starts, n))
+        c_sizes = np.diff(np.append(c_starts, n))
+        cells_per_key = np.add.reduceat(new_c.astype(np.int64), k_starts)
+        p_per_cell = np.repeat(k_sizes, cells_per_key)
+        contrib = c_sizes * ((1_000_000 * c_sizes) // p_per_cell)
+        return pa.table(
+            {
+                "sum_ppm": pa.array([int(contrib.sum())], pa.int64()),
+                "pairs_key": pa.array(
+                    [int((k_sizes * (k_sizes - 1) // 2).sum())],
+                    pa.int64(),
+                ),
+                "pairs_cell": pa.array(
+                    [int((c_sizes * (c_sizes - 1) // 2).sum())],
+                    pa.int64(),
+                ),
+                "n_rows": pa.array([n], pa.int64()),
+            }
+        )
+
+    return j.repartition(
+        num_blocks=num_partitions, keys=[key_col]
+    ).map_batches(block, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+
+
+def _stat_sums(part) -> tuple[int, int, int, int]:
+    rows = part.take_all()
+    return (
+        sum(int(r["sum_ppm"]) for r in rows),
+        sum(int(r["pairs_key"]) for r in rows),
+        sum(int(r["pairs_cell"]) for r in rows),
+        sum(int(r["n_rows"]) for r in rows),
+    )
+
+
+def er_bcubed_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                   min_sim: float = 0.88,
+                   num_partitions: int | None = None):
+    """B-CUBED precision/recall/F1 of the fuzzy clustering
+    (:func:`~hexhamming_ray.pipelines.strmatch.er_fuzzy_clusters`)
+    against the exact-Jaccard truth clustering — the standard
+    cluster-level ER quality metric (per-record overlap ratios,
+    averaged), complementing the PAIR-level er_fuzzy_eval. Exact
+    integers end-to-end: per-record precision is floored at ppm
+    resolution, ``sum(c * ((1_000_000 * c) // p))`` over joint cells,
+    then averaged by floor division — the DuckDB oracle states the
+    identical expression. ONE row: (n_docs, bcubed_precision_ppm,
+    bcubed_recall_ppm, bcubed_f1_ppm).
+
+    Scale: both labelings are n-row x 16-byte Datasets; the joint
+    table is materialized ONCE (narrow rows, spillable — the
+    pack_sequences trade) and consumed by two keyed exchanges (pcid,
+    tcid); partials are one row per block."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    j = _joint_labels(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        num_partitions=num_partitions,
+    ).materialize()
+    sp, _, _, n = _stat_sums(
+        _cell_stats(j, "pcid", "tcid", num_partitions)
+    )
+    sr, _, _, _ = _stat_sums(
+        _cell_stats(j, "tcid", "pcid", num_partitions)
+    )
+    prec = sp // n if n else 0
+    rec = sr // n if n else 0
+    f1 = 2 * prec * rec // (prec + rec) if prec + rec else 0
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "bcubed_precision_ppm": pa.array([prec], pa.int64()),
+            "bcubed_recall_ppm": pa.array([rec], pa.int64()),
+            "bcubed_f1_ppm": pa.array([f1], pa.int64()),
+        }
+    )
+
+
+def er_rand_index(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                  min_sim: float = 0.88,
+                  num_partitions: int | None = None):
+    """RAND INDEX of the fuzzy clustering vs the exact-Jaccard truth
+    clustering: the fraction of document pairs on which the two
+    labelings AGREE (both together or both apart), in exact integer
+    ppm — the pair-counting companion to :func:`er_bcubed_eval`.
+    ONE row: (n_docs, pairs_total, pairs_same_both, pairs_same_pred,
+    pairs_same_truth, rand_index_ppm), where ``pairs_same_both`` is
+    the number of pairs co-clustered by BOTH labelings (sum of
+    C(cell, 2) over joint cells).
+
+    Same machinery as B-cubed: the joint label table meets two keyed
+    exchanges; C(p,2)/C(c,2) sums are per-block run arithmetic."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    j = _joint_labels(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        num_partitions=num_partitions,
+    ).materialize()
+    _, sum_p, n11, n = _stat_sums(
+        _cell_stats(j, "pcid", "tcid", num_partitions)
+    )
+    _, sum_t, _, _ = _stat_sums(
+        _cell_stats(j, "tcid", "pcid", num_partitions)
+    )
+    total = n * (n - 1) // 2
+    n00 = total - sum_p - sum_t + n11
+    ri = 1_000_000 * (n11 + n00) // total if total else 1_000_000
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "pairs_total": pa.array([total], pa.int64()),
+            "pairs_same_both": pa.array([n11], pa.int64()),
+            "pairs_same_pred": pa.array([sum_p], pa.int64()),
+            "pairs_same_truth": pa.array([sum_t], pa.int64()),
+            "rand_index_ppm": pa.array([ri], pa.int64()),
+        }
+    )
+
+
+def mutual_best_match(sf_dir: str, *, key_len: int = 24,
+                      window: int = 4, min_sim: float = 0.88,
+                      num_partitions: int | None = None):
+    """RECIPROCAL-BEST-MATCH linkage: from the Jaro-Winkler-scored
+    sorted-neighborhood candidates, keep a pair iff each document is
+    the other's single best-scoring candidate (ties broken toward the
+    smaller partner id) — the order-free one-to-one match decision
+    (every doc appears in at most one output pair... of which it is a
+    mutual optimum). (a_id, b_id, jw_sim) with a_id < b_id.
+
+    Shape: pairs symmetrize into 24-byte (id, partner, sim) rows ->
+    ONE keyed exchange on id -> per-run argmax (lexsort by (id, -sim,
+    partner), run heads) -> best rows re-keyed on the unordered pair
+    -> ONE keyed exchange -> runs of exactly 2 are mutual. Every
+    exchange is candidate-bounded (n * window rows)."""
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                           min_sim=min_sim)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        s = batch.column("jw_sim").to_numpy()
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "partner": pa.array(np.concatenate([b, a]), pa.int64()),
+                "jw_sim": pa.array(np.concatenate([s, s]), pa.float64()),
+            }
+        )
+
+    empty_best = pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "partner": pa.array([], pa.int64()),
+            "jw_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def best_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_best
+        i = batch.column("id").to_numpy()
+        p = batch.column("partner").to_numpy()
+        s = batch.column("jw_sim").to_numpy()
+        order = np.lexsort((p, -s, i))
+        i_s = i[order]
+        head = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+        sel = order[head]
+        return pa.table(
+            {
+                "id": pa.array(i[sel], pa.int64()),
+                "partner": pa.array(p[sel], pa.int64()),
+                "jw_sim": pa.array(s[sel], pa.float64()),
+            }
+        )
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy()
+        p = batch.column("partner").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(i, p), pa.int64()),
+                "id_hi": pa.array(np.maximum(i, p), pa.int64()),
+                "jw_sim": batch.column("jw_sim"),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "jw_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def mutual_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        s = batch.column("jw_sim").to_numpy()
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        # each id emits exactly ONE best row, so a pair run has size
+        # <= 2; size 2 == both directions chose each other
+        dup = (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])
+        sel = order[np.concatenate((dup, [False]))]
+        return pa.table(
+            {
+                "a_id": pa.array(lo[sel], pa.int64()),
+                "b_id": pa.array(hi[sel], pa.int64()),
+                "jw_sim": pa.array(s[sel], pa.float64()),
+            }
+        )
+
+    best = (
+        pairs.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["id"])
+        .map_batches(best_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    return (
+        best.map_batches(pair_key, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions,
+                     keys=["id_lo", "id_hi"])
+        .map_batches(mutual_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
+def _doc_attrs(sf_dir: str):
+    """Narrow per-doc comparison attributes for Fellegi-Sunter:
+    (doc_id, lang8, len_band, tok_band). ``lang8`` is a 64-bit
+    polynomial hash of the lang string's bytes (equal hash == equal
+    string, the line_dedup_docs convention; the oracle compares
+    ``lang`` directly); bands are floor-divided ints."""
+    from hexhamming_ray.functions.hashing import (
+        _window_hashes,
+        utf8_view,
+    )
+    from hexhamming_ray.functions.text import token_count
+    from hexhamming_ray.pipelines.text import _docs
+
+    def f(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        buf, lens, starts = utf8_view(lang)
+        l8 = np.zeros(lens.shape[0], dtype=np.uint64)
+        ne = np.flatnonzero(lens > 0)
+        if ne.shape[0]:
+            l8[ne] = _window_hashes(buf, starts[ne], starts[ne] + lens[ne])
+        l8 = l8.view(np.int64)
+        n_chars = batch.column("n_chars").to_numpy()
+        n_tok = token_count(batch.column("text")).to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang8": pa.array(l8, pa.int64()),
+                "len_band": pa.array(n_chars // 64, pa.int64()),
+                "tok_band": pa.array(n_tok // 16, pa.int64()),
+            }
+        )
+
+    return _docs(
+        sf_dir, ["doc_id", "lang", "text", "n_chars"],
+        hash_shuffle=True,
+    ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+
+
+def _fs_decide(jw, al8, bl8, alb, blb, atb, btb):
+    score = (
+        np.where(jw >= FS_JW_MIN, FS_W["jw"][0], FS_W["jw"][1])
+        + np.where(al8 == bl8, FS_W["lang"][0], FS_W["lang"][1])
+        + np.where(alb == blb, FS_W["len"][0], FS_W["len"][1])
+        + np.where(atb == btb, FS_W["tok"][0], FS_W["tok"][1])
+    ).astype(np.int64)
+    code = (
+        (score >= FS_T_POSSIBLE).astype(np.int64)
+        + (score >= FS_T_MATCH).astype(np.int64)
+    )
+    return score, _DECISIONS.take(pa.array(code, pa.int64()))
+
+
+class _FsScoreBroadcast:
+    """Task-pool UDF: attach both sides' attrs from the broadcast
+    sorted lut and emit the weighted decision (lazy one-time ray.get,
+    the _BruteScore pattern)."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._lut = None
+
+    def _l(self):
+        if self._lut is None:
+            import ray
+
+            self._lut = ray.get(self.ref)
+        return self._lut
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
+        ids, l8, lb, tb = self._l()
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        jw = batch.column("jw_sim").to_numpy()
+        pa_, ha = _lut_probe(ids, a)
+        pb, hb = _lut_probe(ids, b)
+        # every pair id came from the same documents read
+        assert ha.all() and hb.all()
+        score, decision = _fs_decide(
+            jw, l8[pa_], l8[pb], lb[pa_], lb[pb], tb[pa_], tb[pb]
+        )
+        return pa.table(
+            {
+                "a_id": pa.array(a, pa.int64()),
+                "b_id": pa.array(b, pa.int64()),
+                "fs_score": pa.array(score, pa.int64()),
+                "decision": decision,
+            }
+        )
+
+
+def fs_match_scores(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                    num_partitions: int | None = None,
+                    force_join: bool = False):
+    """FELLEGI-SUNTER style match scoring over the sorted-neighborhood
+    candidate pairs: four field comparisons — Jaro-Winkler(blocking
+    key) >= 0.92, language agreement, length band (n_chars // 64),
+    token-count band (// 16) — each contributing a fixed integer
+    agreement/disagreement weight; the summed score classifies each
+    pair ``match`` (>= 50) / ``possible`` (>= 10) / ``nonmatch``.
+    (a_id, b_id, fs_score, decision) for EVERY candidate pair (the
+    decision column is the filter — emitting all pairs keeps the
+    clerical-review band visible, the point of the FS model).
+
+    Scale: candidates are window-bounded (n x window); attrs ride a
+    broadcast sorted lut under ``FS_ATTR_BROADCAST_CAP`` docs (one
+    ray.put of four int64 arrays), or two native hash joins above it
+    (``force_join`` pins the paths equal in tests)."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    from hexhamming_ray.pipelines.strmatch import (
+        _JwScorer,
+        _sn_scored_pairs,
+    )
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    # min_sim=0.0 keeps every candidate: FS scores the whole block
+    pairs = _sn_scored_pairs(sf_dir, key_len, window, _JwScorer(0.0))
+    attrs = _doc_attrs(sf_dir)
+
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+    if not force_join and n_docs <= FS_ATTR_BROADCAST_CAP:
+        from hexhamming_ray.pipelines.text import _gather_table
+
+        at = _gather_table(
+            attrs,
+            pa.schema(
+                [("doc_id", pa.int64()), ("lang8", pa.int64()),
+                 ("len_band", pa.int64()), ("tok_band", pa.int64())]
+            ),
+        )
+        ids = at.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        ref = ray.put(
+            (
+                np.ascontiguousarray(ids[order]),
+                np.ascontiguousarray(at.column("lang8").to_numpy()[order]),
+                np.ascontiguousarray(
+                    at.column("len_band").to_numpy()[order]
+                ),
+                np.ascontiguousarray(
+                    at.column("tok_band").to_numpy()[order]
+                ),
+            )
+        )
+        return pairs.map_batches(
+            _FsScoreBroadcast(ref), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+
+    # above-cap scale path: two native hash joins on the pair ids
+    a_attrs = attrs.rename_columns(
+        ["a_doc", "a_lang8", "a_len_band", "a_tok_band"]
+    )
+    b_attrs = attrs.rename_columns(
+        ["b_doc", "b_lang8", "b_len_band", "b_tok_band"]
+    )
+    j = pairs.join(
+        a_attrs, join_type="inner", num_partitions=num_partitions,
+        on=("a_id",), right_on=("a_doc",),
+    ).join(
+        b_attrs, join_type="inner", num_partitions=num_partitions,
+        on=("b_id",), right_on=("b_doc",),
+    )
+
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "fs_score": pa.array([], pa.int64()),
+            "decision": pa.array([], pa.string()),
+        }
+    )
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        jw = batch.column("jw_sim").to_numpy()
+        score, decision = _fs_decide(
+            jw,
+            batch.column("a_lang8").to_numpy(),
+            batch.column("b_lang8").to_numpy(),
+            batch.column("a_len_band").to_numpy(),
+            batch.column("b_len_band").to_numpy(),
+            batch.column("a_tok_band").to_numpy(),
+            batch.column("b_tok_band").to_numpy(),
+        )
+        return pa.table(
+            {
+                "a_id": batch.column("a_id").cast(pa.int64()),
+                "b_id": batch.column("b_id").cast(pa.int64()),
+                "fs_score": pa.array(score, pa.int64()),
+                "decision": decision,
+            }
+        )
+
+    return j.map_batches(score_joined, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+
+
+def match_graph_triangles(sf_dir: str, *, key_len: int = 24,
+                          window: int = 4, min_sim: float = 0.80,
+                          num_partitions: int | None = None):
+    """TRIANGLE CENSUS of the fuzzy match graph: edge count, wedge
+    (length-2 path) count, triangle count, and the global clustering
+    coefficient ``3 * triangles / wedges`` in exact integer ppm — the
+    transitivity diagnostic that tells an ER practitioner how close
+    threshold-matching is to an equivalence relation (ppm near 1e6:
+    clusters are cliques and transitive closure is safe; low: the
+    threshold is chaining). ONE row: (n_edges, n_wedges, n_triangles,
+    clustering_ppm).
+
+    Shape: SN-blocked match edges (degree <= 2 * window by
+    construction, so wedge emission is LINEAR in docs) symmetrize into
+    (ctr, nb) rows -> ONE keyed exchange on ctr -> per-run wedge
+    emission (sorted neighbor runs; each wedge (b, c), b < c, emitted
+    from its center) -> tagged union with the edge set -> ONE keyed
+    exchange on the unordered pair -> per-run: a wedge row closed by
+    an edge row counts matched; every triangle is counted by exactly
+    its 3 centers, so ``n_triangles = matched // 3``."""
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                           min_sim=min_sim)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    # consumed twice (wedge pass + membership union): narrow 16-byte
+    # rows, bounded by n * window — materialize once, spillable
+    edges = pairs.map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        return pa.table(
+            {
+                "ctr": pa.array(np.concatenate([lo, hi]), pa.int64()),
+                "nb": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            }
+        )
+
+    empty_w = pa.table(
+        {
+            "w_lo": pa.array([], pa.int64()),
+            "w_hi": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int64()),
+        }
+    )
+
+    def wedge_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_w
+        c = batch.column("ctr").to_numpy()
+        nb = batch.column("nb").to_numpy()
+        order = np.lexsort((nb, c))
+        c_s, nb_s = c[order], nb[order]
+        los, his = [], []
+        k = 1
+        while k < c_s.shape[0]:
+            mask = c_s[k:] == c_s[:-k]
+            if not mask.any():
+                break
+            sel = np.flatnonzero(mask)
+            los.append(nb_s[sel])        # nb sorted asc within run
+            his.append(nb_s[sel + k])
+            k += 1
+        if not los:
+            return empty_w
+        lo = np.concatenate(los)
+        hi = np.concatenate(his)
+        return pa.table(
+            {
+                "w_lo": pa.array(lo, pa.int64()),
+                "w_hi": pa.array(hi, pa.int64()),
+                "side": pa.array(
+                    np.ones(lo.shape[0], np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "w_lo": batch.column("id_lo"),
+                "w_hi": batch.column("id_hi"),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty_p = pa.table(
+        {
+            "n_edges": pa.array([], pa.int64()),
+            "n_wedges": pa.array([], pa.int64()),
+            "n_matched": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_p
+        lo = batch.column("w_lo").to_numpy()
+        hi = batch.column("w_hi").to_numpy()
+        sd = batch.column("side").to_numpy()
+        order = np.lexsort((sd, hi, lo))
+        lo_s, hi_s, sd_s = lo[order], hi[order], sd[order]
+        new = np.concatenate(
+            ([True], (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, lo_s.shape[0]))
+        # edges are distinct pairs: side-0 present iff the run's first
+        # row (side sorts first) is an edge; wedges in run = size - edge
+        has_edge = sd_s[starts] == 0
+        wedges = sizes - has_edge.astype(np.int64)
+        matched = int(wedges[has_edge].sum())
+        return pa.table(
+            {
+                "n_edges": pa.array([int(has_edge.sum())], pa.int64()),
+                "n_wedges": pa.array([int(wedges.sum())], pa.int64()),
+                "n_matched": pa.array([matched], pa.int64()),
+            }
+        )
+
+    part = (
+        edges.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["ctr"])
+        .map_batches(wedge_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["w_lo", "w_hi"])
+        .map_batches(count_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+    rows = part.take_all()
+    n_edges = sum(int(r["n_edges"]) for r in rows)
+    n_wedges = sum(int(r["n_wedges"]) for r in rows)
+    matched = sum(int(r["n_matched"]) for r in rows)
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([matched // 3], pa.int64()),
+            "clustering_ppm": pa.array(
+                [1_000_000 * matched // n_wedges if n_wedges else 0],
+                pa.int64(),
+            ),
+        }
+    )

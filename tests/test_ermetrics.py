@@ -1,0 +1,201 @@
+"""Cluster-level ER evaluation + match-decision operators: property
+tests and forced-fallback plan-equality pins (the oracle value check
+runs in test_queries_oracle via the shared parametrization)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_fs_attr_paths_agree(ray_session):
+    """fs_match_scores' attr plans (broadcast sorted lut vs two native
+    hash joins) must emit IDENTICAL scored pairs."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    def run(force_join):
+        return (
+            EM.fs_match_scores(SF_DIR, force_join=force_join)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run(False)
+    joined = run(True)
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert len(broadcast) > 0
+    assert set(broadcast.decision) <= {"match", "possible", "nonmatch"}
+    # the corpus plants real near-dups: some pairs must clear the
+    # match band, and the clerical band must be non-degenerate
+    assert (broadcast.decision == "match").any()
+
+
+def test_mutual_best_match_properties(ray_session):
+    """Reciprocal best match: (1) one-to-one — no id appears in two
+    output pairs; (2) equals a driver-side reference computed from the
+    full scored candidate set."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+
+    got = (
+        EM.mutual_best_match(SF_DIR)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    ids = np.concatenate([got.a_id.to_numpy(), got.b_id.to_numpy()])
+    assert np.unique(ids).shape[0] == ids.shape[0]
+
+    cand = fuzzy_match_jw(SF_DIR).to_pandas()
+    sym = pd.DataFrame(
+        {
+            "id": np.concatenate([cand.a_id, cand.b_id]),
+            "partner": np.concatenate([cand.b_id, cand.a_id]),
+            "jw_sim": np.concatenate([cand.jw_sim, cand.jw_sim]),
+        }
+    )
+    sym = sym.sort_values(
+        ["id", "jw_sim", "partner"], ascending=[True, False, True]
+    )
+    best = sym.groupby("id").first().reset_index()
+    bmap = dict(zip(best.id, best.partner))
+    ref = sorted(
+        (i, p)
+        for i, p in bmap.items()
+        if i < p and bmap.get(p) == i
+    )
+    assert list(zip(got.a_id, got.b_id)) == ref
+    assert len(ref) > 0
+
+
+def test_triangles_vs_reference(ray_session):
+    """Triangle census equals a brute-force set-intersection count
+    over the same edge list."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+
+    got = EM.match_graph_triangles(SF_DIR).to_pandas().iloc[0]
+
+    cand = fuzzy_match_jw(SF_DIR, min_sim=0.80).to_pandas()
+    edges = set(
+        (min(a, b), max(a, b)) for a, b in zip(cand.a_id, cand.b_id)
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(
+        len(n) * (len(n) - 1) // 2 for n in adj.values()
+    )
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    assert int(got.n_edges) == len(edges)
+    assert int(got.n_wedges) == wedges
+    assert int(got.n_triangles) == tri
+    assert tri > 0  # the planted near-dup clusters close triangles
+    expect_ppm = 1_000_000 * 3 * tri // wedges if wedges else 0
+    assert int(got.clustering_ppm) == expect_ppm
+
+
+def _bcubed_ref(pcid, tcid):
+    """Driver-side integer B-cubed reference (dict counting)."""
+    from collections import Counter
+
+    cells = Counter(zip(pcid, tcid))
+    psz = Counter(pcid)
+    tsz = Counter(tcid)
+    sp = sum(
+        c * ((1_000_000 * c) // psz[p]) for (p, _), c in cells.items()
+    )
+    sr = sum(
+        c * ((1_000_000 * c) // tsz[t]) for (_, t), c in cells.items()
+    )
+    return sp, sr
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cell_stats_vs_reference(ray_session, seed):
+    """_cell_stats partials reduce to the exact dict-counting B-cubed
+    sums and pair counts on random joint labelings."""
+    import pyarrow as pa
+    import ray
+
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    rng = np.random.default_rng(seed)
+    n = 5_000
+    pcid = rng.integers(0, 40, n)
+    tcid = rng.integers(0, 25, n)
+    j = ray.data.from_arrow(
+        pa.table(
+            {
+                "pcid": pa.array(pcid, pa.int64()),
+                "tcid": pa.array(tcid, pa.int64()),
+            }
+        )
+    ).repartition(8)
+    sp_got, pk_got, pc_got, n_got = EM._stat_sums(
+        EM._cell_stats(j, "pcid", "tcid", 8)
+    )
+    sp_ref, sr_ref = _bcubed_ref(pcid, tcid)
+    assert (sp_got, n_got) == (sp_ref, n)
+    from collections import Counter
+
+    psz = Counter(pcid)
+    cells = Counter(zip(pcid, tcid))
+    assert pk_got == sum(v * (v - 1) // 2 for v in psz.values())
+    assert pc_got == sum(v * (v - 1) // 2 for v in cells.values())
+    # recall side via the transposed call
+    sr_got, _, _, _ = EM._stat_sums(
+        EM._cell_stats(j, "tcid", "pcid", 8)
+    )
+    assert sr_got == sr_ref
+
+
+def test_bcubed_identity_is_perfect(ray_session):
+    """B-cubed of a labeling against ITSELF is exactly 1.0 (ppm 1e6):
+    run the stats machinery on pcid == tcid."""
+    import pyarrow as pa
+    import ray
+
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    rng = np.random.default_rng(7)
+    lab = rng.integers(0, 30, 2_000)
+    j = ray.data.from_arrow(
+        pa.table(
+            {
+                "pcid": pa.array(lab, pa.int64()),
+                "tcid": pa.array(lab, pa.int64()),
+            }
+        )
+    ).repartition(4)
+    sp, _, _, n = EM._stat_sums(EM._cell_stats(j, "pcid", "tcid", 4))
+    # every record's cell == its cluster, so each contributes ppm(1)
+    assert sp == 1_000_000 * n
+
+
+def test_rand_index_consistency(ray_session):
+    """pairs_same_both <= min(pred, truth) same-pairs, and the index
+    recomputes from the emitted counts."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    row = EM.er_rand_index(SF_DIR).to_pandas().iloc[0]
+    n11 = int(row.pairs_same_both)
+    sp = int(row.pairs_same_pred)
+    st = int(row.pairs_same_truth)
+    total = int(row.pairs_total)
+    assert n11 <= min(sp, st)
+    n00 = total - sp - st + n11
+    assert int(row.rand_index_ppm) == 1_000_000 * (n11 + n00) // total
