@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_best_match": EM.mutual_best_match,
         "fs_match_scores": EM.fs_match_scores,
         "match_graph_triangles": EM.match_graph_triangles,
+        "er_threshold_sweep": EM.er_threshold_sweep,
+        "dedup_rate_report": EM.dedup_rate_report,
+        "ngram_containment_pairs": T.ngram_containment_pairs,
     }
 
 
@@ -354,7 +357,7 @@ _TRUTH_CTE = (
 # sorted-neighborhood pairs) x exact-Jaccard TRUTH clusters (closure
 # over the tr pair set), joined per document into joint cells with
 # both marginal cluster sizes
-_PRED_TRUTH_CELLS = (
+_PRED_CTE = (
     "WITH RECURSIVE "
     "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
     " FROM documents), "
@@ -370,6 +373,10 @@ _PRED_TRUTH_CELLS = (
     " SELECT reach.id, ed.b FROM reach JOIN ed ON reach.rr = ed.a), "
     "pred AS (SELECT id AS doc_id, MIN(rr) AS pcid "
     " FROM reach GROUP BY id), "
+)
+
+_PRED_TRUTH_CELLS = (
+    _PRED_CTE
     + _TRUTH_CTE + ", "
     "ted AS (SELECT id_lo AS a, id_hi AS b FROM tr "
     " UNION SELECT id_hi, id_lo FROM tr), "
@@ -2384,5 +2391,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nw.v > 0 THEN 1000000 * nm.v // nw.v "
             " ELSE 0 END AS BIGINT) AS clustering_ppm "
             "FROM ne, nw, nm"
+        ),
+        # decision-threshold sweep: one row per JW threshold, counted
+        # against the same truth set; integer-ppm ratios
+        "er_threshold_sweep": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_lo, "
+            " GREATEST(a.doc_id, b.doc_id) AS id_hi, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) "
+            "  >= 850 / 1000.0), "
+            + _TRUTH_CTE + ", "
+            "th AS (SELECT UNNEST([850, 880, 900, 920, 950]) AS t), "
+            "predt AS (SELECT t, id_lo, id_hi FROM pf, th "
+            " WHERE jw >= t / 1000.0), "
+            "npred AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n "
+            " FROM predt GROUP BY t), "
+            "nboth AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n "
+            " FROM predt JOIN tr USING (id_lo, id_hi) GROUP BY t), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr), "
+            "x AS (SELECT th.t, COALESCE(npred.n, 0) AS np_, "
+            " COALESCE(nboth.n, 0) AS nb, nt.n AS ntr "
+            " FROM th LEFT JOIN npred ON th.t = npred.t "
+            " LEFT JOIN nboth ON th.t = nboth.t CROSS JOIN nt) "
+            "SELECT CAST(t AS BIGINT) AS threshold_x1000, "
+            "CAST(np_ AS BIGINT) AS pairs_pred, "
+            "CAST(ntr AS BIGINT) AS pairs_truth, "
+            "CAST(nb AS BIGINT) AS pairs_both, "
+            "CAST(CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            " ELSE 0 END AS BIGINT) AS precision_ppm, "
+            "CAST(CASE WHEN ntr > 0 THEN 1000000 * nb // ntr "
+            " ELSE 0 END AS BIGINT) AS recall_ppm, "
+            "CAST(CASE WHEN (CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            "   ELSE 0 END) + (CASE WHEN ntr > 0 THEN "
+            "   1000000 * nb // ntr ELSE 0 END) > 0 "
+            " THEN 2 * (CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            "   ELSE 0 END) * (CASE WHEN ntr > 0 THEN "
+            "   1000000 * nb // ntr ELSE 0 END) "
+            "  // ((CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            "   ELSE 0 END) + (CASE WHEN ntr > 0 THEN "
+            "   1000000 * nb // ntr ELSE 0 END)) "
+            " ELSE 0 END AS BIGINT) AS f1_ppm "
+            "FROM x"
+        ),
+        # dedup-rate report over the fuzzy clusters; the survivor is
+        # the min-id doc (== the cluster label by construction)
+        "dedup_rate_report": (
+            _PRED_CTE
+            + "j AS (SELECT pred.doc_id, pcid, n_chars "
+            " FROM pred JOIN documents USING (doc_id)) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN doc_id = pcid THEN 1 ELSE 0 END) "
+            " AS BIGINT) AS n_clusters, "
+            "CAST(COUNT(*) - SUM(CASE WHEN doc_id = pcid THEN 1 "
+            " ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(SUM(CASE WHEN doc_id = pcid THEN n_chars ELSE 0 END) "
+            " AS BIGINT) AS survivor_chars, "
+            "CAST(SUM(CASE WHEN doc_id = pcid THEN 0 ELSE n_chars END) "
+            " AS BIGINT) AS saved_chars, "
+            "CAST(1000000 * (COUNT(*) - SUM(CASE WHEN doc_id = pcid "
+            " THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dedup_ppm "
+            "FROM j"
+        ),
+        # exact n-gram containment (|inter| / min set size); same CTE
+        # as the Jaccard truth set, different measure; op order of the
+        # x1000 floor matches the engine ((c / m) * 1000)
+        "ngram_containment_pairs": (
+            "WITH "
+            + _TRUTH_CTE.replace(
+                "tr AS (SELECT inter.id_lo, inter.id_hi FROM inter "
+                " JOIN sizes sa ON sa.doc_id = inter.id_lo "
+                " JOIN sizes sb ON sb.doc_id = inter.id_hi "
+                " WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5)",
+                "",
+            ).rstrip().rstrip(",")
+            + " SELECT inter.id_lo, inter.id_hi, "
+            "CAST(FLOOR((1.0 * c / LEAST(sa.n, sb.n)) * 1000) "
+            " AS BIGINT) AS containment_x1000 "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.id_lo "
+            "JOIN sizes sb ON sb.doc_id = inter.id_hi "
+            "WHERE 1.0 * c / LEAST(sa.n, sb.n) >= 0.8"
         ),
     }

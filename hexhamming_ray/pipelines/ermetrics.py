@@ -421,6 +421,265 @@ def mutual_best_match(sf_dir: str, *, key_len: int = 24,
     )
 
 
+SWEEP_THRESHOLDS = (850, 880, 900, 920, 950)
+
+
+def er_threshold_sweep(sf_dir: str, *, key_len: int = 24,
+                       window: int = 4,
+                       thresholds: tuple = SWEEP_THRESHOLDS,
+                       num_partitions: int | None = None):
+    """DECISION-THRESHOLD SWEEP: pair-level precision/recall/F1 of the
+    Jaro-Winkler matcher vs the exact-Jaccard truth set at several
+    match thresholds, from ONE scoring pass — the table a linkage
+    practitioner reads to pick the operating point (score once,
+    threshold many; the whole point of emitting scores instead of
+    verdicts). One row per threshold: (threshold_x1000, pairs_pred,
+    pairs_truth, pairs_both, precision_ppm, recall_ppm, f1_ppm).
+
+    Shape: candidates scored at the LOOSEST threshold ride one tagged
+    union with the truth pairs into ONE keyed exchange on the
+    unordered pair; each block counts all thresholds from the same
+    lexsort (pred rows carry jw, truth presence is run adjacency);
+    single-row-per-threshold partials coalesce driver-side."""
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        ngram_jaccard_exact,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    thr = np.asarray(sorted(thresholds), dtype=np.int64)
+    pred = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                          min_sim=float(thr[0]) / 1000.0)
+    truth = ngram_jaccard_exact(sf_dir)
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "side": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "jw": batch.column("jw_sim"),
+            }
+        )
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").cast(pa.int64()),
+                "id_hi": batch.column("id_hi").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "jw": pa.array(np.zeros(n, np.float64), pa.float64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "thr": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        sd = batch.column("side").to_numpy()
+        jw = batch.column("jw").to_numpy()
+        order = np.lexsort((sd, hi, lo))
+        lo_s, hi_s, sd_s = lo[order], hi[order], sd[order]
+        # each side emits a pair at most once: a pred row is truth-
+        # matched iff its successor is the same pair on side 1
+        succ_same = np.concatenate(
+            ((lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])
+             & (sd_s[1:] == 1), [False])
+        )
+        pred_rows = sd_s == 0
+        jw_p = jw[order][pred_rows]
+        matched = succ_same[pred_rows]
+        # all thresholds from the one sorted pass
+        ok = jw_p[:, None] >= thr[None, :].astype(np.float64) / 1000.0
+        n_pred = ok.sum(axis=0).astype(np.int64)
+        n_both = (ok & matched[:, None]).sum(axis=0).astype(np.int64)
+        out = pa.table(
+            {
+                "thr": pa.array(thr, pa.int64()),
+                "n_pred": pa.array(n_pred, pa.int64()),
+                "n_both": pa.array(n_both, pa.int64()),
+            }
+        )
+        # sentinel row carries the block's truth-pair count
+        return pa.concat_tables(
+            [
+                out,
+                pa.table(
+                    {
+                        "thr": pa.array([-1], pa.int64()),
+                        "n_pred": pa.array(
+                            [int((sd_s == 1).sum())], pa.int64()
+                        ),
+                        "n_both": pa.array([0], pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    rows = (
+        pred.map_batches(tag_pred, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(truth.map_batches(tag_truth, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions,
+                     keys=["id_lo", "id_hi"])
+        .map_batches(count_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    n_truth = sum(int(r["n_pred"]) for r in rows if r["thr"] == -1)
+    agg = {int(t): [0, 0] for t in thr}
+    for r in rows:
+        if r["thr"] >= 0:
+            agg[int(r["thr"])][0] += int(r["n_pred"])
+            agg[int(r["thr"])][1] += int(r["n_both"])
+    out = {
+        "threshold_x1000": [], "pairs_pred": [], "pairs_truth": [],
+        "pairs_both": [], "precision_ppm": [], "recall_ppm": [],
+        "f1_ppm": [],
+    }
+    for t in thr:
+        np_, nb = agg[int(t)]
+        prec = 1_000_000 * nb // np_ if np_ else 0
+        rec = 1_000_000 * nb // n_truth if n_truth else 0
+        out["threshold_x1000"].append(int(t))
+        out["pairs_pred"].append(np_)
+        out["pairs_truth"].append(n_truth)
+        out["pairs_both"].append(nb)
+        out["precision_ppm"].append(prec)
+        out["recall_ppm"].append(rec)
+        out["f1_ppm"].append(
+            2 * prec * rec // (prec + rec) if prec + rec else 0
+        )
+    return pa.table(
+        {k: pa.array(v, pa.int64()) for k, v in out.items()}
+    )
+
+
+def dedup_rate_report(sf_dir: str, *, key_len: int = 24,
+                      window: int = 4, min_sim: float = 0.88,
+                      num_partitions: int | None = None):
+    """DEDUP-RATE REPORT: what the fuzzy clustering would save —
+    document counts, cluster count, and character volume removed by
+    keeping one representative (the min-id doc == the cluster label)
+    per cluster. ONE row: (n_docs, n_clusters, n_dup_docs,
+    total_chars, survivor_chars, saved_chars, dedup_ppm).
+
+    Shape: labels (n x 16-byte) and (doc_id, n_chars) rows meet in ONE
+    keyed exchange on doc_id; because cluster_id IS the component's
+    min doc_id, 'is survivor' is the pure row predicate
+    ``doc_id == cluster_id`` — no second exchange, single-row
+    partials."""
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _docs,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    labels = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                               min_sim=min_sim)
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(
+                    np.zeros(len(batch), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def tag_chars(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("n_chars").cast(pa.int64()),
+                "side": pa.array(
+                    np.ones(len(batch), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_clusters": pa.array([], pa.int64()),
+            "total_chars": pa.array([], pa.int64()),
+            "survivor_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy()
+        v = batch.column("v").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, d))
+        d_s, v_s, s_s = d[order], v[order], s[order]
+        a = np.arange(0, d_s.shape[0], 2)
+        assert (d_s[a] == d_s[a + 1]).all() and not s_s[a].any()
+        cid = v_s[a]
+        chars = v_s[a + 1]
+        surv = d_s[a] == cid
+        return pa.table(
+            {
+                "n_docs": pa.array([int(a.shape[0])], pa.int64()),
+                "n_clusters": pa.array([int(surv.sum())], pa.int64()),
+                "total_chars": pa.array([int(chars.sum())], pa.int64()),
+                "survivor_chars": pa.array(
+                    [int(chars[surv].sum())], pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        labels.map_batches(tag_label, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(
+            _docs(sf_dir, ["doc_id", "n_chars"], hash_shuffle=True)
+            .map_batches(tag_chars, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        )
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(fold, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    n = sum(int(r["n_docs"]) for r in rows)
+    ncl = sum(int(r["n_clusters"]) for r in rows)
+    tc = sum(int(r["total_chars"]) for r in rows)
+    sc = sum(int(r["survivor_chars"]) for r in rows)
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_clusters": pa.array([ncl], pa.int64()),
+            "n_dup_docs": pa.array([n - ncl], pa.int64()),
+            "total_chars": pa.array([tc], pa.int64()),
+            "survivor_chars": pa.array([sc], pa.int64()),
+            "saved_chars": pa.array([tc - sc], pa.int64()),
+            "dedup_ppm": pa.array(
+                [1_000_000 * (n - ncl) // n if n else 0], pa.int64()
+            ),
+        }
+    )
+
+
 def _doc_attrs(sf_dir: str):
     """Narrow per-doc comparison attributes for Fellegi-Sunter:
     (doc_id, lang8, len_band, tok_band). ``lang8`` is a 64-bit

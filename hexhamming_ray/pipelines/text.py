@@ -1266,7 +1266,9 @@ def _jaccard_keep(c, na, nb, threshold):
 
 def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
                         df_cap: int = 64,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        _score_fn=None,
+                        _score_col: str = "jaccard_x1000"):
     """EXACT all-pairs token-3-gram Jaccard >= threshold over the
     DF-capped shingle space: shingles occurring in more than ``df_cap``
     documents are dropped from every set (stop-shingle removal — the
@@ -1285,8 +1287,16 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
     vectorized Jaccard. The corpus x shingles explode streams through
     exactly one exchange and is never materialized. All-to-alls: the
     shingle repartition, the pair/size repartition (reduceat
-    finalizers), two candidate-bounded joins."""
+    finalizers), two candidate-bounded joins.
+
+    ``_score_fn(c, na, nb) -> (x1000 ints, keep mask)`` /
+    ``_score_col`` swap the set-overlap measure in BOTH finalize plans
+    (default: Jaccard at ``threshold``) — the containment variant
+    rides the identical machinery."""
     num_partitions = num_partitions or _default_partitions()
+    if _score_fn is None:
+        def _score_fn(c, na, nb):
+            return _jaccard_keep(c, na, nb, threshold)
 
     def explode(batch: pa.Table) -> pa.Table:
         from hexhamming_ray.functions.hashing import shingle_hashes_batch
@@ -1472,7 +1482,7 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
             {
                 "id_lo": pa.array([], pa.int64()),
                 "id_hi": pa.array([], pa.int64()),
-                "jaccard_x1000": pa.array([], pa.int64()),
+                _score_col: pa.array([], pa.int64()),
             }
         )
         if len(it) == 0:
@@ -1502,13 +1512,13 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         assert hlo.all() and hhi.all(), "candidate id missing from size lut"
         na = sn[plo].astype(np.float64)
         nb = sn[phi].astype(np.float64)
-        jac_x1000, keep = _jaccard_keep(c, na, nb, threshold)
+        jac_x1000, keep = _score_fn(c, na, nb)
         return ray.data.from_arrow(
             pa.table(
                 {
                     "id_lo": pa.array(lo[keep], pa.int64()),
                     "id_hi": pa.array(hi[keep], pa.int64()),
-                    "jaccard_x1000": pa.array(jac_x1000, pa.int64()),
+                    _score_col: pa.array(jac_x1000, pa.int64()),
                 }
             )
         )
@@ -1520,12 +1530,12 @@ def ngram_jaccard_exact(sf_dir: str, *, threshold: float = 0.5,
         c = batch.column("inter").to_numpy().astype(np.float64)
         na = batch.column("n_lo").to_numpy().astype(np.float64)
         nb = batch.column("n_hi").to_numpy().astype(np.float64)
-        jac_x1000, keep = _jaccard_keep(c, na, nb, threshold)
+        jac_x1000, keep = _score_fn(c, na, nb)
         return pa.table(
             {
                 "id_lo": batch.column("id_lo").filter(pa.array(keep)),
                 "id_hi": batch.column("id_hi").filter(pa.array(keep)),
-                "jaccard_x1000": pa.array(jac_x1000, pa.int64()),
+                _score_col: pa.array(jac_x1000, pa.int64()),
             }
         )
 
@@ -1585,6 +1595,41 @@ def ngram_jaccard_allpairs(sf_dir: str, *, threshold: float = 0.5):
     )
     return _ngram_verify_broadcast(sf_dir, cands, threshold,
                                    floor_round=True)
+
+
+def _containment_keep(c, na, nb, threshold):
+    """Containment finalize: |inter| / min(|A|, |B|) — the
+    near-SUPERSET detector (a short doc fully contained in a long one
+    scores 1.0 where Jaccard vanishes; Lee et al. 2021's substring-
+    dedup signal at set granularity). Floored to x1000 with the same
+    op order as the SQL oracle ((c / m) * 1000)."""
+    cont = c / np.minimum(na, nb)
+    keep = cont >= threshold
+    return np.floor(cont[keep] * 1000).astype(np.int64), keep
+
+
+def ngram_containment_pairs(sf_dir: str, *, threshold: float = 0.8,
+                            df_cap: int = 64,
+                            num_partitions: int | None = None):
+    """EXACT all-pairs token-3-gram CONTAINMENT >= threshold over the
+    DF-capped shingle space: containment = |A∩B| / min(|A|, |B|),
+    the asymmetric near-duplicate measure that catches quote/excerpt/
+    boilerplate-wrapper relations Jaccard misses (a 50-gram doc fully
+    inside a 5000-gram doc has Jaccard 0.01 but containment 1.0).
+    (id_lo, id_hi, containment_x1000 floored).
+
+    Rides the :func:`ngram_jaccard_exact` machinery verbatim (ONE
+    streaming shingle exchange, tagged pair+size emission, size-
+    switched finalize) with only the finalize formula swapped — both
+    plans share it, so they cannot drift."""
+
+    def score(c, na, nb):
+        return _containment_keep(c, na, nb, threshold)
+
+    return ngram_jaccard_exact(
+        sf_dir, df_cap=df_cap, num_partitions=num_partitions,
+        _score_fn=score, _score_col="containment_x1000",
+    )
 
 
 def _cos_dice_keep(c, na, nb, min_x1000: int):

@@ -199,3 +199,78 @@ def test_rand_index_consistency(ray_session):
     assert n11 <= min(sp, st)
     n00 = total - sp - st + n11
     assert int(row.rand_index_ppm) == 1_000_000 * (n11 + n00) // total
+
+
+def test_containment_catches_excerpt(ray_session, tmp_path):
+    """A short doc fully contained in a long one: containment = 1.0
+    (kept) while Jaccard is far below 0.5 (dropped) — the asymmetric
+    measure detects the excerpt relation the symmetric one misses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines.text import (
+        ngram_containment_pairs,
+        ngram_jaccard_exact,
+    )
+
+    toks = [f"tok{i:03d}" for i in range(100)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [" ".join(toks), " ".join(toks[:20])], pa.string()
+            ),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["a", "a"], pa.string()),
+            "n_chars": pa.array(
+                [len(" ".join(toks)), len(" ".join(toks[:20]))],
+                pa.int64(),
+            ),
+        }
+    )
+    d = tmp_path / "excerpt"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    cont = ngram_containment_pairs(str(d)).to_pandas()
+    jac = ngram_jaccard_exact(str(d)).to_pandas()
+    assert len(jac) == 0  # jaccard 18/98 < 0.5
+    assert len(cont) == 1
+    assert (int(cont.id_lo[0]), int(cont.id_hi[0])) == (1, 2)
+    assert int(cont.containment_x1000[0]) == 1000
+
+
+def test_threshold_sweep_consistency(ray_session):
+    """Sweep counts are monotone in the threshold, and the 880 row
+    reproduces er_fuzzy_eval's pair counts (same matcher, same truth
+    set, one scoring pass)."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_eval
+
+    sweep = EM.er_threshold_sweep(SF_DIR).to_pandas()
+    assert list(sweep.threshold_x1000) == [850, 880, 900, 920, 950]
+    assert (sweep.pairs_pred.diff()[1:] <= 0).all()
+    assert (sweep.pairs_both.diff()[1:] <= 0).all()
+    assert (sweep.pairs_both <= sweep.pairs_pred).all()
+    assert (sweep.pairs_both <= sweep.pairs_truth).all()
+    ref = er_fuzzy_eval(SF_DIR).to_pandas().iloc[0]
+    row = sweep[sweep.threshold_x1000 == 880].iloc[0]
+    assert int(row.pairs_pred) == int(ref.pairs_pred)
+    assert int(row.pairs_truth) == int(ref.pairs_truth)
+    assert int(row.pairs_both) == int(ref.pairs_both)
+
+
+def test_dedup_rate_consistency(ray_session):
+    """Report identities hold and cluster count equals the label
+    table's distinct-label count."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
+
+    row = EM.dedup_rate_report(SF_DIR).to_pandas().iloc[0]
+    assert int(row.n_docs) == int(row.n_clusters) + int(row.n_dup_docs)
+    assert int(row.total_chars) == (
+        int(row.survivor_chars) + int(row.saved_chars)
+    )
+    labels = er_fuzzy_clusters(SF_DIR).to_pandas()
+    assert int(row.n_docs) == len(labels)
+    assert int(row.n_clusters) == labels.cluster_id.nunique()
