@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_threshold_sweep": EM.er_threshold_sweep,
         "dedup_rate_report": EM.dedup_rate_report,
         "ngram_containment_pairs": T.ngram_containment_pairs,
+        "match_candidates_topk": EM.match_candidates_topk,
+        "weighted_jaccard_pairs": T.weighted_jaccard_pairs,
     }
 
 
@@ -2477,5 +2479,50 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sa ON sa.doc_id = inter.id_lo "
             "JOIN sizes sb ON sb.doc_id = inter.id_hi "
             "WHERE 1.0 * c / LEAST(sa.n, sb.n) >= 0.8"
+        ),
+        # per-doc top-k candidate review queue (rank by jw desc,
+        # partner asc) over the jw >= 0.85 scored pairs
+        "match_candidates_topk": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) "
+            "  >= 850 / 1000.0), "
+            "sym AS (SELECT a_id AS doc_id, b_id AS cand_id, jw_sim "
+            " FROM pf UNION ALL SELECT b_id, a_id, jw_sim FROM pf) "
+            "SELECT doc_id, cand_id, jw_sim, CAST(rnk AS BIGINT) AS rnk "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            " ORDER BY jw_sim DESC, cand_id ASC) AS rnk FROM sym) "
+            "WHERE rnk <= 3"
+        ),
+        # weighted (multiset) token Jaccard: sum min(tf) over
+        # sum max(tf) = Ta + Tb - sum min; x1000 floor in the same op
+        # order as the engine
+        "weighted_jaccard_pairs": (
+            "WITH tt AS (SELECT doc_id, tok, "
+            " CAST(COUNT(*) AS BIGINT) AS tf FROM "
+            " (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS tok "
+            "  FROM documents) GROUP BY doc_id, tok), "
+            "df AS (SELECT tok FROM tt GROUP BY tok "
+            " HAVING COUNT(*) <= 64), "
+            "keep AS (SELECT tt.* FROM tt JOIN df USING (tok)), "
+            "sizes AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tw "
+            " FROM keep GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+            " CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS c "
+            " FROM keep a JOIN keep b "
+            " ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_lo, id_hi, c AS inter_min, "
+            "CAST(FLOOR((1.0 * c / (sa.tw + sb.tw - c)) * 1000) "
+            " AS BIGINT) AS wjaccard_x1000 "
+            "FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.id_lo "
+            "JOIN sizes sb ON sb.doc_id = inter.id_hi "
+            "WHERE 1.0 * c / (sa.tw + sb.tw - c) >= 0.4"
         ),
     }

@@ -421,6 +421,81 @@ def mutual_best_match(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def match_candidates_topk(sf_dir: str, *, k: int = 3,
+                          key_len: int = 24, window: int = 4,
+                          min_sim: float = 0.85,
+                          num_partitions: int | None = None):
+    """PER-DOCUMENT CANDIDATE REVIEW QUEUE: each document's top-``k``
+    scored match candidates with an explicit rank (by jw desc, then
+    partner id asc) — the table a clerical-review UI pages through,
+    and the per-entity view of the pair stream every other operator
+    emits. (doc_id, cand_id, jw_sim, rnk), rnk 1-based.
+
+    Shape: the scored pairs symmetrize into 24-byte rows -> ONE keyed
+    exchange on doc_id -> per-run rank from one lexsort (run-reset
+    cumcount) -> keep rnk <= k. Volume is window-bounded before the
+    exchange, k-bounded after."""
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                           min_sim=min_sim)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        s = batch.column("jw_sim").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "cand_id": pa.array(np.concatenate([b, a]), pa.int64()),
+                "jw_sim": pa.array(np.concatenate([s, s]), pa.float64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cand_id": pa.array([], pa.int64()),
+            "jw_sim": pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64()),
+        }
+    )
+
+    def topk_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy()
+        p = batch.column("cand_id").to_numpy()
+        s = batch.column("jw_sim").to_numpy()
+        order = np.lexsort((p, -s, d))
+        d_s = d[order]
+        new = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        # rank = position since run start, 1-based
+        idx = np.arange(d_s.shape[0], dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        rnk = idx - run_start + 1
+        sel = rnk <= k
+        take = order[sel]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[take], pa.int64()),
+                "cand_id": pa.array(p[take], pa.int64()),
+                "jw_sim": pa.array(s[take], pa.float64()),
+                "rnk": pa.array(rnk[sel], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(topk_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
 SWEEP_THRESHOLDS = (850, 880, 900, 920, 950)
 
 

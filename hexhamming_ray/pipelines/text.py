@@ -1872,6 +1872,238 @@ def token_cosine_pairs(sf_dir: str, *, min_x1000: int = 600,
     )
 
 
+def weighted_jaccard_pairs(sf_dir: str, *, threshold: float = 0.4,
+                           max_df: int = 64,
+                           num_partitions: int | None = None):
+    """EXACT all-pairs WEIGHTED (multiset) Jaccard over token TF
+    vectors: J_w(A, B) = sum_t min(tf_A, tf_B) / sum_t max(tf_A,
+    tf_B), tokens with document frequency > ``max_df`` dropped from
+    every vector. The TF-aware sibling of token_cosine_pairs — a doc
+    that repeats a phrase 50 times no longer looks identical to one
+    that uses it once (set semantics collapse repetition; multiset
+    semantics preserve it, the signal Gopher-style repetition filters
+    act on). (id_lo, id_hi, inter_min, wjaccard_x1000 floored).
+
+    Identity used: sum max = T_A + T_B - sum min, so the pair pass
+    only accumulates min(tf) and the per-doc kept-TF totals ride the
+    same sentinel-row channel as every set scan here.
+
+    Shape is token_cosine_pairs' one-pass tagged emission verbatim:
+    per-block exact (doc, tok, tf) partials (docs never split blocks)
+    -> ONE tok exchange -> per-run DF filter emitting min(tf)-weighted
+    pair rows AND (doc, -1, kept_tf_sum) size rows in one pass ->
+    ONE pair exchange (shared ``_sum_runs``) -> size-switched finalize
+    (broadcast lut under ``BROADCAST_PAIR_CAP``, candidate-bounded
+    joins above)."""
+    num_partitions = num_partitions or _default_partitions()
+
+    tk = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True).map_batches(
+        _doc_tok_tf, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def pairs_and_sizes(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_lo": pa.array([], pa.int64()),
+                "id_hi": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        g = batch.group_by("tok").aggregate(
+            [("doc_id", "list"), ("tf", "list")]
+        )
+        dlst = g.column("doc_id_list")
+        tlst = g.column("tf_list")
+        if isinstance(dlst, pa.ChunkedArray):
+            dlst = dlst.combine_chunks()
+        if isinstance(tlst, pa.ChunkedArray):
+            tlst = tlst.combine_chunks()
+        lens = pc.list_value_length(dlst).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        docs = dlst.flatten().to_numpy()
+        tfs = tlst.flatten().to_numpy()
+        keep_run = lens <= max_df
+        # sizes: per-doc KEPT-token tf sum in this block
+        kmask = np.repeat(keep_run, lens)
+        uniq, inv = np.unique(docs[kmask], return_inverse=True)
+        tw = np.bincount(inv, weights=tfs[kmask]).astype(np.int64)
+        sizes_t = pa.table(
+            {
+                "id_lo": pa.array(uniq, pa.int64()),
+                "id_hi": pa.array(
+                    np.full(uniq.shape[0], -1, dtype=np.int64),
+                    pa.int64(),
+                ),
+                "c": pa.array(tw, pa.int64()),
+            }
+        )
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        lo_l, hi_l, c_l = [], [], []
+        m2 = keep_run & (lens == 2)
+        if m2.any():
+            s0 = offs[:-1][m2]
+            a, b = docs[s0], docs[s0 + 1]
+            lo_l.append(np.minimum(a, b))
+            hi_l.append(np.maximum(a, b))
+            c_l.append(np.minimum(tfs[s0], tfs[s0 + 1]))
+        for s0, e0 in zip(offs[:-1][keep_run & (lens >= 3)],
+                          offs[1:][keep_run & (lens >= 3)]):
+            order = np.argsort(docs[s0:e0])
+            run_d = docs[s0:e0][order]
+            run_t = tfs[s0:e0][order]
+            ii, jj = np.triu_indices(run_d.shape[0], k=1)
+            lo_l.append(run_d[ii])
+            hi_l.append(run_d[jj])
+            c_l.append(np.minimum(run_t[ii], run_t[jj]))
+        if not lo_l:
+            return sizes_t if len(sizes_t) else empty
+        lo = np.concatenate(lo_l)
+        hi = np.concatenate(hi_l)
+        cw = np.concatenate(c_l).astype(np.int64)
+        # partial combine: collapse this block's duplicate pairs
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s, cw_s = lo[order], hi[order], cw[order]
+        new = np.concatenate(
+            ([True], (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        pairs_t = pa.table(
+            {
+                "id_lo": pa.array(lo_s[starts], pa.int64()),
+                "id_hi": pa.array(hi_s[starts], pa.int64()),
+                "c": pa.array(
+                    np.add.reduceat(cw_s, starts), pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables([pairs_t, sizes_t])
+
+    summed = (
+        tk.repartition(num_blocks=num_partitions, keys=["tok"],
+                       sort=False)
+        .map_batches(
+            pairs_and_sizes, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+        .repartition(
+            num_blocks=num_partitions, keys=["id_lo", "id_hi"],
+            sort=False,
+        )
+        .map_batches(
+            _sum_runs(["id_lo", "id_hi"], "c", "v"),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .materialize()
+    )
+
+    def split_inter(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater_equal(batch.column("id_hi"), 0))
+        return pa.table(
+            {
+                "id_lo": kept.column("id_lo"),
+                "id_hi": kept.column("id_hi"),
+                "inter": kept.column("v"),
+            }
+        )
+
+    def split_sizes(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.less(batch.column("id_hi"), 0))
+        return pa.table(
+            {"doc_id": kept.column("id_lo"), "n_kept": kept.column("v")}
+        )
+
+    inter = summed.map_batches(
+        split_inter, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    sizes = summed.map_batches(
+        split_sizes, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    out_schema = pa.table(
+        {
+            "id_lo": pa.array([], pa.int64()),
+            "id_hi": pa.array([], pa.int64()),
+            "inter_min": pa.array([], pa.int64()),
+            "wjaccard_x1000": pa.array([], pa.int64()),
+        }
+    )
+
+    def emit(lo, hi, c, na, nb):
+        wj_x1000, keep = _jaccard_keep(c, na, nb, threshold)
+        return pa.table(
+            {
+                "id_lo": pa.array(lo[keep], pa.int64()),
+                "id_hi": pa.array(hi[keep], pa.int64()),
+                "inter_min": pa.array(
+                    c[keep].astype(np.int64), pa.int64()
+                ),
+                "wjaccard_x1000": pa.array(wj_x1000, pa.int64()),
+            }
+        )
+
+    if inter.count() <= BROADCAST_PAIR_CAP:
+        import ray
+
+        it = _gather_table(
+            inter,
+            pa.schema([("id_lo", pa.int64()), ("id_hi", pa.int64()),
+                       ("inter", pa.int64())]),
+        )
+        if len(it) == 0:
+            return ray.data.from_arrow(out_schema)
+        lo = it.column("id_lo").to_numpy()
+        hi = it.column("id_hi").to_numpy()
+        ids_ref = ray.put(np.unique(np.concatenate([lo, hi])))
+        st = _gather_table(
+            sizes.map_batches(
+                _BroadcastSemiFilter(ids_ref, "doc_id"),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ).materialize(),
+            pa.schema([("doc_id", pa.int64()), ("n_kept", pa.int64())]),
+        )
+        sid = st.column("doc_id").to_numpy()
+        order = np.argsort(sid)
+        sid, sn = sid[order], st.column("n_kept").to_numpy()[order]
+        from hexhamming_ray.pipelines.relational import _lut_probe
+
+        c = it.column("inter").to_numpy().astype(np.float64)
+        plo, hlo = _lut_probe(sid, lo)
+        phi, hhi = _lut_probe(sid, hi)
+        assert hlo.all() and hhi.all(), "candidate id missing size row"
+        return ray.data.from_arrow(
+            emit(lo, hi, c, sn[plo].astype(np.float64),
+                 sn[phi].astype(np.float64))
+        )
+
+    j = _join_col(inter, sizes, "id_lo", "n_lo", "n_kept",
+                  num_partitions)
+    j = _join_col(j, sizes, "id_hi", "n_hi", "n_kept", num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema
+        return emit(
+            batch.column("id_lo").to_numpy(),
+            batch.column("id_hi").to_numpy(),
+            batch.column("inter").to_numpy().astype(np.float64),
+            batch.column("n_lo").to_numpy().astype(np.float64),
+            batch.column("n_hi").to_numpy().astype(np.float64),
+        )
+
+    return j.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def top_tokens_per_lang(sf_dir: str, *, k: int = 10,
                         num_partitions: int | None = None):
     """Corpus vocabulary statistics: the ``k`` most frequent tokens per

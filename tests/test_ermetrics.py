@@ -274,3 +274,65 @@ def test_dedup_rate_consistency(ray_session):
     labels = er_fuzzy_clusters(SF_DIR).to_pandas()
     assert int(row.n_docs) == len(labels)
     assert int(row.n_clusters) == labels.cluster_id.nunique()
+
+
+def test_weighted_jaccard_sees_repetition(ray_session, tmp_path):
+    """Multiset Jaccard separates docs that set semantics cannot:
+    identical vocabulary, different term frequencies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines.text import weighted_jaccard_pairs
+
+    t1 = "alpha beta gamma"
+    t2 = "alpha beta gamma " + "alpha " * 9  # tf(alpha)=10 vs 1
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([t1, t2, t1], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["a"] * 3, pa.string()),
+            "n_chars": pa.array(
+                [len(t1), len(t2), len(t1)], pa.int64()
+            ),
+        }
+    )
+    d = tmp_path / "wjac"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    got = weighted_jaccard_pairs(str(d), threshold=0.0).to_pandas()
+    got = got.set_index(["id_lo", "id_hi"])
+    # identical docs: wj == 1.0
+    assert int(got.loc[(1, 3)].wjaccard_x1000) == 1000
+    # same vocabulary, repeated term: sum min = 3, sum max = 12
+    assert int(got.loc[(1, 2)].inter_min) == 3
+    assert int(got.loc[(1, 2)].wjaccard_x1000) == 250
+
+
+def test_match_candidates_topk_properties(ray_session):
+    """Per-doc queue: <= k rows per doc, ranks are 1..m, and the
+    rank-1 row is the doc's argmax candidate (jw desc, partner asc)."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+
+    got = EM.match_candidates_topk(SF_DIR).to_pandas()
+    per = got.groupby("doc_id")
+    assert (per.size() <= 3).all()
+    assert (
+        per.rnk.apply(lambda r: sorted(r) == list(range(1, len(r) + 1)))
+    ).all()
+
+    cand = fuzzy_match_jw(SF_DIR, min_sim=0.85).to_pandas()
+    sym = pd.DataFrame(
+        {
+            "id": np.concatenate([cand.a_id, cand.b_id]),
+            "partner": np.concatenate([cand.b_id, cand.a_id]),
+            "jw_sim": np.concatenate([cand.jw_sim, cand.jw_sim]),
+        }
+    ).sort_values(
+        ["id", "jw_sim", "partner"], ascending=[True, False, True]
+    )
+    best = sym.groupby("id").first()
+    top1 = got[got.rnk == 1].set_index("doc_id").sort_index()
+    assert (top1.cand_id == best.partner.sort_index()).all()
