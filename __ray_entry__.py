@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": T.ngram_containment_pairs,
         "match_candidates_topk": EM.match_candidates_topk,
         "weighted_jaccard_pairs": T.weighted_jaccard_pairs,
+        "er_confusion_report": EM.er_confusion_report,
     }
 
 
@@ -2524,5 +2525,30 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sa ON sa.doc_id = inter.id_lo "
             "JOIN sizes sb ON sb.doc_id = inter.id_hi "
             "WHERE 1.0 * c / (sa.tw + sb.tw - c) >= 0.4"
+        ),
+        # cluster-level split/merge census: pred clusters covering
+        # exactly one truth cluster (and vice versa) are 'exact';
+        # multi-cell preds merge; pure preds under a multi-pred truth
+        # cluster are split fragments
+        "er_confusion_report": (
+            _PRED_TRUTH_CELLS
+            + "kp AS (SELECT pcid, COUNT(*) AS kpc FROM cells "
+            " GROUP BY 1), "
+            "kt AS (SELECT tcid, COUNT(*) AS ktc FROM cells "
+            " GROUP BY 1), "
+            "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cells "
+            " JOIN kp USING (pcid) JOIN kt USING (tcid) "
+            " WHERE kpc = 1 AND ktc = 1), "
+            "spl AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cells "
+            " JOIN kp USING (pcid) JOIN kt USING (tcid) "
+            " WHERE kpc = 1 AND ktc > 1), "
+            "np2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kp), "
+            "nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kp "
+            " WHERE kpc > 1), "
+            "nt2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kt) "
+            "SELECT np2.v AS n_pred_clusters, "
+            "nt2.v AS n_truth_clusters, ex.v AS n_exact, "
+            "nm.v AS n_merging_pred, spl.v AS n_split_parts "
+            "FROM np2, nt2, ex, nm, spl"
         ),
     }

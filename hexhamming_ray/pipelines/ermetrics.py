@@ -421,6 +421,161 @@ def mutual_best_match(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def er_confusion_report(sf_dir: str, *, key_len: int = 24,
+                        window: int = 4, min_sim: float = 0.88,
+                        num_partitions: int | None = None):
+    """CLUSTER-LEVEL CONFUSION REPORT of the fuzzy clustering vs the
+    exact-Jaccard truth: how many predicted clusters reproduce a truth
+    cluster EXACTLY, how many MERGE several truth clusters
+    (over-linking), and how many are fragments of a SPLIT truth
+    cluster (under-linking) — the split/merge census a linkage
+    practitioner reads next to B-cubed to see WHICH failure mode the
+    threshold is in. ONE row: (n_pred_clusters, n_truth_clusters,
+    n_exact, n_merging_pred, n_split_parts).
+
+    A predicted cluster is 'exact' iff it covers exactly one truth
+    cluster (one joint cell) and that truth cluster has no other
+    predicted cluster (its cell count is 1 too); 'merging' iff it
+    spans > 1 truth clusters; a 'split part' is a single-cell pred
+    cluster whose truth cluster is covered by > 1 pred clusters.
+
+    Shape: the joint label table -> ONE pcid exchange (cells + per-
+    pred cell counts are run arithmetic; emits one 24-byte row per
+    joint CELL, tagged with the pred purity bit) -> ONE tcid exchange
+    (per-truth cell counts close the classification); single-row
+    partials both times."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    j = _joint_labels(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        num_partitions=num_partitions,
+    )
+
+    empty_cells = pa.table(
+        {
+            "tcid": pa.array([], pa.int64()),
+            "pure_pred": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_merging": pa.array([], pa.int64()),
+        }
+    )
+
+    def cells_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_cells
+        p = batch.column("pcid").to_numpy()
+        t = batch.column("tcid").to_numpy()
+        order = np.lexsort((t, p))
+        p_s, t_s = p[order], t[order]
+        new_p = np.concatenate(([True], p_s[1:] != p_s[:-1]))
+        new_c = new_p | np.concatenate(([False], t_s[1:] != t_s[:-1]))
+        p_starts = np.flatnonzero(new_p)
+        c_starts = np.flatnonzero(new_c)
+        cells_per_pred = np.add.reduceat(
+            new_c.astype(np.int64), p_starts
+        )
+        # one output row per joint cell, tagged with its pred's purity
+        pure = np.repeat(cells_per_pred == 1, cells_per_pred)
+        return pa.table(
+            {
+                "tcid": pa.array(t_s[c_starts], pa.int64()),
+                "pure_pred": pa.array(
+                    pure.astype(np.int64), pa.int64()
+                ),
+                "n_pred": pa.array(
+                    np.concatenate(
+                        ([p_starts.shape[0]],
+                         np.zeros(c_starts.shape[0] - 1, np.int64))
+                    ) if c_starts.shape[0] else
+                    np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_merging": pa.array(
+                    np.concatenate(
+                        ([int((cells_per_pred > 1).sum())],
+                         np.zeros(c_starts.shape[0] - 1, np.int64))
+                    ) if c_starts.shape[0] else
+                    np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "n_truth": pa.array([], pa.int64()),
+            "n_exact": pa.array([], pa.int64()),
+            "n_split_parts": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_merging": pa.array([], pa.int64()),
+        }
+    )
+
+    def truth_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
+        t = batch.column("tcid").to_numpy()
+        pure = batch.column("pure_pred").to_numpy()
+        order = np.argsort(t, kind="stable")
+        t_s, pure_s = t[order], pure[order]
+        new_t = np.concatenate(([True], t_s[1:] != t_s[:-1]))
+        t_starts = np.flatnonzero(new_t)
+        k_t = np.diff(np.append(t_starts, t_s.shape[0]))
+        # exact: sole cell of its truth cluster AND pure pred
+        exact = int(pure_s[t_starts[k_t == 1]].sum())
+        # split parts: pure-pred cells inside multi-cell truth runs
+        split = int(
+            (pure_s * np.repeat(k_t > 1, k_t)).sum()
+        )
+        return pa.table(
+            {
+                "n_truth": pa.array([int(t_starts.shape[0])],
+                                    pa.int64()),
+                "n_exact": pa.array([exact], pa.int64()),
+                "n_split_parts": pa.array([split], pa.int64()),
+                "n_pred": pa.array(
+                    [int(batch.column("n_pred").to_numpy().sum())],
+                    pa.int64(),
+                ),
+                "n_merging": pa.array(
+                    [int(batch.column("n_merging").to_numpy().sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = (
+        j.repartition(num_blocks=num_partitions, keys=["pcid"])
+        .map_batches(cells_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["tcid"])
+        .map_batches(truth_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "n_pred_clusters": pa.array(
+                [sum(int(r["n_pred"]) for r in rows)], pa.int64()
+            ),
+            "n_truth_clusters": pa.array(
+                [sum(int(r["n_truth"]) for r in rows)], pa.int64()
+            ),
+            "n_exact": pa.array(
+                [sum(int(r["n_exact"]) for r in rows)], pa.int64()
+            ),
+            "n_merging_pred": pa.array(
+                [sum(int(r["n_merging"]) for r in rows)], pa.int64()
+            ),
+            "n_split_parts": pa.array(
+                [sum(int(r["n_split_parts"]) for r in rows)],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def match_candidates_topk(sf_dir: str, *, k: int = 3,
                           key_len: int = 24, window: int = 4,
                           min_sim: float = 0.85,

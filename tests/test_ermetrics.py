@@ -336,3 +336,36 @@ def test_match_candidates_topk_properties(ray_session):
     best = sym.groupby("id").first()
     top1 = got[got.rnk == 1].set_index("doc_id").sort_index()
     assert (top1.cand_id == best.partner.sort_index()).all()
+
+
+def test_confusion_report_identities(ray_session):
+    """Cluster-census identities: exact <= min(pred, truth) clusters;
+    exact + split parts <= pure pred clusters = pred - merging; and a
+    driver-side reference over the joint labels agrees."""
+    from collections import Counter
+
+    from hexhamming_ray.pipelines import ermetrics as EM
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    row = EM.er_confusion_report(SF_DIR).to_pandas().iloc[0]
+    n_pred, n_truth = int(row.n_pred_clusters), int(row.n_truth_clusters)
+    n_exact, n_merge = int(row.n_exact), int(row.n_merging_pred)
+    n_split = int(row.n_split_parts)
+    assert n_exact <= min(n_pred, n_truth)
+    assert n_exact + n_split == n_pred - n_merge  # pure preds split
+
+    jl = EM._joint_labels(
+        SF_DIR, key_len=24, window=4, min_sim=0.88,
+        num_partitions=_default_partitions(),
+    ).to_pandas()
+    cells = Counter(zip(jl.pcid, jl.tcid))
+    kp = Counter(p for p, _ in cells)
+    kt = Counter(t for _, t in cells)
+    assert n_pred == len(kp) and n_truth == len(kt)
+    assert n_merge == sum(1 for v in kp.values() if v > 1)
+    assert n_exact == sum(
+        1 for (p, t) in cells if kp[p] == 1 and kt[t] == 1
+    )
+    assert n_split == sum(
+        1 for (p, t) in cells if kp[p] == 1 and kt[t] > 1
+    )
