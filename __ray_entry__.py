@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_candidates_topk": EM.match_candidates_topk,
         "weighted_jaccard_pairs": T.weighted_jaccard_pairs,
         "er_confusion_report": EM.er_confusion_report,
+        "cross_source_links": SM.cross_source_links,
+        "source_overlap_matrix": SM.source_overlap_matrix,
     }
 
 
@@ -2550,5 +2552,40 @@ def oracle_sql() -> dict[str, str]:
             "nt2.v AS n_truth_clusters, ex.v AS n_exact, "
             "nm.v AS n_merging_pred, spl.v AS n_split_parts "
             "FROM np2, nt2, ex, nm, spl"
+        ),
+        # A x B record linkage: matches restricted to pairs from
+        # DIFFERENT sources
+        "cross_source_links": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) "
+            "  >= 850 / 1000.0) "
+            "SELECT a_id, b_id, jw_sim FROM pf "
+            "JOIN documents da ON da.doc_id = pf.a_id "
+            "JOIN documents db ON db.doc_id = pf.b_id "
+            "WHERE da.source <> db.source"
+        ),
+        # which feeds duplicate each other: links per unordered source
+        # pair (LEAST/GREATEST on varchar is memcmp — note 71)
+        "source_overlap_matrix": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) "
+            "  >= 850 / 1000.0) "
+            "SELECT LEAST(da.source, db.source) AS src_a, "
+            "GREATEST(da.source, db.source) AS src_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_links FROM pf "
+            "JOIN documents da ON da.doc_id = pf.a_id "
+            "JOIN documents db ON db.doc_id = pf.b_id "
+            "WHERE da.source <> db.source GROUP BY 1, 2"
         ),
     }

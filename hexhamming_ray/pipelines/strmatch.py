@@ -1475,3 +1475,246 @@ def golden_record_docs(sf_dir: str, *, key_len: int = 24,
         .map_batches(golden_block, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source record linkage (A x B matching, not dedup)
+# ---------------------------------------------------------------------------
+
+# doc->source lut broadcast ceiling: 20M docs x 16 bytes = 320 MB in
+# one ray.put; above it the post-filter joins carry any corpus
+CROSS_SOURCE_BROADCAST_CAP = 20_000_000
+
+
+def _source_lut(sf_dir: str):
+    """(sorted doc ids, 64-bit source hashes) — equality of hashes ==
+    equality of source strings (the line_dedup convention)."""
+    from hexhamming_ray.functions.hashing import (
+        _window_hashes,
+        utf8_view,
+    )
+    from hexhamming_ray.pipelines.text import _docs, _gather_table
+
+    def f(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        buf, lens, starts = utf8_view(src)
+        h = np.zeros(lens.shape[0], dtype=np.uint64)
+        ne = np.flatnonzero(lens > 0)
+        if ne.shape[0]:
+            h[ne] = _window_hashes(buf, starts[ne], starts[ne] + lens[ne])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "src_h": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    t = _gather_table(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        pa.schema([("doc_id", pa.int64()), ("src_h", pa.int64())]),
+    )
+    ids = t.column("doc_id").to_numpy()
+    order = np.argsort(ids)
+    return (
+        np.ascontiguousarray(ids[order]),
+        np.ascontiguousarray(t.column("src_h").to_numpy()[order]),
+    )
+
+
+def cross_source_links(sf_dir: str, *, key_len: int = 24,
+                       window: int = 4, min_sim: float = 0.85,
+                       force_join: bool = False):
+    """CROSS-SOURCE RECORD LINKAGE: Jaro-Winkler matches restricted to
+    pairs whose documents come from DIFFERENT sources — the A x B
+    matching problem proper (find the same entity across feeds), as
+    opposed to within-corpus dedup. (a_id, b_id, jw_sim).
+
+    Under ``CROSS_SOURCE_BROADCAST_CAP`` docs the (doc -> source-hash)
+    lut broadcasts once and the cross-source cut runs INSIDE the pair
+    block BEFORE scoring (``pair_filter``), so same-source pairs never
+    cost an edit-distance call; above the cap (or ``force_join``) the
+    scored pairs post-filter through two native hash joins on a narrow
+    (doc_id, src_h) table — paths pinned equal by a forced-fallback
+    test."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
+    if not force_join and n_docs <= CROSS_SOURCE_BROADCAST_CAP:
+        ref = ray.put(_source_lut(sf_dir))
+        holder = {}
+
+        def pair_filter(a_ids, b_ids):
+            if "lut" not in holder:
+                holder["lut"] = ray.get(ref)
+            from hexhamming_ray.pipelines.relational import _lut_probe
+
+            ids, src = holder["lut"]
+            pa_, ha = _lut_probe(ids, a_ids)
+            pb, hb = _lut_probe(ids, b_ids)
+            assert ha.all() and hb.all()
+            return src[pa_] != src[pb]
+
+        return _sn_scored_pairs(sf_dir, key_len, window,
+                                _JwScorer(min_sim),
+                                pair_filter=pair_filter)
+
+    from hexhamming_ray.pipelines.text import _default_partitions, _docs
+
+    num_partitions = _default_partitions()
+    pairs = _sn_scored_pairs(sf_dir, key_len, window,
+                             _JwScorer(min_sim))
+
+    def srcs(batch: pa.Table) -> pa.Table:
+        from hexhamming_ray.functions.hashing import (
+            _window_hashes,
+            utf8_view,
+        )
+
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        buf, lens, starts = utf8_view(src)
+        h = np.zeros(lens.shape[0], dtype=np.uint64)
+        ne = np.flatnonzero(lens > 0)
+        if ne.shape[0]:
+            h[ne] = _window_hashes(buf, starts[ne], starts[ne] + lens[ne])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "src_h": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    st = _docs(sf_dir, ["doc_id", "source"], hash_shuffle=True).map_batches(
+        srcs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    a_side = st.rename_columns(["a_doc", "a_src"])
+    b_side = st.rename_columns(["b_doc", "b_src"])
+    j = pairs.join(
+        a_side, join_type="inner", num_partitions=num_partitions,
+        on=("a_id",), right_on=("a_doc",),
+    ).join(
+        b_side, join_type="inner", num_partitions=num_partitions,
+        on=("b_id",), right_on=("b_doc",),
+    )
+
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "jw_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def keep_cross(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        m = pc.invert(
+            pc.equal(batch.column("a_src"), batch.column("b_src"))
+        )
+        kept = batch.filter(m)
+        return pa.table(
+            {
+                "a_id": kept.column("a_id").cast(pa.int64()),
+                "b_id": kept.column("b_id").cast(pa.int64()),
+                "jw_sim": kept.column("jw_sim"),
+            }
+        )
+
+    return j.map_batches(keep_cross, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+
+
+def source_overlap_matrix(sf_dir: str, *, key_len: int = 24,
+                          window: int = 4, min_sim: float = 0.85,
+                          num_partitions: int | None = None):
+    """SOURCE-OVERLAP MATRIX: how many cross-source matches each
+    unordered source pair contributes — the heatmap a practitioner
+    reads to find which feeds duplicate each other. One row per
+    linked source pair: (src_a, src_b, n_links), src_a < src_b
+    lexicographically.
+
+    Shape: the cross-source pair stream re-attaches source STRINGS by
+    joining the narrow (doc_id, source) table twice (native hash
+    joins — the matrix is the above-cap shape by construction), then
+    partial-combines per block and coalesces: the exchange carries at
+    most |sources|^2 / 2 rows."""
+    from hexhamming_ray.pipelines.text import _default_partitions, _docs
+
+    num_partitions = num_partitions or _default_partitions()
+    pairs = cross_source_links(sf_dir, key_len=key_len, window=window,
+                               min_sim=min_sim)
+    src = _docs(sf_dir, ["doc_id", "source"], hash_shuffle=True)
+    a_side = src.rename_columns(["a_doc", "a_source"])
+    b_side = src.rename_columns(["b_doc", "b_source"])
+    j = pairs.join(
+        a_side, join_type="inner", num_partitions=num_partitions,
+        on=("a_id",), right_on=("a_doc",),
+    ).join(
+        b_side, join_type="inner", num_partitions=num_partitions,
+        on=("b_id",), right_on=("b_doc",),
+    )
+
+    empty = pa.table(
+        {
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64()),
+        }
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        a = batch.column("a_source")
+        b = batch.column("b_source")
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        m = pc.less(a, b)  # memcmp order, == DuckDB varchar ORDER BY
+        g = pa.table(
+            {
+                "src_a": pc.if_else(m, a, b),
+                "src_b": pc.if_else(m, b, a),
+            }
+        ).group_by(["src_a", "src_b"]).aggregate([("src_a", "count")])
+        return pa.table(
+            {
+                "src_a": g.column("src_a"),
+                "src_b": g.column("src_b"),
+                "n_links": g.column("src_a_count").cast(pa.int64()),
+            }
+        )
+
+    part = j.map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    # |sources|^2-bounded: ONE concat block, Arrow group-sum finalize
+    part = part.repartition(num_blocks=1)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        g = batch.group_by(["src_a", "src_b"]).aggregate(
+            [("n_links", "sum")]
+        )
+        return pa.table(
+            {
+                "src_a": g.column("src_a"),
+                "src_b": g.column("src_b"),
+                "n_links": g.column("n_links_sum").cast(pa.int64()),
+            }
+        )
+
+    return part.map_batches(finalize, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)

@@ -369,3 +369,34 @@ def test_confusion_report_identities(ray_session):
     assert n_split == sum(
         1 for (p, t) in cells if kp[p] == 1 and kt[t] > 1
     )
+
+
+def test_cross_source_paths_agree(ray_session):
+    """cross_source_links' plans (in-block pair_filter over the
+    broadcast source lut vs post-filter native joins) must emit
+    IDENTICAL pairs."""
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    def run(force_join):
+        return (
+            SM.cross_source_links(SF_DIR, force_join=force_join)
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run(False)
+    joined = run(True)
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert len(broadcast) > 0
+
+
+def test_source_overlap_matrix_consistency(ray_session):
+    """Matrix totals equal the link count; source pairs are ordered;
+    no same-source cell exists."""
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    links = SM.cross_source_links(SF_DIR).to_pandas()
+    mat = SM.source_overlap_matrix(SF_DIR).to_pandas()
+    assert mat.n_links.sum() == len(links)
+    assert (mat.src_a < mat.src_b).all()
