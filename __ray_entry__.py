@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_confusion_report": EM.er_confusion_report,
         "cross_source_links": SM.cross_source_links,
         "source_overlap_matrix": SM.source_overlap_matrix,
+        "ngram_jaccard_prefix": T.ngram_jaccard_prefix,
     }
 
 
@@ -442,6 +443,33 @@ def _blocking_report_sql() -> str:
         " AS BIGINT) AS recall_ppm "
         "FROM ev, nt"
     )
+
+
+# full no-DF-cap exact-Jaccard oracle, shared by allpairs (the
+# quadratic reference scan) and the lossless prefix-filtered join
+_ALLPAIRS_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
+    "sh0 AS ( "
+    "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
+    "  WHERE len(t) >= 3 "
+    "  UNION ALL "
+    "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
+    "  WHERE len(t) BETWEEN 1 AND 2), "
+    "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
+    "  COUNT(*) AS c FROM shd a JOIN shd b "
+    "  ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT inter.id_lo, inter.id_hi, "
+    "CAST(FLOOR(1000.0 * c / (sa.n + sb.n - c)) AS BIGINT) "
+    "  AS jaccard_x1000 "
+    "FROM inter "
+    "JOIN sizes sa ON sa.doc_id = inter.id_lo "
+    "JOIN sizes sb ON sb.doc_id = inter.id_hi "
+    "WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -872,29 +900,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ngram_jaccard_exact's CTE minus the DF filter: the all-pairs
         # exhaustive point of the candidate-verify pipeline
-        "ngram_jaccard_allpairs": (
-            "WITH toks AS (SELECT doc_id, "
-            "  regexp_extract_all(text, '\\S+') AS t FROM documents), "
-            "sh0 AS ( "
-            "  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
-            "  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i) "
-            "  WHERE len(t) >= 3 "
-            "  UNION ALL "
-            "  SELECT doc_id, array_to_string(t, ' ') AS s FROM toks "
-            "  WHERE len(t) BETWEEN 1 AND 2), "
-            "shd AS (SELECT DISTINCT doc_id, s FROM sh0), "
-            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, "
-            "  COUNT(*) AS c FROM shd a JOIN shd b "
-            "  ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT inter.id_lo, inter.id_hi, "
-            "CAST(FLOOR(1000.0 * c / (sa.n + sb.n - c)) AS BIGINT) "
-            "  AS jaccard_x1000 "
-            "FROM inter "
-            "JOIN sizes sa ON sa.doc_id = inter.id_lo "
-            "JOIN sizes sb ON sb.doc_id = inter.id_hi "
-            "WHERE 1.0 * c / (sa.n + sb.n - c) >= 0.5"
-        ),
+        "ngram_jaccard_allpairs": _ALLPAIRS_SQL,
+        # prefix filtering is LOSSLESS: same result set as allpairs,
+        # same oracle (no DF cap, FLOOR convention)
+        "ngram_jaccard_prefix": _ALLPAIRS_SQL,
         "top_tokens_per_lang": (
             "WITH toks AS (SELECT lang, "
             "  unnest(regexp_extract_all(text, '\\S+')) AS tok "

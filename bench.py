@@ -90,6 +90,12 @@ _EXTENDED = [
     "hamming_key_clusters",
     # distinct-token cosine/Dice pair scan (DF-capped vocabulary)
     "token_cosine_pairs",
+    # round-4 continuation: cluster-level ER evaluation + decisions
+    "er_bcubed_eval",
+    "er_threshold_sweep",
+    "weighted_jaccard_pairs",
+    "mutual_best_match",
+    "cross_source_links",
 ]
 
 

@@ -1177,6 +1177,21 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
     ).select_columns(["id_lo", "id_hi"]).materialize()
     if cands.count() <= NGRAM_BROADCAST_CAP:
         return _ngram_verify_broadcast(sf_dir, cands, threshold)
+    return _ngram_verify_join(sf_dir, cands, threshold, num_partitions,
+                              checkpoint_dir)
+
+
+def _ngram_verify_join(sf_dir: str, cands, threshold: float,
+                       num_partitions: int,
+                       checkpoint_dir: str | None = None,
+                       *, floor_round: bool = False):
+    """Above-cap exact-Jaccard verify: candidate pairs hash-join back
+    to the per-doc shingle table (lo side, hi side) and one loop-free
+    lexsort pass computes every intersection. Shared by
+    ``ngram_jaccard_pairs`` (rint convention) and
+    ``ngram_jaccard_prefix`` (floor — the SQL oracle convention)."""
+    from hexhamming_ray.state.checkpoint import Checkpointer
+
     sh = Checkpointer(checkpoint_dir).stage(
         "ngram_shingles", lambda: _shingle_table(sf_dir)
     )
@@ -1208,13 +1223,16 @@ def ngram_jaccard_pairs(sf_dir: str, *, threshold: float = 0.5,
         union = lo_lens + hi_lens - inter
         jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep = jac >= threshold
+        x1000 = (
+            np.floor(jac[keep] * 1000)
+            if floor_round
+            else np.rint(jac[keep] * 1000)
+        ).astype(np.int64)
         return pa.table(
             {
                 "id_lo": batch.column("id_lo").filter(pa.array(keep)),
                 "id_hi": batch.column("id_hi").filter(pa.array(keep)),
-                "jaccard_x1000": pa.array(
-                    np.rint(jac[keep] * 1000).astype(np.int64), pa.int64()
-                ),
+                "jaccard_x1000": pa.array(x1000, pa.int64()),
             }
         )
 
@@ -1595,6 +1613,156 @@ def ngram_jaccard_allpairs(sf_dir: str, *, threshold: float = 0.5):
     )
     return _ngram_verify_broadcast(sf_dir, cands, threshold,
                                    floor_round=True)
+
+
+def ngram_jaccard_prefix(sf_dir: str, *, threshold: float = 0.5,
+                         num_partitions: int | None = None,
+                         checkpoint_dir: str | None = None):
+    """EXACT all-pairs token-3-gram Jaccard >= threshold with NO DF
+    cap and NO quadratic scan: AllPairs/PPJoin-style PREFIX FILTERING
+    (Bayardo et al. WWW'07; Xiao et al. WWW'08). Under a common total
+    order of the shingle universe (ascending hash — the per-doc lists
+    arrive sorted-unique already), two sets with J >= t MUST share an
+    element among their first ``|x| - ceil(t |x|) + 1`` elements: if
+    the smallest shared element were outside x's prefix, all shared
+    elements would fit in x's last ``ceil(t |x|) - 1`` slots, fewer
+    than the ``>= ceil(t |x|)`` matches J >= t forces (J >= t implies
+    overlap >= t * union >= t * |x|). So indexing ONLY prefixes is
+    LOSSLESS — this query returns exactly ``ngram_jaccard_allpairs``'s
+    result (same SQL oracle) at near-linear candidate cost instead of
+    the O(n^2) cartesian, and without the DF-cap approximation
+    ``ngram_jaccard_exact`` trades for skew safety.
+    (id_lo, id_hi, jaccard_x1000 floored).
+
+    Shape: shingle explode emits ONLY prefix rows (shingle, doc_id,
+    size — ceil computed in exact rational arithmetic from the
+    threshold's float ratio, never a float ceil) -> ONE shingle
+    exchange -> per-run pair emission with the LENGTH FILTER
+    (t * max(|A|, |B|) <= min — a J >= t necessity) cutting
+    mismatched-size pairs before they exist -> cross-run pair dedup
+    (the shared ``_distinct_pairs`` exchange) -> size-switched exact
+    verify (broadcast under ``NGRAM_BROADCAST_CAP``, shingle-table
+    joins above; both floor-convention).
+
+    Skew note: a prefix shingle shared by k docs emits k^2/2
+    candidates. The classic mitigation is df-ascending element order
+    (rarest shingles first in every prefix); hash order is df-blind
+    but unbiased, and the length filter bounds the damage. At corpus
+    scale, order by a df rank pass before prefixing."""
+    import ray
+
+    num_partitions = num_partitions or _default_partitions()
+    # exact rational ceil: ceil(num * s / den) without float fuzz
+    num_t, den_t = float(threshold).as_integer_ratio()
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        from hexhamming_ray.functions.hashing import shingle_hashes_batch
+
+        ids = batch.column("doc_id").to_numpy()
+        values, counts = shingle_hashes_batch(
+            batch.column("text").to_pylist()
+        )
+        sizes = counts
+        # exact ceil(t*s) via PYTHON-int rational math per UNIQUE size
+        # (float t ratios have huge numerators — int64 would overflow)
+        uq = np.unique(sizes)
+        ceil_map = np.array(
+            [-((-num_t * int(s)) // den_t) for s in uq], dtype=np.int64
+        )
+        ceil_ts = ceil_map[np.searchsorted(uq, sizes)]
+        plen = np.where(sizes > 0, sizes - ceil_ts + 1, 0)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        total = int(plen.sum())
+        base = np.repeat(offs[:-1], plen)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(plen) - plen, plen
+        )
+        take = base + intra
+        return pa.table(
+            {
+                "s": pa.array(values[take].view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, plen), pa.int64()),
+                "sz": pa.array(np.repeat(sizes, plen), pa.int64()),
+                "ct": pa.array(np.repeat(ceil_ts, plen), pa.int64()),
+            }
+        )
+
+    empty_pairs = pa.table(
+        {
+            "id_lo": pa.array([], pa.int64()),
+            "id_hi": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs_from_prefix_runs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return empty_pairs
+        keys = batch.column("s").to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        szs = batch.column("sz").to_numpy()
+        cts = batch.column("ct").to_numpy()
+        order = np.lexsort((ids, keys))
+        keys, ids, szs, cts = (
+            keys[order], ids[order], szs[order], cts[order]
+        )
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        lens = ends - starts
+        lo_l, hi_l = [], []
+        for s0, e0 in zip(starts[lens >= 2], ends[lens >= 2]):
+            run_i = ids[s0:e0]
+            run_s = szs[s0:e0]
+            run_c = cts[s0:e0]
+            ii, jj = np.triu_indices(run_i.shape[0], k=1)
+            # length filter: J >= t forces overlap >= ceil(t * max
+            # size) while overlap <= min size — ceil carried per row
+            # in exact integers, so the cut is boundary-exact
+            mn = np.minimum(run_s[ii], run_s[jj])
+            ok = mn >= np.maximum(run_c[ii], run_c[jj])
+            if ok.any():
+                a, b = run_i[ii[ok]], run_i[jj[ok]]
+                lo_l.append(np.minimum(a, b))
+                hi_l.append(np.maximum(a, b))
+        if not lo_l:
+            return empty_pairs
+        pair = np.unique(
+            np.stack(
+                [np.concatenate(lo_l), np.concatenate(hi_l)], axis=1
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "id_lo": pa.array(pair[:, 0], pa.int64()),
+                "id_hi": pa.array(pair[:, 1], pa.int64()),
+            }
+        )
+
+    from hexhamming_ray.state.checkpoint import Checkpointer
+
+    def build_cands():
+        raw = (
+            _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+            .map_batches(explode_prefix, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+            .repartition(num_blocks=num_partitions, keys=["s"],
+                         sort=False)
+            .map_batches(pairs_from_prefix_runs,
+                         batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        )
+        return _distinct_pairs(raw, num_partitions)
+
+    cands = Checkpointer(checkpoint_dir).stage(
+        "prefix_cands", build_cands
+    )
+    if cands.count() <= NGRAM_BROADCAST_CAP:
+        return _ngram_verify_broadcast(sf_dir, cands, threshold,
+                                       floor_round=True)
+    return _ngram_verify_join(sf_dir, cands, threshold, num_partitions,
+                              checkpoint_dir, floor_round=True)
 
 
 def _containment_keep(c, na, nb, threshold):

@@ -400,3 +400,49 @@ def test_source_overlap_matrix_consistency(ray_session):
     mat = SM.source_overlap_matrix(SF_DIR).to_pandas()
     assert mat.n_links.sum() == len(links)
     assert (mat.src_a < mat.src_b).all()
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.72])
+def test_prefix_filter_is_lossless(ray_session, threshold):
+    """ngram_jaccard_prefix == ngram_jaccard_allpairs at several
+    thresholds: the AllPairs prefix lemma holds boundary-exactly
+    (rational ceil, no float fuzz)."""
+    from hexhamming_ray.pipelines.text import (
+        ngram_jaccard_allpairs,
+        ngram_jaccard_prefix,
+    )
+
+    a = (
+        ngram_jaccard_prefix(SF_DIR, threshold=threshold)
+        .to_pandas().sort_values(["id_lo", "id_hi"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_allpairs(SF_DIR, threshold=threshold)
+        .to_pandas().sort_values(["id_lo", "id_hi"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_prefix_join_verify_path_agrees(ray_session):
+    """Force the above-cap join verify (cap -> -1) and pin it equal
+    to the broadcast verify."""
+    from hexhamming_ray.pipelines import text as T
+
+    def run():
+        return (
+            T.ngram_jaccard_prefix(SF_DIR)
+            .to_pandas().sort_values(["id_lo", "id_hi"])
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    old = T.NGRAM_BROADCAST_CAP
+    try:
+        T.NGRAM_BROADCAST_CAP = -1
+        joined = run()
+    finally:
+        T.NGRAM_BROADCAST_CAP = old
+    pd.testing.assert_frame_equal(broadcast, joined)
