@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_links": SM.cross_source_links,
         "source_overlap_matrix": SM.source_overlap_matrix,
         "ngram_jaccard_prefix": T.ngram_jaccard_prefix,
+        "stopword_ratio_docs": T.stopword_ratio_docs,
+        "event_value_mode": R.event_value_mode,
     }
 
 
@@ -904,6 +906,37 @@ def oracle_sql() -> dict[str, str]:
         # prefix filtering is LOSSLESS: same result set as allpairs,
         # same oracle (no DF cap, FLOOR convention)
         "ngram_jaccard_prefix": _ALLPAIRS_SQL,
+        # Gopher stopword signal: fixed ASCII list, lowercased
+        # membership, exact integer permille; empty docs keep (0,0,0)
+        "stopword_ratio_docs": (
+            "WITH tk AS (SELECT doc_id, "
+            " unnest(regexp_extract_all(text, '\\S+')) AS t "
+            " FROM documents), "
+            "s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt, "
+            " CAST(SUM(CASE WHEN lower(t) IN ("
+            "  'the','a','an','and','or','of','to','in','is','it',"
+            "  'that','for','on','with','as','was','at','by','be',"
+            "  'this') THEN 1 ELSE 0 END) AS BIGINT) AS ns "
+            " FROM tk GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(s.nt, 0) AS n_tokens, "
+            "COALESCE(s.ns, 0) AS n_stop, "
+            "CAST(CASE WHEN COALESCE(s.nt, 0) > 0 "
+            " THEN 1000 * s.ns // s.nt ELSE 0 END AS BIGINT) "
+            " AS stop_permille "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        # exact grouped mode with the deterministic tie rule (largest
+        # count, then smallest cents)
+        "event_value_mode": (
+            "WITH c AS (SELECT event_type, "
+            " CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), "
+            "g AS (SELECT event_type, cents, "
+            " CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+            " ORDER BY n DESC, cents ASC) AS rk FROM g) "
+            "SELECT event_type, cents AS mode_cents, n AS n_mode "
+            "FROM r WHERE rk = 1"
+        ),
         "top_tokens_per_lang": (
             "WITH toks AS (SELECT lang, "
             "  unnest(regexp_extract_all(text, '\\S+')) AS tok "

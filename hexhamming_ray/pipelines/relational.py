@@ -6895,3 +6895,78 @@ def q13_customer_distribution(sf_dir: str, *,
             "custdist": pa.array(d_vals, pa.int64()),
         }
     )
+
+
+def event_value_mode(sf_dir: str, *, num_partitions: int | None = None):
+    """Exact grouped MODE: the most frequent ROUND(value * 100) cents
+    amount per event type, ties broken toward the SMALLEST amount
+    (deterministic where SQL's bare mode() is not — the oracle states
+    the same ROW_NUMBER tie rule). (event_type, mode_cents, n_mode).
+
+    Shape: per-block (type, cents) Arrow group-count partials (the
+    exchange carries distinct-value rows, never raw events) -> ONE
+    keyed exchange on event_type (every type's counts co-resident) ->
+    per-block dictionary-encoded lexsort argmax."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [("cents", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "cents": g.column("cents"),
+                "n": g.column("cents_count").cast(pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "mode_cents": pa.array([], pa.int64()),
+            "n_mode": pa.array([], pa.int64()),
+        }
+    )
+
+    def argmax_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        g = batch.group_by(["event_type", "cents"]).aggregate(
+            [("n", "sum")]
+        )
+        et = g.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g.column("cents").to_numpy()
+        ns = g.column("n_sum").to_numpy()
+        order = np.lexsort((cents, -ns, idx))
+        i_s = idx[order]
+        head = np.concatenate(([True], i_s[1:] != i_s[:-1]))
+        sel = order[head]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel, pa.int64())),
+                "mode_cents": pa.array(cents[sel], pa.int64()),
+                "n_mode": pa.array(ns[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_type", "value"], hash_shuffle=True)
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["event_type"])
+        .map_batches(argmax_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

@@ -5093,3 +5093,56 @@ def curriculum_order_docs(sf_dir: str, *, num_partitions: int | None = None):
         .map_batches(rank_block, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+#: fixed ASCII stopword list for the Gopher-style stopword signal
+#: (mirrored literally in the SQL oracle's IN list)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+    "this",
+)
+
+
+def stopword_ratio_docs(sf_dir: str):
+    """(doc_id, n_tokens, n_stop, stop_permille) — per-document
+    stopword statistics (the Gopher rule's 'must contain >= 2 of a
+    fixed stopword list' signal, plus the density in exact integer
+    permille). Tokens are lowercased before membership, so ALL-CAPS
+    boilerplate still counts. Pure per-batch map, ZERO shuffle at any
+    corpus size; empty docs emit (0, 0, 0)."""
+    import hexhamming_ray.functions.text as T
+
+    sw = pa.array(list(STOPWORDS), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = batch.column("text")
+        toks = pc.utf8_split_whitespace(text)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        m = pc.is_in(
+            pc.utf8_lower(toks.flatten()), value_set=sw
+        ).to_numpy(zero_copy_only=False)
+        ns = np.bincount(doc_rep[m], minlength=n).astype(np.int64)
+        nt = T.token_count(text).to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_stop": pa.array(ns, pa.int64()),
+                "stop_permille": pa.array(
+                    np.where(nt > 0, 1000 * ns // np.maximum(nt, 1), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
