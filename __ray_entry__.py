@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_prefix": T.ngram_jaccard_prefix,
         "stopword_ratio_docs": T.stopword_ratio_docs,
         "event_value_mode": R.event_value_mode,
+        "user_centered_sum": R.user_centered_sum,
     }
 
 
@@ -936,6 +937,15 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # centered bounded ROWS frame; total (ts, event_id) order
+        "user_centered_sum": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER "
+            " (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) "
+            " AS centered_cents "
+            "FROM events"
         ),
         "top_tokens_per_lang": (
             "WITH toks AS (SELECT lang, "

@@ -6970,3 +6970,72 @@ def event_value_mode(sf_dir: str, *, num_partitions: int | None = None):
         .map_batches(argmax_block, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+def user_centered_sum(sf_dir: str, *, k: int = 2,
+                      num_partitions: int = 16):
+    """CENTERED bounded ROWS frame (ROWS BETWEEN ``k`` PRECEDING AND
+    ``k`` FOLLOWING) — the symmetric smoothing window that completes
+    the frame family's missing shape (trailing ROWS =
+    ``user_moving_sum``, trailing RANGE = ``rolling_user_window``,
+    unbounded = ``user_cumulative_value``): per event, the cent-sum of
+    the surrounding 2k+1 same-user rows in total (ts, event_id) order.
+    (event_id, user_id, centered_cents).
+
+    Shape: the shared user-partitioned lexsort; the frame sum is
+    ``c[hi] - c[lo - 1]`` with ``hi = min(i + k, run_end)`` and
+    ``lo = max(i - k, run_start)`` — run ends come from one reversed
+    minimum-accumulate; two gathers, no per-row loop."""
+
+    def centered(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "centered_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").cast(pa.int64()).to_numpy()
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy()
+        v = _cents(batch.column("value")).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        c = np.cumsum(v)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        run_start = np.maximum.accumulate(np.where(new, idx, -1))
+        last = np.zeros(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = uid[1:] != uid[:-1]
+        # run END index per row: reversed minimum-accumulate of the
+        # run-last positions
+        run_end = np.minimum.accumulate(
+            np.where(last, idx, n)[::-1]
+        )[::-1]
+        hi = np.minimum(idx + k, run_end)
+        lo = np.maximum(idx - k, run_start)
+        base = np.where(lo > 0, c[np.maximum(lo - 1, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "centered_cents": pa.array(
+                    (c[hi] - base).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
+           hash_shuffle=True)
+        .repartition(num_blocks=num_partitions, keys=["user_id"],
+                     sort=False)
+        .map_batches(centered, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

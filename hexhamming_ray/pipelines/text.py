@@ -1617,7 +1617,8 @@ def ngram_jaccard_allpairs(sf_dir: str, *, threshold: float = 0.5):
 
 def ngram_jaccard_prefix(sf_dir: str, *, threshold: float = 0.5,
                          num_partitions: int | None = None,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         order: str = "hash"):
     """EXACT all-pairs token-3-gram Jaccard >= threshold with NO DF
     cap and NO quadratic scan: AllPairs/PPJoin-style PREFIX FILTERING
     (Bayardo et al. WWW'07; Xiao et al. WWW'08). Under a common total
@@ -1645,10 +1646,16 @@ def ngram_jaccard_prefix(sf_dir: str, *, threshold: float = 0.5,
     joins above; both floor-convention).
 
     Skew note: a prefix shingle shared by k docs emits k^2/2
-    candidates. The classic mitigation is df-ascending element order
-    (rarest shingles first in every prefix); hash order is df-blind
-    but unbiased, and the length filter bounds the damage. At corpus
-    scale, order by a df rank pass before prefixing."""
+    candidates. ``order="df"`` is the classic mitigation (Chaudhuri's
+    canonical order): TWO extra full-stream exchanges compute each
+    shingle's global df and re-sort every doc's set by (df, hash)
+    ascending, so the RAREST shingles fill every prefix and boilerplate
+    (max-df) shingles sort to the suffixes and never index — the
+    candidate count collapses on skewed corpora, which is the 100 TB
+    default. The lemma holds for ANY common total order, so both
+    orders return identical results (pinned by a paths-agree test);
+    ``order="hash"`` skips the df pass and wins when the corpus is
+    skew-free or small."""
     import ray
 
     num_partitions = num_partitions or _default_partitions()
@@ -1740,19 +1747,121 @@ def ngram_jaccard_prefix(sf_dir: str, *, threshold: float = 0.5,
             }
         )
 
+    def explode_full(batch: pa.Table) -> pa.Table:
+        from hexhamming_ray.functions.hashing import shingle_hashes_batch
+
+        ids = batch.column("doc_id").to_numpy()
+        values, counts = shingle_hashes_batch(
+            batch.column("text").to_pylist()
+        )
+        return pa.table(
+            {
+                "s": pa.array(values.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            }
+        )
+
+    empty_df = pa.table(
+        {
+            "s": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_df(batch: pa.Table) -> pa.Table:
+        """s-partitioned block: global df = run length (every
+        occurrence of a shingle is co-resident)."""
+        n = len(batch)
+        if n == 0:
+            return empty_df
+        s = batch.column("s").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        order = np.argsort(s, kind="stable")
+        s_s, d_s = s[order], d[order]
+        new = np.concatenate(([True], s_s[1:] != s_s[:-1]))
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "s": pa.array(s_s, pa.int64()),
+                "doc_id": pa.array(d_s, pa.int64()),
+                "df": pa.array(np.repeat(runs, runs), pa.int64()),
+            }
+        )
+
+    empty_prefix = pa.table(
+        {
+            "s": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sz": pa.array([], pa.int64()),
+            "ct": pa.array([], pa.int64()),
+        }
+    )
+
+    def prefix_by_df(batch: pa.Table) -> pa.Table:
+        """doc-partitioned block: rebuild each doc's set in (df, s)
+        ascending order — the canonical rarest-first order — and emit
+        only the prefix rows."""
+        n = len(batch)
+        if n == 0:
+            return empty_prefix
+        s = batch.column("s").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        df = batch.column("df").to_numpy()
+        order = np.lexsort((s, df, d))
+        s_s, d_s = s[order], d[order]
+        new = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        uq = np.unique(sizes)
+        ceil_map = np.array(
+            [-((-num_t * int(x)) // den_t) for x in uq],
+            dtype=np.int64,
+        )
+        ceil_ts = ceil_map[np.searchsorted(uq, sizes)]
+        plen = sizes - ceil_ts + 1  # sizes >= 1 here by construction
+        total = int(plen.sum())
+        base = np.repeat(starts, plen)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(plen) - plen, plen
+        )
+        take = base + intra
+        return pa.table(
+            {
+                "s": pa.array(s_s[take], pa.int64()),
+                "doc_id": pa.array(d_s[take], pa.int64()),
+                "sz": pa.array(np.repeat(sizes, plen), pa.int64()),
+                "ct": pa.array(np.repeat(ceil_ts, plen), pa.int64()),
+            }
+        )
+
     from hexhamming_ray.state.checkpoint import Checkpointer
 
     def build_cands():
-        raw = (
-            _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
-            .map_batches(explode_prefix, batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=None)
-            .repartition(num_blocks=num_partitions, keys=["s"],
-                         sort=False)
-            .map_batches(pairs_from_prefix_runs,
-                         batch_format="pyarrow",
-                         zero_copy_batch=True, batch_size=None)
-        )
+        if order == "df":
+            prefix_rows = (
+                _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+                .map_batches(explode_full, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+                .repartition(num_blocks=num_partitions, keys=["s"],
+                             sort=False)
+                .map_batches(add_df, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+                .repartition(num_blocks=num_partitions,
+                             keys=["doc_id"], sort=False)
+                .map_batches(prefix_by_df, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+            )
+        else:
+            prefix_rows = _docs(
+                sf_dir, ["doc_id", "text"], hash_shuffle=True
+            ).map_batches(explode_prefix, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        raw = prefix_rows.repartition(
+            num_blocks=num_partitions, keys=["s"], sort=False
+        ).map_batches(pairs_from_prefix_runs, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None)
         return _distinct_pairs(raw, num_partitions)
 
     cands = Checkpointer(checkpoint_dir).stage(

@@ -446,3 +446,52 @@ def test_prefix_join_verify_path_agrees(ray_session):
     finally:
         T.NGRAM_BROADCAST_CAP = old
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_prefix_df_order_agrees(ray_session):
+    """The df-ascending canonical order (the skew-safe scale path)
+    returns the identical result set to hash order — the prefix lemma
+    is order-agnostic."""
+    from hexhamming_ray.pipelines.text import ngram_jaccard_prefix
+
+    a = (
+        ngram_jaccard_prefix(SF_DIR)
+        .to_pandas().sort_values(["id_lo", "id_hi"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_prefix(SF_DIR, order="df")
+        .to_pandas().sort_values(["id_lo", "id_hi"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_centered_sum_vs_reference(ray_session):
+    """Centered ROWS frame equals a pandas rolling(center) reference
+    on the same total order."""
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines.relational import user_centered_sum
+
+    got = (
+        user_centered_sum(SF_DIR)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).to_pandas()
+    ev["cents"] = (
+        (ev.value * 100).round().astype("int64")
+    )
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ref = (
+        ev.groupby("user_id")["cents"]
+        .rolling(5, center=True, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    ).astype("int64")
+    ev["centered_cents"] = ref
+    ev = ev.sort_values("event_id").reset_index(drop=True)
+    assert (got.centered_cents.to_numpy()
+            == ev.centered_cents.to_numpy()).all()
