@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_ratio_docs": T.stopword_ratio_docs,
         "event_value_mode": R.event_value_mode,
         "user_centered_sum": R.user_centered_sum,
+        "er_fs_eval": EM.er_fs_eval,
+        "hamming_threshold_sweep": HK.hamming_threshold_sweep,
     }
 
 
@@ -937,6 +939,80 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # FS decision layer scored vs the Jaccard truth set
+        "er_fs_eval": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "att AS (SELECT doc_id, lang AS l8, n_chars // 64 AS lb, "
+            " len(regexp_extract_all(text, '\\S+')) // 16 AS tb "
+            " FROM documents), "
+            "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4), "
+            "sc AS (SELECT a_id, b_id, "
+            " (CASE WHEN jw >= 0.92 THEN 30 ELSE -12 END) "
+            " + (CASE WHEN xa.l8 = xb.l8 THEN 24 ELSE -8 END) "
+            " + (CASE WHEN xa.lb = xb.lb THEN 18 ELSE -6 END) "
+            " + (CASE WHEN xa.tb = xb.tb THEN 14 ELSE -5 END) "
+            " AS fs_score "
+            " FROM p0 JOIN att xa ON xa.doc_id = p0.a_id "
+            " JOIN att xb ON xb.doc_id = p0.b_id), "
+            "pf AS (SELECT LEAST(a_id, b_id) AS id_lo, "
+            " GREATEST(a_id, b_id) AS id_hi FROM sc "
+            " WHERE fs_score >= 50), "
+            + _TRUTH_CTE + ", "
+            "np_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pf), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tr), "
+            "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS v "
+            " FROM pf JOIN tr USING (id_lo, id_hi)) "
+            "SELECT np_.v AS pairs_pred, nt.v AS pairs_truth, "
+            "nb.v AS pairs_both, "
+            "CAST(CASE WHEN np_.v > 0 THEN 1000000 * nb.v // np_.v "
+            " ELSE 0 END AS BIGINT) AS precision_ppm, "
+            "CAST(CASE WHEN nt.v > 0 THEN 1000000 * nb.v // nt.v "
+            " ELSE 0 END AS BIGINT) AS recall_ppm "
+            "FROM np_, nt, nb"
+        ),
+        # pigeonhole Hamming blocker swept over max_dist 0..6 vs the
+        # same truth set
+        "hamming_threshold_sweep": (
+            "WITH "
+            + _HK_EDGES + ", "
+            + _TRUTH_CTE + ", "
+            "th AS (SELECT UNNEST(generate_series(0, 6)) AS t), "
+            "predt AS (SELECT t, a_id AS id_lo, b_id AS id_hi "
+            " FROM E, th WHERE ham_dist <= t), "
+            "npred AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n "
+            " FROM predt GROUP BY t), "
+            "nboth AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n "
+            " FROM predt JOIN tr USING (id_lo, id_hi) GROUP BY t), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr), "
+            "x AS (SELECT th.t, COALESCE(npred.n, 0) AS np_, "
+            " COALESCE(nboth.n, 0) AS nb, nt.n AS ntr "
+            " FROM th LEFT JOIN npred ON th.t = npred.t "
+            " LEFT JOIN nboth ON th.t = nboth.t CROSS JOIN nt) "
+            "SELECT CAST(t AS BIGINT) AS max_dist, "
+            "CAST(np_ AS BIGINT) AS pairs_pred, "
+            "CAST(ntr AS BIGINT) AS pairs_truth, "
+            "CAST(nb AS BIGINT) AS pairs_both, "
+            "CAST(CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            " ELSE 0 END AS BIGINT) AS precision_ppm, "
+            "CAST(CASE WHEN ntr > 0 THEN 1000000 * nb // ntr "
+            " ELSE 0 END AS BIGINT) AS recall_ppm, "
+            "CAST(CASE WHEN (CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            "   ELSE 0 END) + (CASE WHEN ntr > 0 THEN "
+            "   1000000 * nb // ntr ELSE 0 END) > 0 "
+            " THEN 2 * (CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            "   ELSE 0 END) * (CASE WHEN ntr > 0 THEN "
+            "   1000000 * nb // ntr ELSE 0 END) "
+            "  // ((CASE WHEN np_ > 0 THEN 1000000 * nb // np_ "
+            "   ELSE 0 END) + (CASE WHEN ntr > 0 THEN "
+            "   1000000 * nb // ntr ELSE 0 END)) "
+            " ELSE 0 END AS BIGINT) AS f1_ppm "
+            "FROM x"
         ),
         # centered bounded ROWS frame; total (ts, event_id) order
         "user_centered_sum": (

@@ -1283,3 +1283,45 @@ def match_graph_triangles(sf_dir: str, *, key_len: int = 24,
             ),
         }
     )
+
+
+def er_fs_eval(sf_dir: str, *, key_len: int = 24, window: int = 4):
+    """PAIR-LEVEL quality of the Fellegi-Sunter DECISION layer: the
+    pairs fs_match_scores classifies ``match`` scored against the
+    exact-Jaccard truth set — er_fuzzy_eval for the multi-field
+    weighted matcher, so a practitioner can read whether the extra
+    fields (lang, length band, token band) buy precision over the
+    single-field JW threshold. ONE row: (pairs_pred, pairs_truth,
+    pairs_both, precision_ppm, recall_ppm)."""
+    from hexhamming_ray.pipelines.strmatch import _pair_eval_counts
+    from hexhamming_ray.pipelines.text import ngram_jaccard_exact
+
+    pred = fs_match_scores(sf_dir, key_len=key_len, window=window)
+
+    def only_match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(
+            _pc.equal(batch.column("decision"), "match")
+        )
+
+    n_pred, n_truth, n_both = _pair_eval_counts(
+        pred.map_batches(only_match, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        ngram_jaccard_exact(sf_dir),
+    )
+    return pa.table(
+        {
+            "pairs_pred": pa.array([n_pred], pa.int64()),
+            "pairs_truth": pa.array([n_truth], pa.int64()),
+            "pairs_both": pa.array([n_both], pa.int64()),
+            "precision_ppm": pa.array(
+                [1_000_000 * n_both // n_pred if n_pred else 0],
+                pa.int64(),
+            ),
+            "recall_ppm": pa.array(
+                [1_000_000 * n_both // n_truth if n_truth else 0],
+                pa.int64(),
+            ),
+        }
+    )

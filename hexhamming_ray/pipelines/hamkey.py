@@ -338,3 +338,149 @@ def hamming_key_clusters(sf_dir: str, *, key_len: int = 32,
     nodes = _docs(sf_dir, ["doc_id"], hash_shuffle=True)
     return label_nodes(labels, nodes, "doc_id", "component",
                        broadcast_cap=HAMKEY_LABEL_BROADCAST_CAP)
+
+
+def hamming_threshold_sweep(sf_dir: str, *, key_len: int = 32,
+                            max_dist: int = 6,
+                            num_partitions: int | None = None):
+    """DISTANCE-THRESHOLD SWEEP for the pigeonhole Hamming-key
+    blocker: pair-level precision/recall/F1 vs the exact-Jaccard
+    truth set at every distance 0..``max_dist``, from ONE scored
+    pass — the positional-key twin of ``er_threshold_sweep`` (the
+    reference's ``check_hexstrings_within_dist`` predicate swept over
+    its ``max_dist`` argument, evaluated as an ER operating-point
+    table). One row per distance: (max_dist, pairs_pred, pairs_truth,
+    pairs_both, precision_ppm, recall_ppm, f1_ppm).
+
+    Shape: scored pairs at the LOOSEST distance + truth pairs in one
+    tagged union -> ONE keyed exchange on the unordered pair -> each
+    block counts all distances from one lexsort (pred rows carry
+    ham_dist); single-row-per-distance partials + a truth-count
+    sentinel coalesce driver-side."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        ngram_jaccard_exact,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    dists = np.arange(max_dist + 1, dtype=np.int64)
+    pred = hamming_key_pairs(sf_dir, key_len=key_len,
+                             max_dist=max_dist)
+    truth = ngram_jaccard_exact(sf_dir)
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "side": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "d": batch.column("ham_dist").cast(pa.int64()),
+            }
+        )
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").cast(pa.int64()),
+                "id_hi": batch.column("id_hi").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "d": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "thr": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+        }
+    )
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        sd = batch.column("side").to_numpy()
+        dv = batch.column("d").to_numpy()
+        order = np.lexsort((sd, hi, lo))
+        lo_s, hi_s, sd_s = lo[order], hi[order], sd[order]
+        succ_same = np.concatenate(
+            ((lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])
+             & (sd_s[1:] == 1), [False])
+        )
+        pred_rows = sd_s == 0
+        d_p = dv[order][pred_rows]
+        matched = succ_same[pred_rows]
+        ok = d_p[:, None] <= dists[None, :]
+        out = pa.table(
+            {
+                "thr": pa.array(dists, pa.int64()),
+                "n_pred": pa.array(
+                    ok.sum(axis=0).astype(np.int64), pa.int64()
+                ),
+                "n_both": pa.array(
+                    (ok & matched[:, None]).sum(axis=0).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [
+                out,
+                pa.table(
+                    {
+                        "thr": pa.array([-1], pa.int64()),
+                        "n_pred": pa.array(
+                            [int((sd_s == 1).sum())], pa.int64()
+                        ),
+                        "n_both": pa.array([0], pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    rows = (
+        pred.map_batches(tag_pred, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(truth.map_batches(tag_truth, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions,
+                     keys=["id_lo", "id_hi"])
+        .map_batches(count_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    n_truth = sum(int(r["n_pred"]) for r in rows if r["thr"] == -1)
+    agg = {int(t): [0, 0] for t in dists}
+    for r in rows:
+        if r["thr"] >= 0:
+            agg[int(r["thr"])][0] += int(r["n_pred"])
+            agg[int(r["thr"])][1] += int(r["n_both"])
+    out = {
+        "max_dist": [], "pairs_pred": [], "pairs_truth": [],
+        "pairs_both": [], "precision_ppm": [], "recall_ppm": [],
+        "f1_ppm": [],
+    }
+    for t in dists:
+        np_, nb = agg[int(t)]
+        prec = 1_000_000 * nb // np_ if np_ else 0
+        rec = 1_000_000 * nb // n_truth if n_truth else 0
+        out["max_dist"].append(int(t))
+        out["pairs_pred"].append(np_)
+        out["pairs_truth"].append(n_truth)
+        out["pairs_both"].append(nb)
+        out["precision_ppm"].append(prec)
+        out["recall_ppm"].append(rec)
+        out["f1_ppm"].append(
+            2 * prec * rec // (prec + rec) if prec + rec else 0
+        )
+    return pa.table(
+        {k: pa.array(v, pa.int64()) for k, v in out.items()}
+    )

@@ -495,3 +495,36 @@ def test_centered_sum_vs_reference(ray_session):
     ev = ev.sort_values("event_id").reset_index(drop=True)
     assert (got.centered_cents.to_numpy()
             == ev.centered_cents.to_numpy()).all()
+
+
+def test_hamming_sweep_monotone(ray_session):
+    """Hamming-distance sweep: pairs_pred grows with the distance
+    bound, recall grows, precision is non-increasing once pairs exist;
+    row 6 equals er_hamming_eval's counts."""
+    from hexhamming_ray.pipelines.hamkey import (
+        er_hamming_eval,
+        hamming_threshold_sweep,
+    )
+
+    sweep = hamming_threshold_sweep(SF_DIR).to_pandas()
+    assert list(sweep.max_dist) == list(range(7))
+    assert (sweep.pairs_pred.diff()[1:] >= 0).all()
+    assert (sweep.pairs_both.diff()[1:] >= 0).all()
+    ref = er_hamming_eval(SF_DIR).to_pandas().iloc[0]
+    row = sweep[sweep.max_dist == 6].iloc[0]
+    assert int(row.pairs_pred) == int(ref.pairs_pred)
+    assert int(row.pairs_both) == int(ref.pairs_both)
+
+
+def test_fs_eval_consistency(ray_session):
+    """FS decision-layer eval equals a recount over the decision
+    table's 'match' band."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    row = EM.er_fs_eval(SF_DIR).to_pandas().iloc[0]
+    fs = EM.fs_match_scores(SF_DIR).to_pandas()
+    n_match = int((fs.decision == "match").sum())
+    assert int(row.pairs_pred) == n_match
+    assert int(row.pairs_both) <= min(
+        int(row.pairs_pred), int(row.pairs_truth)
+    )
