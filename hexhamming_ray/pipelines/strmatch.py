@@ -1651,16 +1651,45 @@ def source_overlap_matrix(sf_dir: str, *, key_len: int = 24,
     most |sources|^2 / 2 rows."""
     from hexhamming_ray.pipelines.text import _default_partitions, _docs
 
+    import ray
+
     num_partitions = num_partitions or _default_partitions()
     pairs = cross_source_links(sf_dir, key_len=key_len, window=window,
                                min_sim=min_sim)
+    # note-63 sentinel: a single-source corpus yields ZERO cross
+    # pairs, and a schema-less empty join input raises in the hash
+    # join; the impossible-key row (-1 never matches a doc_id) keeps
+    # the input metadata-known and drops out of the inner join
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "a_id": pa.array([-1], pa.int64()),
+                "b_id": pa.array([-1], pa.int64()),
+                "jw_sim": pa.array([0.0], pa.float64()),
+            }
+        )
+    )
+    pairs = seed.union(pairs)
     src = _docs(sf_dir, ["doc_id", "source"], hash_shuffle=True)
     a_side = src.rename_columns(["a_doc", "a_source"])
     b_side = src.rename_columns(["b_doc", "b_source"])
-    j = pairs.join(
+    j1 = pairs.join(
         a_side, join_type="inner", num_partitions=num_partitions,
         on=("a_id",), right_on=("a_doc",),
-    ).join(
+    )
+    # the FIRST join's output partitions can be schema-less empties
+    # too (the zero-pair corpus again) — re-seed before join 2
+    seed2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "a_id": pa.array([-1], pa.int64()),
+                "b_id": pa.array([-1], pa.int64()),
+                "jw_sim": pa.array([0.0], pa.float64()),
+                "a_source": pa.array([""], pa.string()),
+            }
+        )
+    )
+    j = seed2.union(j1).join(
         b_side, join_type="inner", num_partitions=num_partitions,
         on=("b_id",), right_on=("b_doc",),
     )
@@ -1699,22 +1728,19 @@ def source_overlap_matrix(sf_dir: str, *, key_len: int = 24,
 
     part = j.map_batches(combine, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None)
-    # |sources|^2-bounded: ONE concat block, Arrow group-sum finalize
-    part = part.repartition(num_blocks=1)
+    # |sources|^2-bounded: gather the tiny partials and group-sum
+    # driver-side, returning a pa.Table (a 0-row Dataset loses its
+    # schema through to_pandas — the q11 driver-contract fix)
+    from hexhamming_ray.pipelines.text import _gather_table
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return empty
-        g = batch.group_by(["src_a", "src_b"]).aggregate(
-            [("n_links", "sum")]
-        )
-        return pa.table(
-            {
-                "src_a": g.column("src_a"),
-                "src_b": g.column("src_b"),
-                "n_links": g.column("n_links_sum").cast(pa.int64()),
-            }
-        )
-
-    return part.map_batches(finalize, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=None)
+    t = _gather_table(part, empty.schema)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["src_a", "src_b"]).aggregate([("n_links", "sum")])
+    return pa.table(
+        {
+            "src_a": g.column("src_a"),
+            "src_b": g.column("src_b"),
+            "n_links": g.column("n_links_sum").cast(pa.int64()),
+        }
+    )

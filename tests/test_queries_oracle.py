@@ -286,6 +286,14 @@ DOC_QUERIES = [
     "fuzzy_match_damerau", "fuzzy_match_charjac",
     "qgram_blocking_pairs", "meta_blocking_wep",
     "cnp_blocking_pairs", "golden_record_docs",
+    # round-4 continuation: evaluation / decision / set-similarity
+    "er_bcubed_eval", "er_rand_index", "mutual_best_match",
+    "fs_match_scores", "match_graph_triangles", "er_threshold_sweep",
+    "dedup_rate_report", "ngram_containment_pairs",
+    "match_candidates_topk", "weighted_jaccard_pairs",
+    "er_confusion_report", "cross_source_links",
+    "source_overlap_matrix", "ngram_jaccard_prefix",
+    "stopword_ratio_docs", "er_fs_eval",
 ]
 
 
