@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_centered_sum": R.user_centered_sum,
         "er_fs_eval": EM.er_fs_eval,
         "hamming_threshold_sweep": HK.hamming_threshold_sweep,
+        "match_graph_modularity": EM.match_graph_modularity,
     }
 
 
@@ -939,6 +940,33 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # Newman modularity of the 0.88 clustering on the 0.80 match
+        # graph; every floor division mirrored
+        "match_graph_modularity": (
+            _PRED_CTE
+            + "e80 AS (SELECT LEAST(a.doc_id, b.doc_id) AS lo, "
+            " GREATEST(a.doc_id, b.doc_id) AS hi "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.80), "
+            "ce AS (SELECT la.pcid AS clo, lb.pcid AS chi FROM e80 "
+            " JOIN pred la ON la.doc_id = e80.lo "
+            " JOIN pred lb ON lb.doc_id = e80.hi), "
+            "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM ce), "
+            "ec AS (SELECT clo AS c, CAST(COUNT(*) AS BIGINT) AS e "
+            " FROM ce WHERE clo = chi GROUP BY 1), "
+            "dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM "
+            " (SELECT clo AS c FROM ce UNION ALL SELECT chi FROM ce) "
+            " GROUP BY 1), "
+            "terms AS (SELECT COALESCE(ec.e, 0) AS e, dc.d AS d "
+            " FROM dc LEFT JOIN ec ON dc.c = ec.c) "
+            "SELECT mm.v AS n_edges, "
+            "CAST(COALESCE((SELECT SUM(e) FROM terms), 0) AS BIGINT) "
+            " AS n_intra_edges, "
+            "CAST(COALESCE((SELECT SUM((1000000 * e) // mm.v) "
+            " - SUM((1000000 * d * d) // (4 * mm.v * mm.v)) "
+            " FROM terms), 0) AS BIGINT) AS modularity_ppm "
+            "FROM mm"
         ),
         # FS decision layer scored vs the Jaccard truth set
         "er_fs_eval": (

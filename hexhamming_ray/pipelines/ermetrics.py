@@ -1325,3 +1325,243 @@ def er_fs_eval(sf_dir: str, *, key_len: int = 24, window: int = 4):
             ),
         }
     )
+
+
+def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
+                           window: int = 4, cluster_sim: float = 0.88,
+                           edge_sim: float = 0.80,
+                           num_partitions: int | None = None,
+                           force_remap: bool = False):
+    """NEWMAN MODULARITY of the fuzzy clustering measured on the
+    LOOSER match graph: how well the ``cluster_sim``-threshold
+    clusters explain the ``edge_sim``-threshold similarity structure
+    (edges in the [edge_sim, cluster_sim) band may CROSS clusters —
+    the unexplained structure modularity penalizes, alongside the
+    giant-component penalty of the degree term). Exact integer ppm:
+    ``Q_ppm = sum_c [ (1e6 * e_c) // m  -  (1e6 * d_c^2) // (4 m^2) ]``
+    with every floor division mirrored in the SQL oracle. ONE row:
+    (n_edges, n_intra_edges, modularity_ppm). int64 bound: d_c < 3e9
+    endpoint slots (the oracle's HUGEINT has no such cliff).
+
+    Shape: edges label-attach via ONE broadcast label lut under
+    ``GRAPH_LABEL_BROADCAST_CAP`` (both endpoints in one map) or two
+    sort-based tagged-union remaps above it (``force_remap`` pins the
+    paths equal); then e_c and d_c are run counts after ONE cluster-
+    keyed exchange each (d_c needs no per-node degree table — it is
+    the cluster's ENDPOINT-SLOT count, directly countable from the
+    labeled edge stream); a tagged union joins them per cluster for
+    the term sum; single-row partials close it."""
+    import ray
+
+    from hexhamming_ray.pipelines.strmatch import (
+        er_fuzzy_clusters,
+        fuzzy_match_jw,
+    )
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _gather_table,
+    )
+    from hexhamming_ray.stages.annsearch import GRAPH_LABEL_BROADCAST_CAP
+
+    num_partitions = num_partitions or _default_partitions()
+    labels = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                               min_sim=cluster_sim).materialize()
+    pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                           min_sim=edge_sim)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(a, b), pa.int64()),
+                "hi": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(norm, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    if not force_remap and labels.count() <= GRAPH_LABEL_BROADCAST_CAP:
+        lt = _gather_table(
+            labels,
+            pa.schema([("doc_id", pa.int64()),
+                       ("cluster_id", pa.int64())]),
+        )
+        ids = lt.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        ref = ray.put(
+            (
+                np.ascontiguousarray(ids[order]),
+                np.ascontiguousarray(
+                    lt.column("cluster_id").to_numpy()[order]
+                ),
+            )
+        )
+
+        class _Lab:
+            def __init__(self):
+                self._l = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from hexhamming_ray.pipelines.relational import _lut_probe
+
+                if self._l is None:
+                    self._l = ray.get(ref)
+                ids_, cid = self._l
+                lo = batch.column("lo").to_numpy()
+                hi = batch.column("hi").to_numpy()
+                plo, hlo = _lut_probe(ids_, lo)
+                phi, hhi = _lut_probe(ids_, hi)
+                assert hlo.all() and hhi.all()
+                return pa.table(
+                    {
+                        "clo": pa.array(cid[plo], pa.int64()),
+                        "chi": pa.array(cid[phi], pa.int64()),
+                    }
+                )
+
+        cedges = edges.map_batches(
+            _Lab(), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
+    else:
+        from hexhamming_ray.state.unionfind import _remap_column
+
+        mapping = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("doc_id").cast(pa.int64()),
+                    "dst": b.column("cluster_id").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        r1 = _remap_column(edges, "lo", "hi", mapping)
+        r2 = _remap_column(
+            r1.map_batches(
+                lambda b: pa.table(
+                    {"hi": b.column("hi"), "lo": b.column("lo")}
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            "hi", "lo", mapping,
+        )
+        cedges = r2.map_batches(
+            lambda b: pa.table(
+                {"clo": b.column("lo"), "chi": b.column("hi")}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
+
+    m = cedges.count()
+    if m == 0:
+        return pa.table(
+            {
+                "n_edges": pa.array([0], pa.int64()),
+                "n_intra_edges": pa.array([0], pa.int64()),
+                "modularity_ppm": pa.array([0], pa.int64()),
+            }
+        )
+
+    empty_ec = pa.table(
+        {
+            "c": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64()),
+        }
+    )
+
+    def intra_counts(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_ec
+        clo = batch.column("clo").to_numpy()
+        chi = batch.column("chi").to_numpy()
+        c = clo[clo == chi]
+        if c.shape[0] == 0:
+            return empty_ec
+        u, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(u, pa.int64()),
+                "side": pa.array(np.zeros(u.shape[0], np.int64),
+                                 pa.int64()),
+                "v": pa.array(n, pa.int64()),
+            }
+        )
+
+    def degree_counts(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_ec
+        both = np.concatenate(
+            [batch.column("clo").to_numpy(),
+             batch.column("chi").to_numpy()]
+        )
+        u, n = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(u, pa.int64()),
+                "side": pa.array(np.ones(u.shape[0], np.int64),
+                                 pa.int64()),
+                "v": pa.array(n, pa.int64()),
+            }
+        )
+
+    empty_part = pa.table(
+        {
+            "intra": pa.array([], pa.int64()),
+            "q_num": pa.array([], pa.int64()),
+        }
+    )
+
+    def term_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_part
+        c = batch.column("c").to_numpy()
+        sd = batch.column("side").to_numpy()
+        v = batch.column("v").to_numpy()
+        order = np.lexsort((sd, c))
+        c_s, sd_s, v_s = c[order], sd[order], v[order]
+        new = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        starts = np.flatnonzero(new)
+        # per cluster, vectorized: e_c = side-0 partial sum, d_c =
+        # side-1 partial sum (masked reduceats over the same runs)
+        e_arr = np.add.reduceat(np.where(sd_s == 0, v_s, 0), starts)
+        d_arr = np.add.reduceat(np.where(sd_s == 1, v_s, 0), starts)
+        intra_total = int(e_arr.sum())
+        q = int(((1_000_000 * e_arr) // m).sum()) - int(
+            ((1_000_000 * d_arr * d_arr) // (4 * m * m)).sum()
+        )
+        return pa.table(
+            {
+                "intra": pa.array([intra_total], pa.int64()),
+                "q_num": pa.array([q], pa.int64()),
+            }
+        )
+
+    rows = (
+        cedges.map_batches(intra_counts, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(cedges.map_batches(degree_counts,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["c"])
+        .map_batches(term_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "n_intra_edges": pa.array(
+                [sum(int(r["intra"]) for r in rows)], pa.int64()
+            ),
+            "modularity_ppm": pa.array(
+                [sum(int(r["q_num"]) for r in rows)], pa.int64()
+            ),
+        }
+    )

@@ -528,3 +528,18 @@ def test_fs_eval_consistency(ray_session):
     assert int(row.pairs_both) <= min(
         int(row.pairs_pred), int(row.pairs_truth)
     )
+
+
+def test_modularity_paths_agree(ray_session):
+    """Broadcast label lut vs sort-based remap produce the identical
+    modularity row; the value is sane (|Q| <= 1e6) and intra edges
+    bound by total edges."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    a = EM.match_graph_modularity(SF_DIR).to_pandas()
+    b = EM.match_graph_modularity(SF_DIR, force_remap=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    row = a.iloc[0]
+    assert 0 < int(row.n_edges)
+    assert 0 <= int(row.n_intra_edges) <= int(row.n_edges)
+    assert -1_000_000 <= int(row.modularity_ppm) <= 1_000_000
