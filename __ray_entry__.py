@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_fs_eval": EM.er_fs_eval,
         "hamming_threshold_sweep": HK.hamming_threshold_sweep,
         "match_graph_modularity": EM.match_graph_modularity,
+        "er_error_samples": EM.er_error_samples,
     }
 
 
@@ -940,6 +941,28 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # deterministic FP/FN debug samples: k smallest error pairs
+        # per kind
+        "er_error_samples": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_lo, "
+            " GREATEST(a.doc_id, b.doc_id) AS id_hi "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            + _TRUTH_CTE + ", "
+            "fp AS (SELECT 'fp' AS kind, id_lo, id_hi FROM "
+            " (SELECT id_lo, id_hi FROM pf EXCEPT "
+            "  SELECT id_lo, id_hi FROM tr) "
+            " ORDER BY id_lo, id_hi LIMIT 10), "
+            "fn AS (SELECT 'fn' AS kind, id_lo, id_hi FROM "
+            " (SELECT id_lo, id_hi FROM tr EXCEPT "
+            "  SELECT id_lo, id_hi FROM pf) "
+            " ORDER BY id_lo, id_hi LIMIT 10) "
+            "SELECT * FROM fp UNION ALL SELECT * FROM fn"
         ),
         # Newman modularity of the 0.88 clustering on the 0.80 match
         # graph; every floor division mirrored

@@ -19,12 +19,21 @@ the blocking/scoring/clustering machinery already in strmatch.py:
 - :func:`match_graph_triangles` — triangle census / global clustering
   coefficient of the match graph (the transitivity diagnostic that
   says whether threshold-pairs behave like equivalence classes).
+- :func:`match_graph_modularity` — Newman modularity of the chosen
+  clustering over the looser match graph.
+- :func:`er_confusion_report` — cluster-level split/merge census.
+- :func:`er_threshold_sweep` / :func:`er_fs_eval` — operating-point
+  tables (precision/recall/F1 per threshold; the FS decision layer
+  scored against truth).
+- :func:`mutual_best_match` / :func:`match_candidates_topk` — the
+  one-to-one decision and the per-entity review queue.
+- :func:`dedup_rate_report` — what the clustering saves.
 
-All five are deterministic and SQL-value-oracled. Scale shapes are
-the house patterns: narrow tagged unions meeting in ONE keyed
-exchange, per-block lexsort + run reduction, single-row partials
-coalesced driver-side, and every broadcast plan size-switched with
-the shuffle/join plan as the unconditional above-cap fallback."""
+All deterministic and SQL-value-oracled. Scale shapes are the house
+patterns: narrow tagged unions meeting in ONE keyed exchange,
+per-block lexsort + run reduction, single-row partials coalesced
+driver-side, and every broadcast plan size-switched with the
+shuffle/join plan as the unconditional above-cap fallback."""
 
 from __future__ import annotations
 
@@ -1563,5 +1572,119 @@ def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
             "modularity_ppm": pa.array(
                 [sum(int(r["q_num"]) for r in rows)], pa.int64()
             ),
+        }
+    )
+
+
+def er_error_samples(sf_dir: str, *, key_len: int = 24,
+                     window: int = 4, min_sim: float = 0.88,
+                     k: int = 10, num_partitions: int | None = None):
+    """ERROR-ANALYSIS SAMPLES: the ``k`` smallest false-positive pairs
+    (matched but not in the truth set) and ``k`` smallest false-
+    negative pairs (true near-dups the matcher missed), by (id_lo,
+    id_hi) — the deterministic debug set a practitioner opens after
+    reading the precision/recall row. (kind, id_lo, id_hi), kind in
+    {'fp', 'fn'}.
+
+    Shape: both pair sets meet in the shared tagged-union pair
+    exchange; each block classifies from one lexsort (a pair present
+    on both sides is a TP and drops) and emits only its k smallest
+    per kind — the driver merges <= 2 k x blocks rows."""
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        ngram_jaccard_exact,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    pred = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                          min_sim=min_sim)
+    truth = ngram_jaccard_exact(sf_dir)
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "side": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").cast(pa.int64()),
+                "id_hi": batch.column("id_hi").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "kind": pa.array([], pa.string()),
+            "id_lo": pa.array([], pa.int64()),
+            "id_hi": pa.array([], pa.int64()),
+        }
+    )
+
+    def classify_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        sd = batch.column("side").to_numpy()
+        order = np.lexsort((sd, hi, lo))
+        lo_s, hi_s, sd_s = lo[order], hi[order], sd[order]
+        same_next = np.concatenate(
+            ((lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1]),
+             [False])
+        )
+        same_prev = np.concatenate(([False], same_next[:-1]))
+        solo = ~(same_next | same_prev)
+        out_k, out_lo, out_hi = [], [], []
+        for kind, side in (("fp", 0), ("fn", 1)):
+            sel = np.flatnonzero(solo & (sd_s == side))[:k]
+            out_k.extend([kind] * sel.shape[0])
+            out_lo.append(lo_s[sel])
+            out_hi.append(hi_s[sel])
+        if not out_k:
+            return empty
+        return pa.table(
+            {
+                "kind": pa.array(out_k, pa.string()),
+                "id_lo": pa.array(np.concatenate(out_lo), pa.int64()),
+                "id_hi": pa.array(np.concatenate(out_hi), pa.int64()),
+            }
+        )
+
+    rows = (
+        pred.map_batches(tag_pred, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .union(truth.map_batches(tag_truth, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions,
+                     keys=["id_lo", "id_hi"])
+        .map_batches(classify_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    out = {"kind": [], "id_lo": [], "id_hi": []}
+    for kind in ("fp", "fn"):
+        cand = sorted(
+            (int(r["id_lo"]), int(r["id_hi"]))
+            for r in rows
+            if r["kind"] == kind
+        )[:k]
+        out["kind"].extend([kind] * len(cand))
+        out["id_lo"].extend(c[0] for c in cand)
+        out["id_hi"].extend(c[1] for c in cand)
+    return pa.table(
+        {
+            "kind": pa.array(out["kind"], pa.string()),
+            "id_lo": pa.array(out["id_lo"], pa.int64()),
+            "id_hi": pa.array(out["id_hi"], pa.int64()),
         }
     )

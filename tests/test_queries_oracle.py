@@ -293,7 +293,8 @@ DOC_QUERIES = [
     "match_candidates_topk", "weighted_jaccard_pairs",
     "er_confusion_report", "cross_source_links",
     "source_overlap_matrix", "ngram_jaccard_prefix",
-    "stopword_ratio_docs", "er_fs_eval",
+    "stopword_ratio_docs", "er_fs_eval", "er_error_samples",
+    "match_graph_modularity",
 ]
 
 
