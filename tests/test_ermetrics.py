@@ -543,3 +543,87 @@ def test_modularity_paths_agree(ray_session):
     assert 0 < int(row.n_edges)
     assert 0 <= int(row.n_intra_edges) <= int(row.n_edges)
     assert -1_000_000 <= int(row.modularity_ppm) <= 1_000_000
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_metrics_random_corpora_vs_oracle(ray_session, tmp_path, seed):
+    """End-to-end fuzz: er_bcubed_eval, er_confusion_report,
+    mutual_best_match and er_error_samples vs their DuckDB oracles on
+    RANDOMIZED corpora (near-dup families from a seed pool with word
+    edits, multiple sources/langs) — inputs a fixed fixture cannot
+    enumerate."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    entry = __import__("__ray_entry__")
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(30)]
+    texts = []
+    # 20 families of 1-4 members: members share a seed text with a
+    # few word substitutions (drives both the SN matcher and the
+    # Jaccard truth set into agree/disagree regimes)
+    for fam in range(20):
+        k = int(rng.integers(8, 20))
+        base = list(rng.choice(words, k))
+        for _ in range(int(rng.integers(1, 5))):
+            t = list(base)
+            for _ in range(int(rng.integers(0, 3))):
+                t[int(rng.integers(0, len(t)))] = str(
+                    rng.choice(words)
+                )
+            texts.append(" ".join(t))
+    n = len(texts)
+    d = tmp_path / f"fz{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    np.array(["en", "de", "fr"])[
+                        rng.integers(0, 3, n)
+                    ],
+                    pa.string(),
+                ),
+                "source": pa.array(
+                    np.array(["sA", "sB"])[rng.integers(0, 2, n)],
+                    pa.string(),
+                ),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts], dtype=np.int64)
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for name in ("er_bcubed_eval", "er_confusion_report",
+                 "mutual_best_match", "er_error_samples",
+                 "cross_source_links"):
+        got = _norm_like_driver(entry.queries()[name](str(d)))
+        want = _norm_like_driver(con.sql(entry.oracle_sql()[name]).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    con.close()
+
+
+def _norm_like_driver(res):
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        df = res.to_pandas()
+    elif isinstance(res, pd.DataFrame):
+        df = res
+    else:
+        df = res.to_pandas()
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
