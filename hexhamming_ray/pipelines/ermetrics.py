@@ -96,7 +96,8 @@ def _truth_clusters(sf_dir: str):
 
 
 def _joint_labels(sf_dir: str, *, key_len: int, window: int,
-                  min_sim: float, num_partitions: int):
+                  min_sim: float, num_partitions: int,
+                  checkpoint_dir: str | None = None):
     """(pcid, tcid) — one row per document carrying its PREDICTED
     (fuzzy) and TRUTH (exact-Jaccard) cluster labels. The two label
     Datasets (n rows x 16 bytes each) meet in ONE keyed exchange on
@@ -105,7 +106,8 @@ def _joint_labels(sf_dir: str, *, key_len: int, window: int,
     from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
 
     pred = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
-                             min_sim=min_sim)
+                             min_sim=min_sim,
+                             checkpoint_dir=checkpoint_dir)
     truth = _truth_clusters(sf_dir)
 
     def tag(side: int):
@@ -230,7 +232,8 @@ def _stat_sums(part) -> tuple[int, int, int, int]:
 
 def er_bcubed_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
                    min_sim: float = 0.88,
-                   num_partitions: int | None = None):
+                   num_partitions: int | None = None,
+                   checkpoint_dir: str | None = None):
     """B-CUBED precision/recall/F1 of the fuzzy clustering
     (:func:`~hexhamming_ray.pipelines.strmatch.er_fuzzy_clusters`)
     against the exact-Jaccard truth clustering — the standard
@@ -251,7 +254,7 @@ def er_bcubed_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
     num_partitions = num_partitions or _default_partitions()
     j = _joint_labels(
         sf_dir, key_len=key_len, window=window, min_sim=min_sim,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
     ).materialize()
     sp, _, _, n = _stat_sums(
         _cell_stats(j, "pcid", "tcid", num_partitions)
@@ -274,7 +277,8 @@ def er_bcubed_eval(sf_dir: str, *, key_len: int = 24, window: int = 4,
 
 def er_rand_index(sf_dir: str, *, key_len: int = 24, window: int = 4,
                   min_sim: float = 0.88,
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  checkpoint_dir: str | None = None):
     """RAND INDEX of the fuzzy clustering vs the exact-Jaccard truth
     clustering: the fraction of document pairs on which the two
     labelings AGREE (both together or both apart), in exact integer
@@ -291,7 +295,7 @@ def er_rand_index(sf_dir: str, *, key_len: int = 24, window: int = 4,
     num_partitions = num_partitions or _default_partitions()
     j = _joint_labels(
         sf_dir, key_len=key_len, window=window, min_sim=min_sim,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
     ).materialize()
     _, sum_p, n11, n = _stat_sums(
         _cell_stats(j, "pcid", "tcid", num_partitions)
@@ -316,7 +320,8 @@ def er_rand_index(sf_dir: str, *, key_len: int = 24, window: int = 4,
 
 def mutual_best_match(sf_dir: str, *, key_len: int = 24,
                       window: int = 4, min_sim: float = 0.88,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      checkpoint_dir: str | None = None):
     """RECIPROCAL-BEST-MATCH linkage: from the Jaro-Winkler-scored
     sorted-neighborhood candidates, keep a pair iff each document is
     the other's single best-scoring candidate (ties broken toward the
@@ -334,7 +339,8 @@ def mutual_best_match(sf_dir: str, *, key_len: int = 24,
 
     num_partitions = num_partitions or _default_partitions()
     pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
-                           min_sim=min_sim)
+                           min_sim=min_sim,
+                           checkpoint_dir=checkpoint_dir)
 
     def sym(batch: pa.Table) -> pa.Table:
         a = batch.column("a_id").to_numpy()
@@ -432,7 +438,8 @@ def mutual_best_match(sf_dir: str, *, key_len: int = 24,
 
 def er_confusion_report(sf_dir: str, *, key_len: int = 24,
                         window: int = 4, min_sim: float = 0.88,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        checkpoint_dir: str | None = None):
     """CLUSTER-LEVEL CONFUSION REPORT of the fuzzy clustering vs the
     exact-Jaccard truth: how many predicted clusters reproduce a truth
     cluster EXACTLY, how many MERGE several truth clusters
@@ -458,7 +465,7 @@ def er_confusion_report(sf_dir: str, *, key_len: int = 24,
     num_partitions = num_partitions or _default_partitions()
     j = _joint_labels(
         sf_dir, key_len=key_len, window=window, min_sim=min_sim,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
     )
 
     empty_cells = pa.table(
@@ -588,7 +595,8 @@ def er_confusion_report(sf_dir: str, *, key_len: int = 24,
 def match_candidates_topk(sf_dir: str, *, k: int = 3,
                           key_len: int = 24, window: int = 4,
                           min_sim: float = 0.85,
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          checkpoint_dir: str | None = None):
     """PER-DOCUMENT CANDIDATE REVIEW QUEUE: each document's top-``k``
     scored match candidates with an explicit rank (by jw desc, then
     partner id asc) — the table a clerical-review UI pages through,
@@ -604,7 +612,8 @@ def match_candidates_topk(sf_dir: str, *, k: int = 3,
 
     num_partitions = num_partitions or _default_partitions()
     pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
-                           min_sim=min_sim)
+                           min_sim=min_sim,
+                           checkpoint_dir=checkpoint_dir)
 
     def sym(batch: pa.Table) -> pa.Table:
         a = batch.column("a_id").to_numpy()
@@ -666,7 +675,8 @@ SWEEP_THRESHOLDS = (850, 880, 900, 920, 950)
 def er_threshold_sweep(sf_dir: str, *, key_len: int = 24,
                        window: int = 4,
                        thresholds: tuple = SWEEP_THRESHOLDS,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       checkpoint_dir: str | None = None):
     """DECISION-THRESHOLD SWEEP: pair-level precision/recall/F1 of the
     Jaro-Winkler matcher vs the exact-Jaccard truth set at several
     match thresholds, from ONE scoring pass — the table a linkage
@@ -689,7 +699,8 @@ def er_threshold_sweep(sf_dir: str, *, key_len: int = 24,
     num_partitions = num_partitions or _default_partitions()
     thr = np.asarray(sorted(thresholds), dtype=np.int64)
     pred = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
-                          min_sim=float(thr[0]) / 1000.0)
+                          min_sim=float(thr[0]) / 1000.0,
+                          checkpoint_dir=checkpoint_dir)
     truth = ngram_jaccard_exact(sf_dir)
 
     def tag_pred(batch: pa.Table) -> pa.Table:
@@ -810,7 +821,8 @@ def er_threshold_sweep(sf_dir: str, *, key_len: int = 24,
 
 def dedup_rate_report(sf_dir: str, *, key_len: int = 24,
                       window: int = 4, min_sim: float = 0.88,
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      checkpoint_dir: str | None = None):
     """DEDUP-RATE REPORT: what the fuzzy clustering would save —
     document counts, cluster count, and character volume removed by
     keeping one representative (the min-id doc == the cluster label)
@@ -830,7 +842,8 @@ def dedup_rate_report(sf_dir: str, *, key_len: int = 24,
 
     num_partitions = num_partitions or _default_partitions()
     labels = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
-                               min_sim=min_sim)
+                               min_sim=min_sim,
+                               checkpoint_dir=checkpoint_dir)
 
     def tag_label(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1130,7 +1143,8 @@ def fs_match_scores(sf_dir: str, *, key_len: int = 24, window: int = 4,
 
 def match_graph_triangles(sf_dir: str, *, key_len: int = 24,
                           window: int = 4, min_sim: float = 0.80,
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          checkpoint_dir: str | None = None):
     """TRIANGLE CENSUS of the fuzzy match graph: edge count, wedge
     (length-2 path) count, triangle count, and the global clustering
     coefficient ``3 * triangles / wedges`` in exact integer ppm — the
@@ -1153,7 +1167,8 @@ def match_graph_triangles(sf_dir: str, *, key_len: int = 24,
 
     num_partitions = num_partitions or _default_partitions()
     pairs = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
-                           min_sim=min_sim)
+                           min_sim=min_sim,
+                           checkpoint_dir=checkpoint_dir)
 
     def norm(batch: pa.Table) -> pa.Table:
         a = batch.column("a_id").to_numpy()
@@ -1578,7 +1593,8 @@ def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
 
 def er_error_samples(sf_dir: str, *, key_len: int = 24,
                      window: int = 4, min_sim: float = 0.88,
-                     k: int = 10, num_partitions: int | None = None):
+                     k: int = 10, num_partitions: int | None = None,
+                     checkpoint_dir: str | None = None):
     """ERROR-ANALYSIS SAMPLES: the ``k`` smallest false-positive pairs
     (matched but not in the truth set) and ``k`` smallest false-
     negative pairs (true near-dups the matcher missed), by (id_lo,
@@ -1598,7 +1614,8 @@ def er_error_samples(sf_dir: str, *, key_len: int = 24,
 
     num_partitions = num_partitions or _default_partitions()
     pred = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
-                          min_sim=min_sim)
+                          min_sim=min_sim,
+                          checkpoint_dir=checkpoint_dir)
     truth = ngram_jaccard_exact(sf_dir)
 
     def tag_pred(batch: pa.Table) -> pa.Table:

@@ -627,3 +627,22 @@ def _norm_like_driver(res):
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_composites_checkpoint_resume(ray_session, tmp_path):
+    """checkpoint_dir threads through the evaluation composites: the
+    SN key table persists as Parquet on the first run and the second
+    run resumes from it with an identical result."""
+    import os
+
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    ck = str(tmp_path / "ck")
+    first = EM.er_threshold_sweep(SF_DIR, checkpoint_dir=ck).to_pandas()
+    assert any(
+        n.startswith("sn_keys") for n in os.listdir(ck)
+    )
+    second = EM.er_threshold_sweep(SF_DIR, checkpoint_dir=ck).to_pandas()
+    pd.testing.assert_frame_equal(first, second)
+    plain = EM.er_threshold_sweep(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(first, plain)
