@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamming_threshold_sweep": HK.hamming_threshold_sweep,
         "match_graph_modularity": EM.match_graph_modularity,
         "er_error_samples": EM.er_error_samples,
+        "dup_rate_by_source": EM.dup_rate_by_source,
     }
 
 
@@ -941,6 +942,25 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # per-source duplication rates over the fuzzy clusters
+        "dup_rate_by_source": (
+            _PRED_CTE
+            + "j AS (SELECT pred.doc_id, pcid, d.source "
+            " FROM pred JOIN documents d USING (doc_id)), "
+            "cs AS (SELECT pcid, COUNT(*) AS sz, "
+            " COUNT(DISTINCT source) AS nsrc FROM j GROUP BY 1), "
+            "v AS (SELECT j.source, "
+            " CASE WHEN cs.sz > 1 THEN 1 ELSE 0 END AS is_dup, "
+            " CASE WHEN cs.nsrc > 1 THEN 1 ELSE 0 END AS is_cross "
+            " FROM j JOIN cs USING (pcid)) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs, "
+            "CAST(SUM(is_cross) AS BIGINT) AS n_cross_dup_docs, "
+            "CAST(CASE WHEN COUNT(*) > 0 THEN "
+            " 1000 * SUM(is_dup) // COUNT(*) ELSE 0 END AS BIGINT) "
+            " AS dup_permille "
+            "FROM v GROUP BY source"
         ),
         # deterministic FP/FN debug samples: k smallest error pairs
         # per kind

@@ -1705,3 +1705,205 @@ def er_error_samples(sf_dir: str, *, key_len: int = 24,
             "id_hi": pa.array(out["id_hi"], pa.int64()),
         }
     )
+
+
+def dup_rate_by_source(sf_dir: str, *, key_len: int = 24,
+                       window: int = 4, min_sim: float = 0.88,
+                       num_partitions: int | None = None,
+                       checkpoint_dir: str | None = None):
+    """PER-SOURCE DUPLICATION RATES: for each source feed, how many of
+    its documents sit in a multi-document fuzzy cluster, and how many
+    of those clusters span ANOTHER source — the per-feed follow-up to
+    :func:`dedup_rate_report` and the row-level view behind
+    ``source_overlap_matrix`` (which feeds bring duplicates, and are
+    they internal re-posts or cross-feed copies). One row per source:
+    (source, n_docs, n_dup_docs, n_cross_dup_docs, dup_permille).
+
+    Shape: labels + (doc_id, source-hash, source) rows meet in ONE
+    doc_id exchange; ONE cluster exchange computes per-cluster size
+    and distinct-source count by run arithmetic and emits per-doc
+    verdict rows; per-source counts partial-combine per block and
+    coalesce (|sources|-bounded). Source strings ride as 64-bit
+    hashes between exchanges; the string re-attaches from a
+    |sources|-bounded driver lut (equal hash == equal string, the
+    line_dedup convention)."""
+    from hexhamming_ray.functions.hashing import (
+        _window_hashes,
+        utf8_view,
+    )
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _docs,
+        _gather_table,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    labels = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                               min_sim=min_sim,
+                               checkpoint_dir=checkpoint_dir)
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_source(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        buf, lens, starts = utf8_view(src)
+        h = np.zeros(lens.shape[0], dtype=np.uint64)
+        ne = np.flatnonzero(lens > 0)
+        if ne.shape[0]:
+            h[ne] = _window_hashes(buf, starts[ne], starts[ne] + lens[ne])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "v": pa.array(h.view(np.int64), pa.int64()),
+                "side": pa.array(
+                    np.ones(len(batch), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    empty_m = pa.table(
+        {
+            "cid": pa.array([], pa.int64()),
+            "src_h": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_m
+        d = batch.column("doc_id").to_numpy()
+        v = batch.column("v").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, d))
+        d_s, v_s, s_s = d[order], v[order], s[order]
+        a = np.arange(0, d_s.shape[0], 2)
+        assert (d_s[a] == d_s[a + 1]).all() and not s_s[a].any()
+        return pa.table(
+            {
+                "cid": pa.array(v_s[a], pa.int64()),
+                "src_h": pa.array(v_s[a + 1], pa.int64()),
+            }
+        )
+
+    empty_v = pa.table(
+        {
+            "src_h": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+            "n_cross": pa.array([], pa.int64()),
+        }
+    )
+
+    def verdicts(batch: pa.Table) -> pa.Table:
+        """One cluster-partitioned block: per cluster, size and
+        distinct-source count from runs; emit per-source partial
+        counts directly (no per-doc rows leave the block)."""
+        if len(batch) == 0:
+            return empty_v
+        c = batch.column("cid").to_numpy()
+        sh = batch.column("src_h").to_numpy()
+        order = np.lexsort((sh, c))
+        c_s, sh_s = c[order], sh[order]
+        new_c = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        c_starts = np.flatnonzero(new_c)
+        sizes = np.diff(np.append(c_starts, c_s.shape[0]))
+        new_src = new_c | np.concatenate(
+            ([False], sh_s[1:] != sh_s[:-1])
+        )
+        nsrc = np.add.reduceat(new_src.astype(np.int64), c_starts)
+        dup_doc = np.repeat(sizes > 1, sizes)
+        cross_doc = np.repeat(nsrc > 1, sizes)
+        # per-source partials via unique + bincounts
+        u, inv = np.unique(sh_s, return_inverse=True)
+        n_docs = np.bincount(inv)
+        n_dup = np.bincount(inv, weights=dup_doc).astype(np.int64)
+        n_cross = np.bincount(inv, weights=cross_doc).astype(np.int64)
+        return pa.table(
+            {
+                "src_h": pa.array(u, pa.int64()),
+                "n_docs": pa.array(
+                    n_docs.astype(np.int64), pa.int64()
+                ),
+                "n_dup": pa.array(n_dup, pa.int64()),
+                "n_cross": pa.array(n_cross, pa.int64()),
+            }
+        )
+
+    rows = (
+        labels.map_batches(tag_label, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(
+            _docs(sf_dir, ["doc_id", "source"], hash_shuffle=True)
+            .map_batches(tag_source, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        )
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(merge, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["cid"])
+        .map_batches(verdicts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    # |sources|-bounded finalize: sum partials per source hash, then
+    # re-attach the string from a distinct-source driver lut
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(int(r["src_h"]), [0, 0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_dup"])
+        a[2] += int(r["n_cross"])
+    st = _gather_table(
+        _docs(sf_dir, ["source"]).map_batches(
+            lambda b: b.group_by(["source"]).aggregate([]),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        pa.schema([("source", pa.string())]),
+    )
+    names = sorted(set(st.column("source").to_pylist()))
+
+    def h64(x: str) -> int:
+        b = np.frombuffer(x.encode(), dtype=np.uint8)
+        if b.shape[0] == 0:
+            return 0
+        return int(
+            _window_hashes(
+                b, np.array([0], np.int64),
+                np.array([b.shape[0]], np.int64),
+            )[0].view(np.int64)
+        )
+
+    out = {"source": [], "n_docs": [], "n_dup_docs": [],
+           "n_cross_dup_docs": [], "dup_permille": []}
+    for name in names:
+        nd, dup, cross = agg.get(h64(name), [0, 0, 0])
+        out["source"].append(name)
+        out["n_docs"].append(nd)
+        out["n_dup_docs"].append(dup)
+        out["n_cross_dup_docs"].append(cross)
+        out["dup_permille"].append(
+            1000 * dup // nd if nd else 0
+        )
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+            "n_dup_docs": pa.array(out["n_dup_docs"], pa.int64()),
+            "n_cross_dup_docs": pa.array(
+                out["n_cross_dup_docs"], pa.int64()
+            ),
+            "dup_permille": pa.array(out["dup_permille"], pa.int64()),
+        }
+    )

@@ -294,7 +294,7 @@ DOC_QUERIES = [
     "er_confusion_report", "cross_source_links",
     "source_overlap_matrix", "ngram_jaccard_prefix",
     "stopword_ratio_docs", "er_fs_eval", "er_error_samples",
-    "match_graph_modularity",
+    "match_graph_modularity", "dup_rate_by_source",
 ]
 
 
