@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_graph_modularity": EM.match_graph_modularity,
         "er_error_samples": EM.er_error_samples,
         "dup_rate_by_source": EM.dup_rate_by_source,
+        "dedup_cascade_report": EM.dedup_cascade_report,
     }
 
 
@@ -942,6 +943,59 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # staged dedup cascade: exact -> near (Jaccard components among
+        # exact survivors) -> fuzzy (JW components among near
+        # survivors); pair sets are the full-corpus operators
+        # restricted to surviving endpoints
+        "dedup_cascade_report": (
+            "WITH RECURSIVE "
+            "s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+            " GROUP BY text), "
+            + _TRUTH_CTE + ", "
+            "tr2 AS (SELECT id_lo, id_hi FROM tr "
+            " JOIN s1 a ON a.doc_id = tr.id_lo "
+            " JOIN s1 b ON b.doc_id = tr.id_hi), "
+            "ted2 AS (SELECT id_lo AS a, id_hi AS b FROM tr2 "
+            " UNION SELECT id_hi, id_lo FROM tr2), "
+            "cc2(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM s1 "
+            " UNION "
+            " SELECT cc2.id, ted2.b FROM cc2 "
+            " JOIN ted2 ON cc2.rr = ted2.a), "
+            "lab2 AS (SELECT id, MIN(rr) AS cid FROM cc2 GROUP BY id), "
+            "s2 AS (SELECT id AS doc_id FROM lab2 WHERE id = cid), "
+            "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "p3 AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_lo, "
+            " GREATEST(a.doc_id, b.doc_id) AS id_hi "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "p3s AS (SELECT id_lo, id_hi FROM p3 "
+            " JOIN s2 a ON a.doc_id = p3.id_lo "
+            " JOIN s2 b ON b.doc_id = p3.id_hi), "
+            "ted3 AS (SELECT id_lo AS a, id_hi AS b FROM p3s "
+            " UNION SELECT id_hi, id_lo FROM p3s), "
+            "cc3(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM s2 "
+            " UNION "
+            " SELECT cc3.id, ted3.b FROM cc3 "
+            " JOIN ted3 ON cc3.rr = ted3.a), "
+            "lab3 AS (SELECT id, MIN(rr) AS cid FROM cc3 GROUP BY id), "
+            "s3 AS (SELECT id AS doc_id FROM lab3 WHERE id = cid), "
+            "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v "
+            " FROM documents), "
+            "c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM s1), "
+            "c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM s2), "
+            "c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM s3) "
+            "SELECT 'exact' AS stage, nn.v AS docs_in, "
+            " c1.v AS docs_out, nn.v - c1.v AS removed FROM nn, c1 "
+            "UNION ALL SELECT 'near', c1.v, c2.v, c1.v - c2.v "
+            " FROM c1, c2 "
+            "UNION ALL SELECT 'fuzzy', c2.v, c3.v, c2.v - c3.v "
+            " FROM c2, c3"
         ),
         # per-source duplication rates over the fuzzy clusters
         "dup_rate_by_source": (

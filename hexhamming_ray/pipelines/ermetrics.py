@@ -1907,3 +1907,252 @@ def dup_rate_by_source(sf_dir: str, *, key_len: int = 24,
             "dup_permille": pa.array(out["dup_permille"], pa.int64()),
         }
     )
+
+
+def _ids_minus(base, losers, num_partitions: int,
+               broadcast_cap: int, force_join: bool = False):
+    """Survivor-set subtraction: ``base`` (doc_id) minus ``losers``
+    (doc_id). Size-switched: under ``broadcast_cap`` loser rows the
+    set broadcasts once and a per-batch mask filters; above it (or
+    ``force_join``) a native left_anti join with the note-63 sentinel
+    carries any scale."""
+    import ray
+
+    from hexhamming_ray.pipelines.text import _gather_table
+
+    losers = losers.materialize()
+    if not force_join and losers.count() <= broadcast_cap:
+        lt = _gather_table(
+            losers, pa.schema([("doc_id", pa.int64())])
+        )
+        ref = ray.put(np.sort(lt.column("doc_id").to_numpy()))
+
+        class _Drop:
+            def __init__(self):
+                self._ids = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from hexhamming_ray.pipelines.relational import (
+                    _lut_probe,
+                )
+
+                if self._ids is None:
+                    self._ids = ray.get(ref)
+                d = batch.column("doc_id").to_numpy()
+                _, hit = _lut_probe(self._ids, d)
+                return batch.filter(pa.array(~hit))
+
+        return base.map_batches(_Drop(), batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    seed = ray.data.from_arrow(
+        pa.table({"loser": pa.array([-1], pa.int64())})
+    )
+    rl = seed.union(losers.map_batches(
+        lambda b: pa.table({"loser": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ))
+    return base.join(
+        rl, join_type="left_anti", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("loser",),
+    )
+
+
+def _pairs_within(pairs, surv, cols, num_partitions: int,
+                  broadcast_cap: int, force_join: bool = False):
+    """Restrict a pair Dataset to pairs whose BOTH endpoint columns
+    are in the survivor id set — broadcast membership mask under the
+    cap, two seeded left_semi joins above it."""
+    import ray
+
+    from hexhamming_ray.pipelines.text import _gather_table
+
+    surv = surv.materialize()
+    ca, cb = cols
+    if not force_join and surv.count() <= broadcast_cap:
+        st = _gather_table(surv, pa.schema([("doc_id", pa.int64())]))
+        ref = ray.put(np.sort(st.column("doc_id").to_numpy()))
+
+        class _Keep:
+            def __init__(self):
+                self._ids = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from hexhamming_ray.pipelines.relational import (
+                    _lut_probe,
+                )
+
+                if self._ids is None:
+                    self._ids = ray.get(ref)
+                a = batch.column(ca).to_numpy()
+                b = batch.column(cb).to_numpy()
+                _, ha = _lut_probe(self._ids, a)
+                _, hb = _lut_probe(self._ids, b)
+                return batch.filter(pa.array(ha & hb))
+
+        return pairs.map_batches(_Keep(), batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+    seed = ray.data.from_arrow(
+        pa.table({"sid": pa.array([-1], pa.int64())})
+    )
+    rs = seed.union(surv.map_batches(
+        lambda b: pa.table({"sid": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )).materialize()
+    j = pairs.join(
+        rs, join_type="left_semi", num_partitions=num_partitions,
+        on=(ca,), right_on=("sid",),
+    )
+    return j.join(
+        rs, join_type="left_semi", num_partitions=num_partitions,
+        on=(cb,), right_on=("sid",),
+    )
+
+
+def dedup_cascade_report(sf_dir: str, *, key_len: int = 24,
+                         window: int = 4, min_sim: float = 0.88,
+                         num_partitions: int | None = None,
+                         force_join: bool = False):
+    """STAGED-DEDUP CASCADE: the canonical curation pass run as one
+    report — (1) EXACT dedup (one survivor per identical text), then
+    (2) NEAR dedup (exact Jaccard >= 0.5 components among the exact
+    survivors), then (3) FUZZY dedup (Jaro-Winkler >= ``min_sim``
+    components among the near survivors) — with per-stage document
+    counts, the table that answers 'what does each stage actually
+    buy?'. One row per stage: (stage, docs_in, docs_out, removed).
+
+    Pair semantics: stage-2/3 pair sets are the FULL-corpus operators
+    restricted to the surviving endpoints (the SQL oracle states the
+    same restriction), so each stage reuses the already-oracled pair
+    machinery unchanged. Each stage keeps the component's min doc_id.
+
+    Shape: stage 1 is one text-hash exchange (equal hash == equal
+    text, the line_dedup convention) emitting run-min survivors;
+    stages 2/3 filter their pair streams through the size-switched
+    survivor membership (broadcast mask under
+    ``GRAPH_LABEL_BROADCAST_CAP`` / seeded left_semi joins above —
+    ``force_join`` pins the paths), run the shared distributed
+    union-find on the surviving edges only, and subtract the
+    non-min-label nodes (again size-switched). Counts come from
+    Dataset.count() on materialized NARROW id sets."""
+    from hexhamming_ray.functions.hashing import (
+        _window_hashes,
+        utf8_view,
+    )
+    from hexhamming_ray.pipelines.strmatch import fuzzy_match_jw
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _docs,
+        ngram_jaccard_exact,
+    )
+    from hexhamming_ray.stages.annsearch import GRAPH_LABEL_BROADCAST_CAP
+    from hexhamming_ray.state.unionfind import connected_components
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def th_rows(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        buf, lens, starts = utf8_view(text)
+        h = np.zeros(lens.shape[0], dtype=np.uint64)
+        ne = np.flatnonzero(lens > 0)
+        if ne.shape[0]:
+            h[ne] = _window_hashes(buf, starts[ne], starts[ne] + lens[ne])
+        return pa.table(
+            {
+                "th": pa.array(h.view(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+            }
+        )
+
+    empty_s = pa.table({"doc_id": pa.array([], pa.int64())})
+
+    def run_min(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_s
+        th = batch.column("th").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        order = np.lexsort((d, th))
+        th_s, d_s = th[order], d[order]
+        head = np.concatenate(([True], th_s[1:] != th_s[:-1]))
+        return pa.table(
+            {"doc_id": pa.array(d_s[head], pa.int64())}
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"], hash_shuffle=True)
+    n_in = docs.count()
+    s1 = (
+        docs.map_batches(th_rows, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["th"])
+        .map_batches(run_min, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()
+    )
+    o1 = s1.count()
+
+    def losers_of(edges):
+        labels = connected_components(edges)
+        return labels.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("node").cast(pa.int64())}
+            ).filter(
+                pa.compute.not_equal(
+                    b.column("node").cast(pa.int64()),
+                    b.column("cluster_id").cast(pa.int64()),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    # stage 2: exact-Jaccard components among exact survivors
+    e2 = _pairs_within(
+        ngram_jaccard_exact(sf_dir).select_columns(["id_lo", "id_hi"]),
+        s1, ("id_lo", "id_hi"), num_partitions,
+        GRAPH_LABEL_BROADCAST_CAP, force_join,
+    )
+    s2 = _ids_minus(s1, losers_of(e2), num_partitions,
+                    GRAPH_LABEL_BROADCAST_CAP, force_join).materialize()
+    o2 = s2.count()
+
+    # stage 3: JW components among near survivors
+    p3 = fuzzy_match_jw(sf_dir, key_len=key_len, window=window,
+                        min_sim=min_sim)
+
+    def norm3(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    e3 = _pairs_within(
+        p3.map_batches(norm3, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        s2, ("id_lo", "id_hi"), num_partitions,
+        GRAPH_LABEL_BROADCAST_CAP, force_join,
+    )
+    s3 = _ids_minus(s2, losers_of(e3), num_partitions,
+                    GRAPH_LABEL_BROADCAST_CAP, force_join).materialize()
+    o3 = s3.count()
+
+    stages = [("exact", n_in, o1), ("near", o1, o2),
+              ("fuzzy", o2, o3)]
+    return pa.table(
+        {
+            "stage": pa.array([s for s, _, _ in stages], pa.string()),
+            "docs_in": pa.array(
+                [i for _, i, _ in stages], pa.int64()
+            ),
+            "docs_out": pa.array(
+                [o for _, _, o in stages], pa.int64()
+            ),
+            "removed": pa.array(
+                [i - o for _, i, o in stages], pa.int64()
+            ),
+        }
+    )

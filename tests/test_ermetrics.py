@@ -646,3 +646,18 @@ def test_composites_checkpoint_resume(ray_session, tmp_path):
     pd.testing.assert_frame_equal(first, second)
     plain = EM.er_threshold_sweep(SF_DIR).to_pandas()
     pd.testing.assert_frame_equal(first, plain)
+
+
+def test_cascade_paths_agree_and_monotone(ray_session):
+    """Broadcast survivor masks vs seeded left_semi/left_anti joins
+    produce the identical cascade; counts telescope (docs_out of one
+    stage is docs_in of the next) and never grow."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    a = EM.dedup_cascade_report(SF_DIR).to_pandas()
+    b = EM.dedup_cascade_report(SF_DIR, force_join=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.stage) == ["exact", "near", "fuzzy"]
+    assert (a.docs_out <= a.docs_in).all()
+    assert list(a.docs_in[1:]) == list(a.docs_out[:-1])
+    assert (a.removed == a.docs_in - a.docs_out).all()

@@ -295,6 +295,7 @@ DOC_QUERIES = [
     "source_overlap_matrix", "ngram_jaccard_prefix",
     "stopword_ratio_docs", "er_fs_eval", "er_error_samples",
     "match_graph_modularity", "dup_rate_by_source",
+    "dedup_cascade_report",
 ]
 
 
