@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_error_samples": EM.er_error_samples,
         "dup_rate_by_source": EM.dup_rate_by_source,
         "dedup_cascade_report": EM.dedup_cascade_report,
+        "parts_skyline": R.parts_skyline,
     }
 
 
@@ -943,6 +944,20 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY n DESC, cents ASC) AS rk FROM g) "
             "SELECT event_type, cents AS mode_cents, n AS n_mode "
             "FROM r WHERE rk = 1"
+        ),
+        # skyline: parts with no dominator on (price, size); ties on
+        # both dimensions all survive
+        "parts_skyline": (
+            "WITH p AS (SELECT p_partkey, "
+            " CAST(ROUND(p_retailprice * 100) AS BIGINT) "
+            "  AS price_cents, "
+            " CAST(p_size AS BIGINT) AS p_size FROM part) "
+            "SELECT p_partkey, price_cents, p_size FROM p a "
+            "WHERE NOT EXISTS (SELECT 1 FROM p b "
+            " WHERE b.price_cents <= a.price_cents "
+            " AND b.p_size <= a.p_size "
+            " AND (b.price_cents < a.price_cents "
+            "  OR b.p_size < a.p_size))"
         ),
         # staged dedup cascade: exact -> near (Jaccard components among
         # exact survivors) -> fuzzy (JW components among near

@@ -7039,3 +7039,90 @@ def user_centered_sum(sf_dir: str, *, k: int = 2,
         .map_batches(centered, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
     )
+
+
+def parts_skyline(sf_dir: str):
+    """SKYLINE (Pareto-dominance) query: parts not DOMINATED on
+    (price, size) — no other part is <= on both dimensions and
+    strictly < on at least one (the classic multi-criteria shortlist;
+    Borzsonyi et al. ICDE'01). Equal-on-both ties all survive.
+    (p_partkey, price_cents, p_size), minimizing both dimensions.
+
+    Shape — the distributed SKYLINE-OF-SKYLINES: each block computes
+    its LOCAL skyline with one vectorized sweep (sort by (price,
+    size); a point is dominated iff the running size-min over
+    strictly-cheaper points reaches it, or a same-price point has
+    strictly smaller size), then the (small) local survivors merge in
+    ONE block under the same sweep. Exact by dominance transitivity:
+    every globally dominated point has an UNDOMINATED dominator
+    (dominance chains terminate — strictness forbids cycles), and
+    that dominator survives its local pass, so the merge removes the
+    point. Survivor volume is data-dependent (anti-correlated
+    dimensions inflate it) — the standard skyline caveat,
+    documented."""
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
+                    "p_size": pa.array([], pa.int64()),
+                }
+            )
+        key = batch.column("p_partkey").cast(pa.int64()).to_numpy()
+        price = batch.column("price_cents").to_numpy()
+        size = batch.column("p_size").cast(pa.int64()).to_numpy()
+        order = np.lexsort((size, price))
+        p_s, s_s, k_s = price[order], size[order], key[order]
+        # running size-min over STRICTLY cheaper points: prefix min
+        # re-based at each price-group start
+        new_p = np.concatenate(([True], p_s[1:] != p_s[:-1]))
+        grp_start = np.maximum.accumulate(
+            np.where(new_p, np.arange(n, dtype=np.int64), -1)
+        )
+        run_min = np.minimum.accumulate(s_s)
+        # min over indices < group start (strictly cheaper): gather
+        # run_min at grp_start - 1 (sentinel +inf for the first group)
+        prev_min = np.where(
+            grp_start > 0, run_min[np.maximum(grp_start - 1, 0)],
+            np.iinfo(np.int64).max,
+        )
+        # same-price group: only min-size members survive the
+        # within-group test; group min == run_min at the group's first
+        # index position continued through the group
+        grp_min = s_s[grp_start]
+        keep = (prev_min > s_s) & (s_s == grp_min)
+        sel = order[keep]
+        return pa.table(
+            {
+                "p_partkey": pa.array(key[sel], pa.int64()),
+                "price_cents": pa.array(price[sel], pa.int64()),
+                "p_size": pa.array(size[sel], pa.int64()),
+            }
+        )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey").cast(pa.int64()),
+                "price_cents": _cents(batch.column("p_retailprice")),
+                "p_size": batch.column("p_size").cast(pa.int64()),
+            }
+        )
+
+    def local2(batch: pa.Table) -> pa.Table:
+        # merge pass runs the identical sweep on the survivor union
+        return local_skyline(batch)
+
+    return (
+        _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(prep, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .map_batches(local_skyline, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=1)
+        .map_batches(local2, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )

@@ -661,3 +661,59 @@ def test_cascade_paths_agree_and_monotone(ray_session):
     assert (a.docs_out <= a.docs_in).all()
     assert list(a.docs_in[1:]) == list(a.docs_out[:-1])
     assert (a.removed == a.docs_in - a.docs_out).all()
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_skyline_vs_bruteforce(ray_session, tmp_path, seed):
+    """Distributed skyline-of-skylines equals the O(n^2) dominance
+    reference on random parts with PLANTED exact ties (equal on both
+    dimensions — all must survive) and duplicated skyline points."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hexhamming_ray.pipelines.relational import parts_skyline
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    price = np.round(rng.uniform(1, 100, n), 2)
+    size = rng.integers(1, 40, n).astype(np.int32)
+    # planted ties: rows 0/1 identical; rows 2/3 equal price,
+    # different size; rows 4/5 equal size, different price
+    price[1], size[1] = price[0], size[0]
+    price[3] = price[2]
+    size[5] = size[4]
+    d = tmp_path / f"sk{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(1, n + 1), pa.int64()),
+                "p_name": pa.array([f"p{i}" for i in range(n)],
+                                   pa.string()),
+                "p_brand": pa.array(["B"] * n, pa.string()),
+                "p_type": pa.array(["T"] * n, pa.string()),
+                "p_size": pa.array(size, pa.int32()),
+                "p_retailprice": pa.array(price, pa.float64()),
+            }
+        ),
+        d / "part.parquet",
+    )
+    got = (
+        parts_skyline(str(d)).to_pandas()
+        .sort_values("p_partkey").reset_index(drop=True)
+    )
+    cents = np.round(price * 100).astype(np.int64)
+    sz = size.astype(np.int64)
+    keep = []
+    for i in range(n):
+        dominated = bool(
+            np.any(
+                (cents <= cents[i]) & (sz <= sz[i])
+                & ((cents < cents[i]) | (sz < sz[i]))
+            )
+        )
+        if not dominated:
+            keep.append(i + 1)
+    assert list(got.p_partkey) == keep
+    assert len(keep) > 0

@@ -197,6 +197,7 @@ EVENT_QUERIES = [
     "event_lag_lead", "user_first_last_event", "events_hopping_6h",
     "user_daily_spine", "user_moving_sum", "user_retention",
     "event_percent_rank", "asof_next_purchase", "event_cume_dist",
+    "event_value_mode", "user_centered_sum",
 ]
 
 
@@ -403,6 +404,7 @@ RELATIONAL_QUERIES = [
     "lineitem_priority_counts", "orders_rollup",
     "part_supplier_distinct", "supplier_rank_in_nation",
     "orders_by_month", "q12_late_lines", "q13_customer_distribution",
+    "parts_skyline",
 ]
 
 
