@@ -43,7 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from hexhamming_ray.pipelines import ermetrics as EM
     from hexhamming_ray.pipelines import hamkey as HK
 
-    return {
+    reg = {
         # --- Hamming-key ER (the reference's core predicate at corpus
         # scale: pigeonhole band blocking, recall 1.0 by construction,
         # DuckDB `mismatches` value oracle) ---
@@ -266,6 +266,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cascade_report": EM.dedup_cascade_report,
         "parts_skyline": R.parts_skyline,
     }
+    # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
+    # the FIRST 50 registry entries; cumulative driver coverage after
+    # r01-r04 is 113/198.  Lead with the 85 queries that have no driver
+    # row in CORRECTNESS_r01-r04 (SQL-value-oracled ones first, the
+    # five no_oracle-by-nature ones at the back of that block), then
+    # the 113 already-driver-green queries in their existing order.
+    front = [k for k in _ROUND5_FRONT if k in reg]
+    ordered = {k: reg[k] for k in front}
+    ordered.update({k: v for k, v in reg.items() if k not in ordered})
+    return ordered
+
+
+# The 85 registry entries with no CORRECTNESS_r01..r04 row, computed
+# from those artifacts on 2026-08-20; 80 SQL-oracled + (tail) the 5
+# no_oracle-by-nature ones (sketches / iterative / media sampling).
+_ROUND5_FRONT = [
+    "er_bcubed_eval",
+    "er_rand_index",
+    "er_threshold_sweep",
+    "er_confusion_report",
+    "er_error_samples",
+    "er_fs_eval",
+    "fs_match_scores",
+    "match_graph_triangles",
+    "match_graph_modularity",
+    "dedup_rate_report",
+    "dedup_cascade_report",
+    "dup_rate_by_source",
+    "mutual_best_match",
+    "match_candidates_topk",
+    "cross_source_links",
+    "source_overlap_matrix",
+    "weighted_jaccard_pairs",
+    "ngram_containment_pairs",
+    "ngram_jaccard_prefix",
+    "hamming_threshold_sweep",
+    "parts_skyline",
+    "q2_min_price_suppliers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_region_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_brand_size_suppliers",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_lone_late_suppliers",
+    "q22_idle_rich_customers",
+    "docs_except_all",
+    "docs_intersect_all",
+    "docs_orc_roundtrip",
+    "docs_feather_roundtrip",
+    "gopher_filter_docs",
+    "stopword_ratio_docs",
+    "lang_balance_docs",
+    "curriculum_order_docs",
+    "sample_k_docs",
+    "shuffle_docs",
+    "dup_span_docs",
+    "doc_rarity_scores",
+    "bpe_pair_counts",
+    "embedding_dedup_survivors",
+    "event_value_mode",
+    "user_centered_sum",
+    "event_percent_rank",
+    "event_cume_dist",
+    "asof_next_purchase",
+    "lineitem_price_qty_cov",
+    "orders_above_cust_avg",
+    "user_activity_full_outer",
+    "orders_of_building_customers",
+    "event_value_quartiles",
+    "user_cumulative_value",
+    "event_lag_lead",
+    "supplier_rank_in_nation",
+    "user_first_last_event",
+    "orders_by_month",
+    "events_hopping_6h",
+    "user_daily_spine",
+    "events_dayofweek",
+    "part_name_features",
+    "event_gaps",
+    "orders_rollup",
+    "part_supplier_distinct",
+    "top_users_heavyhitter",
+    "order_price_quantile_sketch_exact",
+    "cms_user_event_counts_exact",
+    "media_frame_index",
+    # --- no_oracle by nature (rows-only driver check) ---
+    "media_frame_sample",
+    "kmeans_embeddings",
+    "approx_distinct_users",
+    "order_price_quantile_sketch",
+    "cms_user_event_counts",
+]
 
 
 def _kmeans_q(sf_dir: str):
