@@ -140,8 +140,14 @@ def _joint_labels(sf_dir: str, *, key_len: int, window: int,
         order = np.lexsort((s, d))
         d_s, c_s, s_s = d[order], c[order], s[order]
         a = np.arange(0, d_s.shape[0], 2)
-        # every doc has exactly one pred + one truth row
-        assert (d_s[a] == d_s[a + 1]).all() and not s_s[a].any()
+        # every doc has exactly one pred + one truth row; raise (not
+        # assert) so the invariant survives `python -O` — a duplicated
+        # doc_id would silently misalign every downstream gather
+        if not ((d_s[a] == d_s[a + 1]).all() and not s_s[a].any()):
+            raise ValueError(
+                "joint-label merge: duplicated or unmatched doc_id "
+                "(each doc must have exactly one pred + one truth row)"
+            )
         return pa.table(
             {
                 "pcid": pa.array(c_s[a], pa.int64()),
@@ -885,7 +891,11 @@ def dedup_rate_report(sf_dir: str, *, key_len: int = 24,
         order = np.lexsort((s, d))
         d_s, v_s, s_s = d[order], v[order], s[order]
         a = np.arange(0, d_s.shape[0], 2)
-        assert (d_s[a] == d_s[a + 1]).all() and not s_s[a].any()
+        if not ((d_s[a] == d_s[a + 1]).all() and not s_s[a].any()):
+            raise ValueError(
+                "dedup-rate merge: duplicated or unmatched doc_id "
+                "(each doc must have exactly one row per side)"
+            )
         cid = v_s[a]
         chars = v_s[a + 1]
         surv = d_s[a] == cid
@@ -1012,8 +1022,10 @@ class _FsScoreBroadcast:
         jw = batch.column("jw_sim").to_numpy()
         pa_, ha = _lut_probe(ids, a)
         pb, hb = _lut_probe(ids, b)
-        # every pair id came from the same documents read
-        assert ha.all() and hb.all()
+        # every pair id came from the same documents read; raise so
+        # the check survives `python -O`
+        if not (ha.all() and hb.all()):
+            raise ValueError("FS scoring: pair id missing from the feature LUT")
         score, decision = _fs_decide(
             jw, l8[pa_], l8[pb], lb[pa_], lb[pb], tb[pa_], tb[pb]
         )
@@ -1364,8 +1376,11 @@ def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
     giant-component penalty of the degree term). Exact integer ppm:
     ``Q_ppm = sum_c [ (1e6 * e_c) // m  -  (1e6 * d_c^2) // (4 m^2) ]``
     with every floor division mirrored in the SQL oracle. ONE row:
-    (n_edges, n_intra_edges, modularity_ppm). int64 bound: d_c < 3e9
-    endpoint slots (the oracle's HUGEINT has no such cliff).
+    (n_edges, n_intra_edges, modularity_ppm). The degree term runs a
+    vectorized int64 fast path while every d_c < 3e6 endpoint slots
+    (1e6*d_c^2 < 2^63) and switches to exact Python-int arithmetic
+    above it, so there is no overflow cliff at any cluster size
+    (matching the oracle's HUGEINT).
 
     Shape: edges label-attach via ONE broadcast label lut under
     ``GRAPH_LABEL_BROADCAST_CAP`` (both endpoints in one map) or two
@@ -1437,7 +1452,11 @@ def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
                 hi = batch.column("hi").to_numpy()
                 plo, hlo = _lut_probe(ids_, lo)
                 phi, hhi = _lut_probe(ids_, hi)
-                assert hlo.all() and hhi.all()
+                if not (hlo.all() and hhi.all()):
+                    raise ValueError(
+                        "label attach: edge endpoint missing from the "
+                        "label LUT"
+                    )
                 return pa.table(
                     {
                         "clo": pa.array(cid[plo], pa.int64()),
@@ -1556,9 +1575,20 @@ def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
         e_arr = np.add.reduceat(np.where(sd_s == 0, v_s, 0), starts)
         d_arr = np.add.reduceat(np.where(sd_s == 1, v_s, 0), starts)
         intra_total = int(e_arr.sum())
-        q = int(((1_000_000 * e_arr) // m).sum()) - int(
-            ((1_000_000 * d_arr * d_arr) // (4 * m * m)).sum()
-        )
+        # 1e6 * d_c^2 wraps int64 once d_c exceeds ~3.04e6 endpoint
+        # slots (a giant component at the looser edge_sim crosses that
+        # easily at corpus scale): vectorized int64 fast path below the
+        # cliff, exact Python-int fallback above it — no overflow at
+        # any d_c, matching the oracle's HUGEINT arithmetic.
+        dmax = int(d_arr.max()) if len(d_arr) else 0
+        if dmax < 3_000_000:
+            deg_term = int(((1_000_000 * d_arr * d_arr) // (4 * m * m)).sum())
+        else:
+            mm4 = 4 * m * m
+            deg_term = sum(
+                (1_000_000 * d * d) // mm4 for d in map(int, d_arr)
+            )
+        q = int(((1_000_000 * e_arr) // m).sum()) - deg_term
         return pa.table(
             {
                 "intra": pa.array([intra_total], pa.int64()),
@@ -1788,7 +1818,11 @@ def dup_rate_by_source(sf_dir: str, *, key_len: int = 24,
         order = np.lexsort((s, d))
         d_s, v_s, s_s = d[order], v[order], s[order]
         a = np.arange(0, d_s.shape[0], 2)
-        assert (d_s[a] == d_s[a + 1]).all() and not s_s[a].any()
+        if not ((d_s[a] == d_s[a + 1]).all() and not s_s[a].any()):
+            raise ValueError(
+                "per-source merge: duplicated or unmatched doc_id "
+                "(each doc must have exactly one row per side)"
+            )
         return pa.table(
             {
                 "cid": pa.array(v_s[a], pa.int64()),

@@ -6973,7 +6973,7 @@ def event_value_mode(sf_dir: str, *, num_partitions: int | None = None):
 
 
 def user_centered_sum(sf_dir: str, *, k: int = 2,
-                      num_partitions: int = 16):
+                      num_partitions: int | None = None):
     """CENTERED bounded ROWS frame (ROWS BETWEEN ``k`` PRECEDING AND
     ``k`` FOLLOWING) — the symmetric smoothing window that completes
     the frame family's missing shape (trailing ROWS =
@@ -7031,6 +7031,9 @@ def user_centered_sum(sf_dir: str, *, k: int = 2,
             }
         )
 
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
     return (
         _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
            hash_shuffle=True)

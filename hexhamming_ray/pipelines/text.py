@@ -833,9 +833,17 @@ def er_exact_clusters(sf_dir: str):
     from hexhamming_ray.pipelines.er import build_clusters, build_edges_from_fps
 
     def fp(batch: pa.Table) -> pa.Table:
+        from hexhamming_ray.functions.hashing import utf8_view
+
+        # hash zero-copy memoryview slices of the Arrow value buffer
+        # (the string column's data buffer IS the utf-8 stream
+        # encode() would produce) — same digests as the old
+        # per-doc `sha256(t.encode())`, no Python string objects
+        buf, lens, starts = utf8_view(batch.column("text"))
+        mv = memoryview(buf)
         digests = [
-            hashlib.sha256(t.encode()).digest()
-            for t in batch.column("text").to_pylist()
+            hashlib.sha256(mv[s:s + l]).digest()
+            for s, l in zip(starts.tolist(), lens.tolist())
         ]
         return pa.table(
             {
@@ -1030,16 +1038,25 @@ def _ngram_verify_broadcast(sf_dir: str, cands, threshold: float,
     # it ZERO-COPY — a dict of bytes would deserialize per task
     sid = st.column("doc_id").to_numpy()
     order = np.argsort(sid)
-    sets = [
-        np.frombuffer(b, dtype=np.uint64)
-        for b in st.column("sh").to_pylist()
-    ]
-    lens = np.array([s.shape[0] for s in sets], dtype=np.int64)[order]
+    # loop-free gather: the large_binary column's value buffer already
+    # IS the concatenated uint64 stream; reorder the per-doc runs into
+    # id-sorted order with one vectorized run-gather (repeat + cumsum)
+    # instead of per-row frombuffer + concatenate
+    from hexhamming_ray.functions.hashing import utf8_view
+
+    buf, blens, bstarts = utf8_view(st.column("sh"))
+    data_u64 = buf.view(np.uint64) if buf.size else np.empty(0, np.uint64)
+    lens = (blens // 8)[order]
+    starts_e = (bstarts // 8)[order]
     offsets = np.r_[np.int64(0), np.cumsum(lens)]
-    flat = (
-        np.concatenate([sets[i] for i in order])
-        if sets else np.empty(0, dtype=np.uint64)
-    )
+    tot = int(offsets[-1])
+    if tot:
+        idx = np.repeat(starts_e - offsets[:-1], lens) + np.arange(
+            tot, dtype=np.int64
+        )
+        flat = data_u64[idx]
+    else:
+        flat = np.empty(0, dtype=np.uint64)
     lut_ref = ray.put((sid[order], offsets, flat))
 
     pairs_ds = ray.data.from_arrow(
@@ -5234,8 +5251,18 @@ def stopword_ratio_docs(sf_dir: str):
             zero_copy_only=False
         ).astype(np.int64)
         doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = toks.flatten()
+        # utf8_split_whitespace emits empty boundary tokens for
+        # leading/trailing whitespace; drop them so the flat token
+        # stream (and any count derived from it) agrees with the \S+
+        # token_count used for n_tokens
+        nonempty = pc.not_equal(
+            pc.binary_length(flat), 0
+        ).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_rep = doc_rep[nonempty]
         m = pc.is_in(
-            pc.utf8_lower(toks.flatten()), value_set=sw
+            pc.utf8_lower(flat), value_set=sw
         ).to_numpy(zero_copy_only=False)
         ns = np.bincount(doc_rep[m], minlength=n).astype(np.int64)
         nt = T.token_count(text).to_numpy()
