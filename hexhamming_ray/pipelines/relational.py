@@ -962,15 +962,22 @@ def approx_distinct_users(sf_dir: str, *, p: int = 12):
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
-        et = np.asarray(batch.column("event_type").to_pylist())
+        # dictionary-encode the fact-table string key: group codes are
+        # integers and only the (tiny) dictionary ever materializes
+        # strings — no per-row Python objects (VERDICT r04 #4)
+        et_col = batch.column("event_type")
+        if isinstance(et_col, pa.ChunkedArray):
+            et_col = et_col.combine_chunks()
+        enc = et_col.dictionary_encode()
+        inv = enc.indices.to_numpy().astype(np.int64, copy=False)
+        keys_arr = enc.dictionary
         uid = batch.column("user_id").to_numpy()
-        keys, inv = np.unique(et, return_inverse=True)
-        regs = np.zeros((len(keys), m), dtype=np.uint8)
+        regs = np.zeros((len(keys_arr), m), dtype=np.uint8)
         idx, rank = _hll_rho(_splitmix64(uid), p)
         np.maximum.at(regs, (inv, idx), rank.astype(np.uint8))
         return pa.table(
             {
-                "event_type": pa.array(keys, pa.string()),
+                "event_type": keys_arr.cast(pa.string()),
                 "sketch": pa.array([r.tobytes() for r in regs], pa.binary()),
             }
         )
@@ -1049,13 +1056,19 @@ def order_price_quantile_sketch(sf_dir: str, *, per_block: int = 512):
         )
         if n == 0:
             return empty
-        status = np.asarray(batch.column("o_orderstatus").to_pylist())
+        # dictionary-encode the fact-table group key: lexsort/group on
+        # integer codes, materialize strings only from the dictionary
+        st_col = batch.column("o_orderstatus")
+        if isinstance(st_col, pa.ChunkedArray):
+            st_col = st_col.combine_chunks()
+        enc = st_col.dictionary_encode()
+        scode = enc.indices.to_numpy().astype(np.int64, copy=False)
         cents = _cents(batch.column("o_totalprice")).to_numpy()
-        order = np.lexsort((cents, status))
-        status, cents = status[order], cents[order]
+        order = np.lexsort((cents, scode))
+        scode, cents = scode[order], cents[order]
         new = np.empty(n, dtype=bool)
         new[0] = True
-        new[1:] = status[1:] != status[:-1]
+        new[1:] = scode[1:] != scode[:-1]
         starts = np.flatnonzero(new)
         ends = np.r_[starts[1:], n]
         out_s, out_v, out_w = [], [], []
@@ -1066,12 +1079,14 @@ def order_price_quantile_sketch(sf_dir: str, *, per_block: int = 512):
                 np.linspace(0, g.shape[0] - 1, m).astype(np.int64)
             )
             seg = np.diff(np.r_[np.int64(-1), pos])  # weights sum to n_g
-            out_s.append(np.repeat(status[s0], pos.shape[0]))
+            out_s.append(np.repeat(scode[s0], pos.shape[0]))
             out_v.append(g[pos])
             out_w.append(seg)
         return pa.table(
             {
-                "o_orderstatus": pa.array(np.concatenate(out_s), pa.string()),
+                "o_orderstatus": enc.dictionary.take(
+                    pa.array(np.concatenate(out_s))
+                ).cast(pa.string()),
                 "v": pa.array(np.concatenate(out_v), pa.int64()),
                 "w": pa.array(np.concatenate(out_w), pa.int64()),
             }
@@ -1612,9 +1627,13 @@ def order_price_quantiles(sf_dir: str, *, num_partitions: int = 4):
                     "p90_cents": pa.array([], pa.float64()),
                 }
             )
-        status = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        st_col = batch.column("o_orderstatus")
+        if isinstance(st_col, pa.ChunkedArray):
+            st_col = st_col.combine_chunks()
+        enc = st_col.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+        keys_arr = enc.dictionary
         cents = _cents(batch.column("o_totalprice")).to_numpy()
-        keys, codes = np.unique(status, return_inverse=True)
         order = np.lexsort((cents, codes))
         codes_s = codes[order]
         cents_s = cents[order].astype(np.float64)
@@ -1632,7 +1651,9 @@ def order_price_quantiles(sf_dir: str, *, num_partitions: int = 4):
 
         return pa.table(
             {
-                "o_orderstatus": pa.array(keys[codes_s[starts]]),
+                "o_orderstatus": keys_arr.take(
+                    pa.array(codes_s[starts])
+                ).cast(pa.string()),
                 "median_cents": pa.array(interp(0.5), pa.float64()),
                 "p90_cents": pa.array(interp(0.9), pa.float64()),
             }
