@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": EM.dup_rate_by_source,
         "dedup_cascade_report": EM.dedup_cascade_report,
         "parts_skyline": R.parts_skyline,
+        # round 5: the composite evaluation panel (B-cubed + Rand +
+        # confusion census from ONE shared clustering pass)
+        "er_evaluation_report": EM.er_evaluation_report,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -282,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # from those artifacts on 2026-08-20; 80 SQL-oracled + (tail) the 5
 # no_oracle-by-nature ones (sketches / iterative / media sampling).
 _ROUND5_FRONT = [
+    "er_evaluation_report",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2680,6 +2684,55 @@ def oracle_sql() -> dict[str, str]:
             "  // (sp.s // nn.n + sr.s // nn.n) ELSE 0 END AS BIGINT) "
             " AS bcubed_f1_ppm "
             "FROM nn, sp, sr"
+        ),
+        # the composite panel: B-cubed + Rand + confusion census from
+        # one clustering pass; integer expressions identical to the
+        # three siblings it fuses
+        "er_evaluation_report": (
+            _PRED_TRUTH_CELLS
+            + "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j), "
+            "sp AS (SELECT CAST(SUM(c * ((1000000 * c) // p)) "
+            " AS BIGINT) AS s FROM cells JOIN psz USING (pcid)), "
+            "sr AS (SELECT CAST(SUM(c * ((1000000 * c) // t)) "
+            " AS BIGINT) AS s FROM cells JOIN tsz USING (tcid)), "
+            "n11 AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) "
+            " AS BIGINT) AS v FROM cells), "
+            "sp2 AS (SELECT CAST(COALESCE(SUM(p * (p - 1) // 2), 0) "
+            " AS BIGINT) AS v FROM psz), "
+            "st2 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) "
+            " AS BIGINT) AS v FROM tsz), "
+            "kp AS (SELECT pcid, COUNT(*) AS kpc FROM cells "
+            " GROUP BY 1), "
+            "kt AS (SELECT tcid, COUNT(*) AS ktc FROM cells "
+            " GROUP BY 1), "
+            "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cells "
+            " JOIN kp USING (pcid) JOIN kt USING (tcid) "
+            " WHERE kpc = 1 AND ktc = 1), "
+            "spl AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cells "
+            " JOIN kp USING (pcid) JOIN kt USING (tcid) "
+            " WHERE kpc = 1 AND ktc > 1), "
+            "np2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kp), "
+            "nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kp "
+            " WHERE kpc > 1), "
+            "nt2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kt) "
+            "SELECT nn.n AS n_docs, "
+            "CAST(sp.s // nn.n AS BIGINT) AS bcubed_precision_ppm, "
+            "CAST(sr.s // nn.n AS BIGINT) AS bcubed_recall_ppm, "
+            "CAST(CASE WHEN sp.s // nn.n + sr.s // nn.n > 0 "
+            " THEN (2 * (sp.s // nn.n) * (sr.s // nn.n)) "
+            "  // (sp.s // nn.n + sr.s // nn.n) ELSE 0 END AS BIGINT) "
+            " AS bcubed_f1_ppm, "
+            "CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS pairs_total, "
+            "n11.v AS pairs_same_both, sp2.v AS pairs_same_pred, "
+            "st2.v AS pairs_same_truth, "
+            "CAST(CASE WHEN nn.n > 1 THEN 1000000 * "
+            " (n11.v + (nn.n * (nn.n - 1) // 2 - sp2.v - st2.v + n11.v)) "
+            " // (nn.n * (nn.n - 1) // 2) ELSE 1000000 END AS BIGINT) "
+            " AS rand_index_ppm, "
+            "np2.v AS n_pred_clusters, nt2.v AS n_truth_clusters, "
+            "ex.v AS n_exact, nm.v AS n_merging_pred, "
+            "spl.v AS n_split_parts "
+            "FROM nn, sp, sr, n11, sp2, st2, np2, nm, nt2, ex, spl"
         ),
         # Rand index of the same two labelings: pair-counting agreement
         # in exact integer ppm

