@@ -266,8 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cascade_report": EM.dedup_cascade_report,
         "parts_skyline": R.parts_skyline,
         # round 5: the composite evaluation panel (B-cubed + Rand +
-        # confusion census from ONE shared clustering pass)
+        # confusion census from ONE shared clustering pass) and the
+        # REAL-codec multimodal path (stdlib wave decode, value-oracled)
         "er_evaluation_report": EM.er_evaluation_report,
+        "media_wav_index": _media_wav_index_q,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -286,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # no_oracle-by-nature ones (sketches / iterative / media sampling).
 _ROUND5_FRONT = [
     "er_evaluation_report",
+    "media_wav_index",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -397,6 +400,12 @@ def _media_frame_index_q(sf_dir: str):
     from hexhamming_ray.stages.multimodal import media_frame_index
 
     return media_frame_index(500)
+
+
+def _media_wav_index_q(sf_dir: str):
+    from hexhamming_ray.stages.multimodal import media_wav_index
+
+    return media_wav_index(500)
 
 
 _SN_CTE = (
@@ -2061,6 +2070,14 @@ def oracle_sql() -> dict[str, str]:
             " WHERE kmod = 2 AND g.j < LEAST(4, GREATEST(1, "
             "   len // GREATEST(len // 4, 1)))"
             ") SELECT * FROM img UNION ALL SELECT * FROM vid"
+        ),
+        # real-codec multimodal: decoded PCM byte count of a 16-bit
+        # mono WAV with 64+(id%129) frames is 2*(64+id%129); the hash
+        # compare therefore covers the stdlib `wave` decode end-to-end
+        "media_wav_index": (
+            "SELECT i AS media_id, 'audio' AS kind, "
+            "CAST(2 * (64 + (i % 129)) AS BIGINT) AS n_bytes "
+            "FROM generate_series(0, 499) AS t(i)"
         ),
         # CMS at the collision-free width: point estimates ARE the
         # exact counts of the exact top-20 users

@@ -190,6 +190,97 @@ def media_features(n_media: int = 1000, *, decode: str = "fake",
     )
 
 
+def wav_codec(payload: bytes, kind: str) -> np.ndarray:
+    """REAL codec for ``decode="real"``: parse a genuine RIFF/WAVE
+    container with the stdlib ``wave`` module (the one audio codec
+    library present in this sandbox — PIL/soundfile/PyAV are absent,
+    see the probe in SURVEY.md §7) and return the decoded PCM byte
+    stream. Module-level on purpose: picklable, ships once per actor
+    with the extractor instance."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype=np.uint8)
+
+
+def synth_wav_batch(batch: dict) -> pa.Table:
+    """Deterministic REAL media rows: each payload is a valid WAV
+    container (mono, 16-bit, 8 kHz) written through ``wave.open``,
+    with ``64 + (id % 129)`` PCM frames whose sample bytes derive from
+    the id's sha256 — so the decoded byte count is pure integer
+    arithmetic (``2 * (64 + id % 129)``) and the real-codec pipeline
+    gets a SQL value oracle."""
+    import io
+    import wave
+
+    ids = batch["id"].astype(np.int64)
+    payloads = []
+    for i in ids.tolist():
+        nframes = 64 + (i % 129)
+        raw = (
+            hashlib.sha256(f"wav|{i}".encode()).digest()
+            * ((nframes * 2) // 32 + 1)
+        )[: nframes * 2]
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(raw)
+        payloads.append(bio.getvalue())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(
+                np.full(len(ids), "audio", dtype=object), pa.string()
+            ),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.zeros(len(ids), np.int32)),
+            "height": pa.array(np.zeros(len(ids), np.int32)),
+            "sample_rate": pa.array(np.full(len(ids), 8000, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_wav_features(n_media: int = 500, *, decode: str = "real"):
+    """The multimodal feature pipeline against REAL container bytes:
+    synthetic-but-valid WAV payloads decoded by the stdlib ``wave``
+    codec through the ``decode="real"`` injection surface (the same
+    path a PIL/PyAV wrapper would use). Returns (media_id, kind,
+    feature, n_bytes) with n_bytes the DECODED PCM byte count."""
+    import ray
+
+    from hexhamming_ray import tune_data_context
+
+    tune_data_context()
+    media = ray.data.range(n_media).map_batches(
+        synth_wav_batch, batch_format="numpy", batch_size=256
+    )
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decode": decode, "codec": wav_codec},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
+def media_wav_index(n_media: int = 500):
+    """SQL-value-oracled projection of the REAL-codec pipeline: the
+    decoded byte count of a ``64 + (id % 129)``-frame 16-bit mono WAV
+    is ``2 * (64 + id % 129)``, which a generate_series CTE states
+    exactly — so the driver's hash compare covers the real `wave`
+    decode end-to-end (the float feature column is dropped, the
+    media_frame_index convention)."""
+    return media_wav_features(n_media).select_columns(
+        ["media_id", "kind", "n_bytes"]
+    )
+
+
 class FrameSampler:
     """Actor-pool stage: sample ``k`` evenly-spaced frames from each
     VIDEO payload (images pass through as one frame; audio rows drop).

@@ -108,6 +108,43 @@ def test_media_features_injected_codec(ray_session):
     assert real["n_bytes"].tolist() == real2["n_bytes"].tolist()
 
 
+def test_media_wav_real_codec(ray_session):
+    """The decode="real" surface against a NON-TOY codec: payloads are
+    valid RIFF/WAVE containers and the injected codec is the stdlib
+    `wave` module parsing them — a genuine container-format decode, not
+    an injected fake. Decoded byte counts must equal the PCM payload
+    size (2 bytes/frame, mono), and the decoded stream must match a
+    driver-side wave.open of the same container."""
+    import io
+    import wave as wavelib
+
+    import numpy as np
+
+    from hexhamming_ray.stages.multimodal import (
+        media_wav_features,
+        synth_wav_batch,
+        wav_codec,
+    )
+
+    out = media_wav_features(150).to_pandas().sort_values("media_id")
+    assert len(out) == 150
+    expect = [2 * (64 + (i % 129)) for i in range(150)]
+    assert out["n_bytes"].tolist() == expect
+    assert all(len(f) == 64 for f in out["feature"])
+
+    # the codec really parses the container: driver-side reference
+    tbl = synth_wav_batch({"id": np.arange(5, dtype=np.int64)})
+    for i in range(5):
+        payload = tbl.column("payload")[i].as_py()
+        with wavelib.open(io.BytesIO(payload), "rb") as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == 8000
+            ref = w.readframes(w.getnframes())
+        got = wav_codec(payload, "audio")
+        assert got.tobytes() == ref
+
+
 def test_text_functions():
     import pyarrow as pa
 
