@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL-codec multimodal path (stdlib wave decode, value-oracled)
         "er_evaluation_report": EM.er_evaluation_report,
         "media_wav_index": _media_wav_index_q,
+        "er_adjusted_rand": EM.er_adjusted_rand,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _ROUND5_FRONT = [
     "er_evaluation_report",
     "media_wav_index",
+    "er_adjusted_rand",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2750,6 +2752,35 @@ def oracle_sql() -> dict[str, str]:
             "ex.v AS n_exact, nm.v AS n_merging_pred, "
             "spl.v AS n_split_parts "
             "FROM nn, sp, sr, n11, sp2, st2, np2, nm, nt2, ex, spl"
+        ),
+        # chance-corrected pair agreement: ARI with trunc-toward-zero
+        # signed division (DuckDB // semantics, mirrored in the engine)
+        # + squared Fowlkes-Mallows; n^4 products live in HUGEINT
+        "er_adjusted_rand": (
+            _PRED_TRUTH_CELLS
+            + "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM j), "
+            "n11 AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) "
+            " AS HUGEINT) AS v FROM cells), "
+            "sp2 AS (SELECT CAST(COALESCE(SUM(p * (p - 1) // 2), 0) "
+            " AS HUGEINT) AS v FROM psz), "
+            "st2 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) "
+            " AS HUGEINT) AS v FROM tsz), "
+            "c0 AS (SELECT nn.n AS n, nn.n * (nn.n - 1) // 2 AS total, "
+            " n11.v AS b, sp2.v AS p, st2.v AS t "
+            " FROM nn, n11, sp2, st2), "
+            "c1 AS (SELECT *, 2 * (total * b - p * t) AS num2, "
+            " total * (p + t) - 2 * p * t AS den2 FROM c0) "
+            "SELECT CAST(n AS BIGINT) AS n_docs, "
+            "CAST(total AS BIGINT) AS pairs_total, "
+            "CAST(b AS BIGINT) AS pairs_same_both, "
+            "CAST(p AS BIGINT) AS pairs_same_pred, "
+            "CAST(t AS BIGINT) AS pairs_same_truth, "
+            "CAST(CASE WHEN den2 = 0 THEN 1000000 "
+            " WHEN num2 < 0 THEN -((1000000 * -num2) // den2) "
+            " ELSE (1000000 * num2) // den2 END AS BIGINT) AS ari_ppm, "
+            "CAST(CASE WHEN p * t = 0 THEN 1000000 "
+            " ELSE (1000000 * b * b) // (p * t) END AS BIGINT) "
+            " AS fm2_ppm FROM c1"
         ),
         # Rand index of the same two labelings: pair-counting agreement
         # in exact integer ppm

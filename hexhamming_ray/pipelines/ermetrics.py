@@ -324,6 +324,69 @@ def er_rand_index(sf_dir: str, *, key_len: int = 24, window: int = 4,
     )
 
 
+def er_adjusted_rand(sf_dir: str, *, key_len: int = 24, window: int = 4,
+                     min_sim: float = 0.88,
+                     num_partitions: int | None = None,
+                     checkpoint_dir: str | None = None):
+    """ADJUSTED RAND INDEX (chance-corrected pair agreement; Hubert &
+    Arabie 1985) plus the squared Fowlkes–Mallows index of the fuzzy
+    clustering vs the exact-Jaccard truth — the chance-corrected
+    companions to :func:`er_rand_index` (raw Rand reads high whenever
+    clusters are small; ARI subtracts the expected agreement).
+    Exact integers end-to-end: with b = pairs clustered together on
+    both sides, p/t = the two marginal pair sums and T = C(n,2),
+    ``ari_ppm = 1e6 * 2(Tb - pt) / (T(p+t) - 2pt)`` evaluated in
+    arbitrary-precision Python ints with TRUNC-toward-zero division
+    (mirroring DuckDB's ``//`` on signed values; ARI is negative when
+    agreement is below chance), and ``fm2_ppm = 1e6 * b^2 // (p*t)``
+    (FM squared stays rational, so no sqrt leaves integer land).
+    ONE row: (n_docs, pairs_total, pairs_same_both, pairs_same_pred,
+    pairs_same_truth, ari_ppm, fm2_ppm).
+
+    Same physical plan as er_rand_index: the joint label table meets
+    two keyed exchanges; all pair sums are per-block run arithmetic;
+    the driver holds four integers (the n^4-magnitude products live in
+    Python ints / SQL HUGEINT — no int64 cliff)."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    j = _joint_labels(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+    ).materialize()
+    _, sum_p, n11, n = _stat_sums(
+        _cell_stats(j, "pcid", "tcid", num_partitions)
+    )
+    _, sum_t, _, _ = _stat_sums(
+        _cell_stats(j, "tcid", "pcid", num_partitions)
+    )
+    total = n * (n - 1) // 2
+    num2 = 2 * (total * n11 - sum_p * sum_t)
+    den2 = total * (sum_p + sum_t) - 2 * sum_p * sum_t
+    if den2 == 0:
+        ari = 1_000_000
+    elif num2 < 0:
+        ari = -((1_000_000 * -num2) // den2)
+    else:
+        ari = (1_000_000 * num2) // den2
+    fm2 = (
+        1_000_000 * n11 * n11 // (sum_p * sum_t)
+        if sum_p * sum_t
+        else 1_000_000
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "pairs_total": pa.array([total], pa.int64()),
+            "pairs_same_both": pa.array([n11], pa.int64()),
+            "pairs_same_pred": pa.array([sum_p], pa.int64()),
+            "pairs_same_truth": pa.array([sum_t], pa.int64()),
+            "ari_ppm": pa.array([ari], pa.int64()),
+            "fm2_ppm": pa.array([fm2], pa.int64()),
+        }
+    )
+
+
 def mutual_best_match(sf_dir: str, *, key_len: int = 24,
                       window: int = 4, min_sim: float = 0.88,
                       num_partitions: int | None = None,
