@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_evaluation_report": EM.er_evaluation_report,
         "media_wav_index": _media_wav_index_q,
         "er_adjusted_rand": EM.er_adjusted_rand,
+        "fs_weight_estimates": EM.fs_weight_estimates,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -291,6 +292,7 @@ _ROUND5_FRONT = [
     "er_evaluation_report",
     "media_wav_index",
     "er_adjusted_rand",
+    "fs_weight_estimates",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2752,6 +2754,63 @@ def oracle_sql() -> dict[str, str]:
             "ex.v AS n_exact, nm.v AS n_merging_pred, "
             "spl.v AS n_split_parts "
             "FROM nn, sp, sr, n11, sp2, st2, np2, nm, nt2, ex, spl"
+        ),
+        # FS m/u estimation by direct counting vs the truth labels;
+        # agreement defined per field exactly as in fs_match_scores
+        "fs_weight_estimates": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "att AS (SELECT doc_id, lang AS l8, n_chars // 64 AS lb, "
+            " len(regexp_extract_all(text, '\\S+')) // 16 AS tb "
+            " FROM documents), "
+            "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4), "
+            "ag AS (SELECT LEAST(a_id, b_id) AS id_lo, "
+            " GREATEST(a_id, b_id) AS id_hi, "
+            " CASE WHEN jw >= 0.92 THEN 1 ELSE 0 END AS f0, "
+            " CASE WHEN xa.l8 = xb.l8 THEN 1 ELSE 0 END AS f1, "
+            " CASE WHEN xa.lb = xb.lb THEN 1 ELSE 0 END AS f2, "
+            " CASE WHEN xa.tb = xb.tb THEN 1 ELSE 0 END AS f3 "
+            " FROM p0 JOIN att xa ON xa.doc_id = p0.a_id "
+            " JOIN att xb ON xb.doc_id = p0.b_id), "
+            + _TRUTH_CTE + ", "
+            "lab AS (SELECT ag.*, CASE WHEN tr.id_lo IS NOT NULL "
+            " THEN 1 ELSE 0 END AS m FROM ag LEFT JOIN tr "
+            " ON tr.id_lo = ag.id_lo AND tr.id_hi = ag.id_hi), "
+            "s AS (SELECT CAST(SUM(m) AS BIGINT) AS nm, "
+            " CAST(SUM(1 - m) AS BIGINT) AS nn, "
+            " CAST(SUM(f0 * m) AS BIGINT) AS am0, "
+            " CAST(SUM(f1 * m) AS BIGINT) AS am1, "
+            " CAST(SUM(f2 * m) AS BIGINT) AS am2, "
+            " CAST(SUM(f3 * m) AS BIGINT) AS am3, "
+            " CAST(SUM(f0 * (1 - m)) AS BIGINT) AS an0, "
+            " CAST(SUM(f1 * (1 - m)) AS BIGINT) AS an1, "
+            " CAST(SUM(f2 * (1 - m)) AS BIGINT) AS an2, "
+            " CAST(SUM(f3 * (1 - m)) AS BIGINT) AS an3 FROM lab) "
+            "SELECT 'jw' AS field, nm AS n_match, nn AS n_nonmatch, "
+            " am0 AS agree_match, an0 AS agree_nonmatch, "
+            " CAST(CASE WHEN nm > 0 THEN 1000000 * am0 // nm "
+            "  ELSE 0 END AS BIGINT) AS m_ppm, "
+            " CAST(CASE WHEN nn > 0 THEN 1000000 * an0 // nn "
+            "  ELSE 0 END AS BIGINT) AS u_ppm FROM s "
+            "UNION ALL SELECT 'lang', nm, nn, am1, an1, "
+            " CAST(CASE WHEN nm > 0 THEN 1000000 * am1 // nm "
+            "  ELSE 0 END AS BIGINT), "
+            " CAST(CASE WHEN nn > 0 THEN 1000000 * an1 // nn "
+            "  ELSE 0 END AS BIGINT) FROM s "
+            "UNION ALL SELECT 'len_band', nm, nn, am2, an2, "
+            " CAST(CASE WHEN nm > 0 THEN 1000000 * am2 // nm "
+            "  ELSE 0 END AS BIGINT), "
+            " CAST(CASE WHEN nn > 0 THEN 1000000 * an2 // nn "
+            "  ELSE 0 END AS BIGINT) FROM s "
+            "UNION ALL SELECT 'tok_band', nm, nn, am3, an3, "
+            " CAST(CASE WHEN nm > 0 THEN 1000000 * am3 // nm "
+            "  ELSE 0 END AS BIGINT), "
+            " CAST(CASE WHEN nn > 0 THEN 1000000 * an3 // nn "
+            "  ELSE 0 END AS BIGINT) FROM s"
         ),
         # chance-corrected pair agreement: ARI with trunc-toward-zero
         # signed division (DuckDB // semantics, mirrored in the engine)

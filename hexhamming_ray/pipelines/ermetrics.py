@@ -1612,6 +1612,152 @@ def er_fs_eval(sf_dir: str, *, key_len: int = 24, window: int = 4):
     )
 
 
+def fs_weight_estimates(sf_dir: str, *, key_len: int = 24,
+                        window: int = 4,
+                        num_partitions: int | None = None,
+                        force_join: bool = False):
+    """FELLEGI-SUNTER PARAMETER ESTIMATION from the labeled truth set:
+    for each of the four comparison fields (JW(key) >= 0.92, language,
+    length band, token band), the agreement probability among
+    truth-MATCHED candidate pairs (m) and among truth-UNMATCHED ones
+    (u) — the quantities the FS log-weights derive from, estimated by
+    direct counting against the exact-Jaccard truth labels (the
+    supervised route; EM is what you run when no truth exists). One
+    row per field: (field, n_match, n_nonmatch, agree_match,
+    agree_nonmatch, m_ppm, u_ppm), floor-div integer ppm.
+
+    Shape: :func:`fs_match_scores` already carries everything needed —
+    the four fixed weight pairs (+30/-12, +24/-8, +18/-6, +14/-5) make
+    all 16 agreement subsets sum to DISTINCT scores, so the per-pair
+    field mask decodes from ``fs_score`` alone and this operator
+    reuses the scored stream (both cap-switched attr plans, pinned by
+    fs_match_scores' own tests) verbatim. Scored pairs + truth pairs
+    ride one tagged union into ONE exchange on the unordered pair key;
+    each block labels pred rows by run adjacency (the threshold-sweep
+    trick) and folds to a single 10-counter row; the driver holds 4
+    rows."""
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        ngram_jaccard_exact,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    scored = fs_match_scores(sf_dir, key_len=key_len, window=window,
+                             force_join=force_join)
+    truth = ngram_jaccard_exact(sf_dir)
+
+    # the 16 distinct subset sums -> field masks (bit order: jw, lang,
+    # len_band, tok_band); base = all-disagree = -12-8-6-5 = -31
+    spans = np.array([42, 32, 24, 19], dtype=np.int64)
+    masks = np.arange(16, dtype=np.int64)
+    sums = np.full(16, -31, dtype=np.int64)
+    for bit in range(4):
+        sums += np.where(masks & (1 << bit), spans[bit], 0)
+    s_order = np.argsort(sums)
+    s_sorted, m_sorted = sums[s_order], masks[s_order]
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        sc = batch.column("fs_score").to_numpy()
+        pos = np.searchsorted(s_sorted, sc)
+        if not (s_sorted[pos] == sc).all():
+            raise ValueError("fs_score outside the 16 subset sums")
+        return pa.table(
+            {
+                "id_lo": pa.array(np.minimum(a, b), pa.int64()),
+                "id_hi": pa.array(np.maximum(a, b), pa.int64()),
+                "side": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "fmask": pa.array(m_sorted[pos], pa.int64()),
+            }
+        )
+
+    def tag_truth(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "id_lo": batch.column("id_lo").cast(pa.int64()),
+                "id_hi": batch.column("id_hi").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64), pa.int64()),
+                "fmask": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    cols = ["nm", "nn", "am0", "am1", "am2", "am3", "an0", "an1",
+            "an2", "an3"]
+    empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        lo = batch.column("id_lo").to_numpy()
+        hi = batch.column("id_hi").to_numpy()
+        sd = batch.column("side").to_numpy()
+        fm = batch.column("fmask").to_numpy()
+        order = np.lexsort((sd, hi, lo))
+        lo_s, hi_s, sd_s = lo[order], hi[order], sd[order]
+        succ_same = np.concatenate(
+            ((lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])
+             & (sd_s[1:] == 1), [False])
+        )
+        pred_rows = sd_s == 0
+        fm_p = fm[order][pred_rows]
+        matched = succ_same[pred_rows]
+        vals = {
+            "nm": int(matched.sum()),
+            "nn": int((~matched).sum()),
+        }
+        for bit in range(4):
+            agree = (fm_p & (1 << bit)) != 0
+            vals[f"am{bit}"] = int((agree & matched).sum())
+            vals[f"an{bit}"] = int((agree & ~matched).sum())
+        return pa.table(
+            {c: pa.array([vals[c]], pa.int64()) for c in cols}
+        )
+
+    rows = (
+        scored.map_batches(tag_pred, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(truth.map_batches(tag_truth, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions,
+                     keys=["id_lo", "id_hi"])
+        .map_batches(count_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .take_all()
+    )
+    tot = {c: sum(int(r[c]) for r in rows) for c in cols}
+    fields = ["jw", "lang", "len_band", "tok_band"]
+    out = {
+        "field": [], "n_match": [], "n_nonmatch": [],
+        "agree_match": [], "agree_nonmatch": [], "m_ppm": [],
+        "u_ppm": [],
+    }
+    for bit, name in enumerate(fields):
+        am, an = tot[f"am{bit}"], tot[f"an{bit}"]
+        out["field"].append(name)
+        out["n_match"].append(tot["nm"])
+        out["n_nonmatch"].append(tot["nn"])
+        out["agree_match"].append(am)
+        out["agree_nonmatch"].append(an)
+        out["m_ppm"].append(
+            1_000_000 * am // tot["nm"] if tot["nm"] else 0
+        )
+        out["u_ppm"].append(
+            1_000_000 * an // tot["nn"] if tot["nn"] else 0
+        )
+    return pa.table(
+        {
+            "field": pa.array(out["field"], pa.string()),
+            **{
+                k: pa.array(out[k], pa.int64())
+                for k in ("n_match", "n_nonmatch", "agree_match",
+                          "agree_nonmatch", "m_ppm", "u_ppm")
+            },
+        }
+    )
+
+
 def match_graph_modularity(sf_dir: str, *, key_len: int = 24,
                            window: int = 4, cluster_sim: float = 0.88,
                            edge_sim: float = 0.80,
