@@ -96,6 +96,13 @@ _EXTENDED = [
     "weighted_jaccard_pairs",
     "mutual_best_match",
     "cross_source_links",
+    # round-5: composite panel (one clustering pass for the whole
+    # evaluation suite), chance-corrected indices, FS m/u estimation,
+    # real-WAV-codec multimodal path
+    "er_evaluation_report",
+    "er_adjusted_rand",
+    "fs_weight_estimates",
+    "media_wav_index",
 ]
 
 
