@@ -112,7 +112,8 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
                      num_partitions: int | None = None,
                      key_mode: str = "prefix",
                      checkpoint_dir: str | None = None,
-                     pair_filter=None):
+                     pair_filter=None,
+                     docs_filter=None, filter_tag: str = ""):
     """Shared sorted-neighborhood machinery: rank docs by (key,
     doc_id), emit all (a, b) pairs with rank gap <= ``window``, and
     apply ``scorer(amat, alen, bmat, blen, gaps) -> (keep_mask,
@@ -131,6 +132,11 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
     num_partitions = num_partitions or _default_partitions()
 
     def key_rows(batch: pa.Table) -> pa.Table:
+        if docs_filter is not None:
+            # sub-corpus restriction (e.g. incremental ER's resolved
+            # base) applied at the read — ranks are exact over the
+            # restricted doc set; filter_tag keys the checkpoint
+            batch = docs_filter(batch)
         text = batch.column("text")
         if key_mode == "suffix_rev":
             text = pc.utf8_reverse(text)  # == DuckDB reverse()
@@ -169,7 +175,7 @@ def _sn_scored_pairs(sf_dir: str, key_len: int, window: int, scorer,
     from hexhamming_ray.state.checkpoint import Checkpointer
 
     keyed = Checkpointer(checkpoint_dir).stage(
-        f"sn_keys_{key_mode}_{key_len}", build_keyed
+        f"sn_keys_{key_mode}_{key_len}{filter_tag}", build_keyed
     )
 
     counts = _bucket_counts(keyed, _N_BUCKETS)
@@ -1004,6 +1010,255 @@ def er_fuzzy_clusters(sf_dir: str, *, key_len: int = 24,
     nodes = _docs(sf_dir, ["doc_id"], hash_shuffle=True)
     return label_nodes(labels, nodes, "doc_id", "cluster_id",
                        broadcast_cap=GRAPH_LABEL_BROADCAST_CAP)
+
+
+def er_incremental_assign(sf_dir: str, *, key_len: int = 24,
+                          window: int = 4, min_sim: float = 0.88,
+                          mod: int = 10,
+                          num_partitions: int | None = None,
+                          checkpoint_dir: str | None = None):
+    """INCREMENTAL ER — assign, don't re-resolve: documents with
+    ``doc_id % mod == 0`` are the NEWLY ARRIVED batch (delta); the
+    rest are the already-RESOLVED base. Base clusters are computed
+    over base docs ONLY (new arrivals must not move existing entity
+    ids — the production contract of an incremental pipeline); each
+    delta doc then joins the cluster of its best base match
+    (JW >= ``min_sim`` among the full-ranking sorted-neighborhood
+    candidates, ties toward the smaller base id) or founds a singleton
+    cluster under its own id. Output: (doc_id, cluster_id) for the
+    DELTA docs only. Delta-delta matches are deliberately NOT merged —
+    that is the re-resolution step this mode defers.
+
+    Scale: the base clustering is the standard rank-bucketed SN path
+    restricted at the read (``docs_filter`` — ranks are exact over the
+    base set); candidate volume stays n×window; the three assignment
+    exchanges carry 16-24-byte rows (best-match argmax by run heads,
+    label attach by run merge, and a tagged anti-union that closes
+    unmatched deltas) — nothing scales with text size."""
+    import ray
+
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _docs,
+    )
+    from hexhamming_ray.stages.annsearch import GRAPH_LABEL_BROADCAST_CAP
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        label_nodes,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def base_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(ids % mod != 0))
+
+    base_pairs = _sn_scored_pairs(
+        sf_dir, key_len, window, _JwScorer(min_sim),
+        checkpoint_dir=checkpoint_dir, docs_filter=base_only,
+        filter_tag=f"_base{mod}",
+    )
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_lo": batch.column("a_id").cast(pa.int64()),
+                "id_hi": batch.column("b_id").cast(pa.int64()),
+            }
+        )
+
+    base_labels = label_nodes(
+        connected_components(
+            base_pairs.map_batches(as_edges, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=None)
+        ),
+        _docs(sf_dir, ["doc_id"], hash_shuffle=True).map_batches(
+            base_only, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "doc_id", "cluster_id",
+        broadcast_cap=GRAPH_LABEL_BROADCAST_CAP,
+    )
+
+    # cross base x delta candidates from the FULL-corpus ranking (the
+    # existing checkpointable pass — blocking may see everything; only
+    # base clusters are read-only)
+    full_pairs = fuzzy_match_jw(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    def cross_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        jw = batch.column("jw_sim").to_numpy()
+        a_d = a % mod == 0
+        b_d = b % mod == 0
+        keep = a_d != b_d
+        a, b, jw, a_d = a[keep], b[keep], jw[keep], a_d[keep]
+        return pa.table(
+            {
+                "delta_id": pa.array(np.where(a_d, a, b), pa.int64()),
+                "base_id": pa.array(np.where(a_d, b, a), pa.int64()),
+                "jw": pa.array(jw, pa.float64()),
+            }
+        )
+
+    empty_best = pa.table(
+        {
+            "base_id": pa.array([], pa.int64()),
+            "delta_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def best_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_best
+        d = batch.column("delta_id").to_numpy()
+        b = batch.column("base_id").to_numpy()
+        jw = batch.column("jw").to_numpy()
+        order = np.lexsort((b, -jw, d))
+        d_s, b_s = d[order], b[order]
+        heads = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        return pa.table(
+            {
+                "base_id": pa.array(b_s[heads], pa.int64()),
+                "delta_id": pa.array(d_s[heads], pa.int64()),
+            }
+        )
+
+    best = (
+        full_pairs.map_batches(cross_rows, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["delta_id"])
+        .map_batches(best_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+    # label attach: ONE exchange on the base id; each run starts with
+    # its single label row (side 0), side-1 rows gather it
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(len(batch), np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    def tag_best(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("base_id").cast(pa.int64()),
+                "v": batch.column("delta_id").cast(pa.int64()),
+                "side": pa.array(np.ones(len(batch), np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    empty_asg = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_asg
+        k = batch.column("k").to_numpy()
+        v = batch.column("v").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, k))
+        k_s, v_s, s_s = k[order], v[order], s[order]
+        heads = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(heads)
+        if s_s[starts].any():
+            raise ValueError(
+                "incremental attach: best-match base id missing its "
+                "label row"
+            )
+        run_idx = np.cumsum(heads) - 1
+        labels_per_row = v_s[starts][run_idx]
+        pick = s_s == 1
+        return pa.table(
+            {
+                "doc_id": pa.array(v_s[pick], pa.int64()),
+                "cluster_id": pa.array(labels_per_row[pick],
+                                       pa.int64()),
+            }
+        )
+
+    assigned = (
+        base_labels.map_batches(tag_label, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        .union(best.map_batches(tag_best, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["k"])
+        .map_batches(attach_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+    # close unmatched deltas: tagged anti-union on the delta id (runs
+    # without a side-1 assignment label themselves)
+    def delta_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flt = batch.filter(pa.array(ids % mod == 0))
+        n = len(flt)
+        return pa.table(
+            {
+                "k": flt.column("doc_id").cast(pa.int64()),
+                "v": flt.column("doc_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_assigned(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(np.ones(len(batch), np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    def close_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_asg
+        k = batch.column("k").to_numpy()
+        v = batch.column("v").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, k))
+        k_s, v_s = k[order], v[order]
+        # take each run's LAST row: the side-1 assignment when present,
+        # else the delta's own id
+        ends = np.concatenate((k_s[1:] != k_s[:-1], [True]))
+        return pa.table(
+            {
+                "doc_id": pa.array(k_s[ends], pa.int64()),
+                "cluster_id": pa.array(v_s[ends], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"], hash_shuffle=True)
+        .map_batches(delta_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .union(assigned.map_batches(tag_assigned,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["k"])
+        .map_batches(close_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
 
 
 # ---------------------------------------------------------------------------
