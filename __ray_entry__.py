@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_adjusted_rand": EM.er_adjusted_rand,
         "fs_weight_estimates": EM.fs_weight_estimates,
         "er_incremental_assign": SM.er_incremental_assign,
+        "er_incremental_report": SM.er_incremental_report,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -295,6 +296,7 @@ _ROUND5_FRONT = [
     "er_adjusted_rand",
     "fs_weight_estimates",
     "er_incremental_assign",
+    "er_incremental_report",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2801,6 +2803,51 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(asg.cluster_id, d.doc_id) AS cluster_id "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d "
             "LEFT JOIN asg ON asg.doc_id = d.doc_id"
+        ),
+        # assign-mode debt ledger: assigned vs singleton deltas plus
+        # the deferred delta-delta match pairs
+        "er_incremental_report": (
+            "WITH RECURSIVE "
+            "base AS (SELECT * FROM documents WHERE doc_id % 10 <> 0), "
+            "kb AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM base), "
+            "rb AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM kb), "
+            "pb AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM rb a JOIN rb b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "edb AS (SELECT a, b FROM pb UNION SELECT b, a FROM pb), "
+            "reachb(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM base "
+            " UNION "
+            " SELECT reachb.id, edb.b FROM reachb "
+            " JOIN edb ON reachb.rr = edb.a), "
+            "bcl AS (SELECT id AS doc_id, MIN(rr) AS bcid "
+            " FROM reachb GROUP BY id), "
+            "kf AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "rf AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM kf), "
+            "pf AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw "
+            " FROM rf a JOIN rf b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "xp AS (SELECT CASE WHEN a % 10 = 0 THEN a ELSE b END "
+            "  AS delta_id, "
+            " CASE WHEN a % 10 = 0 THEN b ELSE a END AS base_id, jw "
+            " FROM pf WHERE (a % 10 = 0) <> (b % 10 = 0)), "
+            "best AS (SELECT delta_id, base_id FROM "
+            " (SELECT *, ROW_NUMBER() OVER (PARTITION BY delta_id "
+            "  ORDER BY jw DESC, base_id ASC) AS rk FROM xp) "
+            " WHERE rk = 1), "
+            "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS v "
+            " FROM documents WHERE doc_id % 10 = 0), "
+            "na AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM best), "
+            "df2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM pf "
+            " WHERE a % 10 = 0 AND b % 10 = 0) "
+            "SELECT nd.v AS n_delta, na.v AS n_assigned, "
+            "CAST(nd.v - na.v AS BIGINT) AS n_singletons, "
+            "df2.v AS n_deferred_pairs FROM nd, na, df2"
         ),
         # FS m/u estimation by direct counting vs the truth labels;
         # agreement defined per field exactly as in fs_match_scores

@@ -1261,6 +1261,96 @@ def er_incremental_assign(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def er_incremental_report(sf_dir: str, *, key_len: int = 24,
+                          window: int = 4, min_sim: float = 0.88,
+                          mod: int = 10,
+                          num_partitions: int | None = None,
+                          checkpoint_dir: str | None = None):
+    """THE DEBT LEDGER OF ASSIGN-MODE INCREMENTAL ER: how many new
+    docs joined an existing entity, how many founded singletons, and
+    how many delta-delta match pairs were DEFERRED (the merges a
+    future re-resolution will apply — exactly the edges assign mode
+    ignores). ONE row: (n_delta, n_assigned, n_singletons,
+    n_deferred_pairs). An operator a practitioner polls to decide WHEN
+    to re-resolve.
+
+    Shape: the assignment stream folds to single-row partials (a base
+    cluster id is always a base doc id and delta ids never collide
+    with base ids, so 'assigned' is the pure row predicate
+    ``cluster_id != doc_id``); deferred pairs are a predicate count
+    over the already-computed full candidate stream. Nothing beyond
+    :func:`er_incremental_assign`'s exchanges plus one filter-count."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    asg = er_incremental_assign(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        mod=mod, num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    empty = pa.table(
+        {
+            "n_delta": pa.array([], pa.int64()),
+            "n_assigned": pa.array([], pa.int64()),
+        }
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy()
+        c = batch.column("cluster_id").to_numpy()
+        return pa.table(
+            {
+                "n_delta": pa.array([len(d)], pa.int64()),
+                "n_assigned": pa.array([int((c != d).sum())],
+                                       pa.int64()),
+            }
+        )
+
+    rows = asg.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()
+    n_delta = sum(int(r["n_delta"]) for r in rows)
+    n_assigned = sum(int(r["n_assigned"]) for r in rows)
+
+    full_pairs = fuzzy_match_jw(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    def deferred(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {
+                "n": pa.array(
+                    [int(((a % mod == 0) & (b % mod == 0)).sum())],
+                    pa.int64(),
+                )
+            }
+        )
+
+    n_def = sum(
+        int(r["n"])
+        for r in full_pairs.map_batches(
+            deferred, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).take_all()
+    )
+    return pa.table(
+        {
+            "n_delta": pa.array([n_delta], pa.int64()),
+            "n_assigned": pa.array([n_assigned], pa.int64()),
+            "n_singletons": pa.array([n_delta - n_assigned],
+                                     pa.int64()),
+            "n_deferred_pairs": pa.array([n_def], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # q-gram blocking (Gravano et al. count filtering) + meta-blocking WEP
 # ---------------------------------------------------------------------------
