@@ -740,3 +740,30 @@ def test_er_evaluation_report_matches_siblings(ray_session):
     for col in ("n_pred_clusters", "n_truth_clusters", "n_exact",
                 "n_merging_pred", "n_split_parts"):
         assert panel[col] == cf[col], col
+
+
+def test_er_incremental_assign_properties(ray_session):
+    """Assign-mode invariants: (1) output covers exactly the delta
+    docs; (2) every non-singleton assignment points at a BASE cluster
+    id (base ids never collide with delta ids, so cluster_id % 10 != 0
+    or cluster_id == doc_id); (3) base clusters are computed base-only
+    — every assigned cluster id appears as a cluster label of the
+    base-only clustering."""
+    import numpy as np
+
+    from hexhamming_ray.pipelines import strmatch as SM
+
+    got = SM.er_incremental_assign(SF_DIR).to_pandas()
+    ids = got.doc_id.to_numpy()
+    assert (ids % 10 == 0).all()
+    assert np.unique(ids).shape[0] == ids.shape[0]
+
+    cid = got.cluster_id.to_numpy()
+    singleton = cid == ids
+    assert ((cid[~singleton] % 10) != 0).all()
+
+    rep = SM.er_incremental_report(SF_DIR).to_pandas().iloc[0]
+    assert rep.n_delta == len(got)
+    assert rep.n_assigned == int((~singleton).sum())
+    assert rep.n_singletons == int(singleton.sum())
+    assert rep.n_deferred_pairs >= 0
