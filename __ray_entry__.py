@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_weight_estimates": EM.fs_weight_estimates,
         "er_incremental_assign": SM.er_incremental_assign,
         "er_incremental_report": SM.er_incremental_report,
+        "er_threshold_stability": EM.er_threshold_stability,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -297,6 +298,7 @@ _ROUND5_FRONT = [
     "fs_weight_estimates",
     "er_incremental_assign",
     "er_incremental_report",
+    "er_threshold_stability",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2803,6 +2805,63 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(asg.cluster_id, d.doc_id) AS cluster_id "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d "
             "LEFT JOIN asg ON asg.doc_id = d.doc_id"
+        ),
+        # cluster-level agreement between two operating points: the
+        # ARI machinery over two closures at 0.88 / 0.92
+        "er_threshold_stability": (
+            "WITH RECURSIVE "
+            "k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pl AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88), "
+            "edl AS (SELECT a, b FROM pl UNION SELECT b, a FROM pl), "
+            "reachl(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            " UNION "
+            " SELECT reachl.id, edl.b FROM reachl "
+            " JOIN edl ON reachl.rr = edl.a), "
+            "lcl AS (SELECT id AS doc_id, MIN(rr) AS lcid "
+            " FROM reachl GROUP BY id), "
+            "pt AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.92), "
+            "edt AS (SELECT a, b FROM pt UNION SELECT b, a FROM pt), "
+            "reacht(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            " UNION "
+            " SELECT reacht.id, edt.b FROM reacht "
+            " JOIN edt ON reacht.rr = edt.a), "
+            "tcl AS (SELECT id AS doc_id, MIN(rr) AS tcid "
+            " FROM reacht GROUP BY id), "
+            "j AS (SELECT lcid, tcid FROM lcl JOIN tcl USING (doc_id)), "
+            "cells AS (SELECT lcid, tcid, "
+            " CAST(COUNT(*) AS HUGEINT) AS c FROM j GROUP BY 1, 2), "
+            "lsz AS (SELECT lcid, CAST(COUNT(*) AS HUGEINT) AS p "
+            " FROM j GROUP BY 1), "
+            "tsz AS (SELECT tcid, CAST(COUNT(*) AS HUGEINT) AS t "
+            " FROM j GROUP BY 1), "
+            "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM j), "
+            "n11 AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) "
+            " AS HUGEINT) AS v FROM cells), "
+            "sl AS (SELECT CAST(COALESCE(SUM(p * (p - 1) // 2), 0) "
+            " AS HUGEINT) AS v FROM lsz), "
+            "st AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) "
+            " AS HUGEINT) AS v FROM tsz), "
+            "c0 AS (SELECT nn.n AS n, nn.n * (nn.n - 1) // 2 AS total, "
+            " n11.v AS b, sl.v AS p, st.v AS t FROM nn, n11, sl, st), "
+            "c1 AS (SELECT *, 2 * (total * b - p * t) AS num2, "
+            " total * (p + t) - 2 * p * t AS den2 FROM c0) "
+            "SELECT CAST(n AS BIGINT) AS n_docs, "
+            "CAST(p AS BIGINT) AS pairs_same_loose, "
+            "CAST(t AS BIGINT) AS pairs_same_tight, "
+            "CAST(b AS BIGINT) AS pairs_same_both, "
+            "CAST(CASE WHEN den2 = 0 THEN 1000000 "
+            " WHEN num2 < 0 THEN -((1000000 * -num2) // den2) "
+            " ELSE (1000000 * num2) // den2 END AS BIGINT) AS ari_ppm "
+            "FROM c1"
         ),
         # assign-mode debt ledger: assigned vs singleton deltas plus
         # the deferred delta-delta match pairs

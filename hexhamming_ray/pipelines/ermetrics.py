@@ -387,6 +387,118 @@ def er_adjusted_rand(sf_dir: str, *, key_len: int = 24, window: int = 4,
     )
 
 
+def er_threshold_stability(sf_dir: str, *, key_len: int = 24,
+                           window: int = 4, sim_loose: float = 0.88,
+                           sim_tight: float = 0.92,
+                           num_partitions: int | None = None,
+                           checkpoint_dir: str | None = None):
+    """THRESHOLD-SENSITIVITY of the clustering itself: the Adjusted
+    Rand Index between the fuzzy clusterings at two match thresholds
+    (default 0.88 vs 0.92) — how much the PARTITION actually moves
+    when the operating point shifts. Pair-level sweeps
+    (:func:`er_threshold_sweep`) read precision/recall per threshold
+    against truth; this reads the cluster-level agreement between two
+    operating points directly, truth-free (ARI near 1e6: the decision
+    is insensitive in this band; low: every threshold nudge
+    reshuffles entities and the band needs clerical review). ONE row:
+    (n_docs, pairs_same_loose, pairs_same_tight, pairs_same_both,
+    ari_ppm) — ARI in the same exact trunc-division integer ppm as
+    :func:`er_adjusted_rand`.
+
+    Shape: both labelings ride the shared tagged-union doc_id merge
+    (16-byte rows), then the er_rand machinery: two keyed exchanges
+    over the joint table, run-arithmetic pair sums, four driver-side
+    integers; products in Python ints / SQL HUGEINT."""
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    loose = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                              min_sim=sim_loose,
+                              checkpoint_dir=checkpoint_dir)
+    tight = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                              min_sim=sim_tight,
+                              checkpoint_dir=checkpoint_dir)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "cid": batch.column("cluster_id").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(batch), side, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    empty = pa.table(
+        {
+            "pcid": pa.array([], pa.int64()),
+            "tcid": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy()
+        c = batch.column("cid").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, d))
+        d_s, c_s, s_s = d[order], c[order], s[order]
+        a = np.arange(0, d_s.shape[0], 2)
+        if not ((d_s[a] == d_s[a + 1]).all() and not s_s[a].any()):
+            raise ValueError(
+                "stability merge: duplicated or unmatched doc_id "
+                "(each doc needs one row per threshold)"
+            )
+        return pa.table(
+            {
+                "pcid": pa.array(c_s[a], pa.int64()),
+                "tcid": pa.array(c_s[a + 1], pa.int64()),
+            }
+        )
+
+    j = (
+        loose.map_batches(tag(0), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .union(tight.map_batches(tag(1), batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(merge, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .materialize()
+    )
+    _, sum_l, n11, n = _stat_sums(
+        _cell_stats(j, "pcid", "tcid", num_partitions)
+    )
+    _, sum_t, _, _ = _stat_sums(
+        _cell_stats(j, "tcid", "pcid", num_partitions)
+    )
+    total = n * (n - 1) // 2
+    num2 = 2 * (total * n11 - sum_l * sum_t)
+    den2 = total * (sum_l + sum_t) - 2 * sum_l * sum_t
+    if den2 == 0:
+        ari = 1_000_000
+    elif num2 < 0:
+        ari = -((1_000_000 * -num2) // den2)
+    else:
+        ari = (1_000_000 * num2) // den2
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "pairs_same_loose": pa.array([sum_l], pa.int64()),
+            "pairs_same_tight": pa.array([sum_t], pa.int64()),
+            "pairs_same_both": pa.array([n11], pa.int64()),
+            "ari_ppm": pa.array([ari], pa.int64()),
+        }
+    )
+
+
 def mutual_best_match(sf_dir: str, *, key_len: int = 24,
                       window: int = 4, min_sim: float = 0.88,
                       num_partitions: int | None = None,
