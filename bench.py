@@ -103,6 +103,8 @@ _EXTENDED = [
     "er_adjusted_rand",
     "fs_weight_estimates",
     "media_wav_index",
+    "er_incremental_assign",
+    "er_threshold_stability",
 ]
 
 
