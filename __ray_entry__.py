@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_incremental_assign": SM.er_incremental_assign,
         "er_incremental_report": SM.er_incremental_report,
         "er_threshold_stability": EM.er_threshold_stability,
+        "progressive_match_schedule": SM.progressive_match_schedule,
+        "er_cluster_profiles": EM.er_cluster_profiles,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -299,6 +301,8 @@ _ROUND5_FRONT = [
     "er_incremental_assign",
     "er_incremental_report",
     "er_threshold_stability",
+    "progressive_match_schedule",
+    "er_cluster_profiles",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2805,6 +2809,34 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(asg.cluster_id, d.doc_id) AS cluster_id "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d "
             "LEFT JOIN asg ON asg.doc_id = d.doc_id"
+        ),
+        # per-entity profile table over multi-doc clusters
+        "er_cluster_profiles": (
+            _PRED_CTE
+            + "prof AS (SELECT pred.pcid AS cluster_id, "
+            " CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            " CAST(SUM(d.n_chars) AS BIGINT) AS total_chars, "
+            " CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources "
+            " FROM pred JOIN documents d USING (doc_id) "
+            " GROUP BY 1 HAVING COUNT(*) >= 2) "
+            "SELECT * FROM prof"
+        ),
+        # pay-as-you-go schedule: global top-k pairs, best-first, with
+        # the deterministic (jw DESC, id_lo, id_hi) total order
+        "progressive_match_schedule": (
+            "WITH k AS (SELECT doc_id, substring(text, 1, 24) AS key "
+            " FROM documents), "
+            "r AS (SELECT doc_id, key, ROW_NUMBER() OVER "
+            " (ORDER BY key, doc_id) AS rn FROM k), "
+            "pf AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            " jaro_winkler_similarity(a.key, b.key) AS jw_sim "
+            " FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4 "
+            " WHERE jaro_winkler_similarity(a.key, b.key) >= 0.85), "
+            "n AS (SELECT LEAST(a_id, b_id) AS id_lo, "
+            " GREATEST(a_id, b_id) AS id_hi, jw_sim FROM pf) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY jw_sim DESC, "
+            " id_lo, id_hi) AS BIGINT) AS rank, id_lo, id_hi, jw_sim "
+            "FROM n ORDER BY rank LIMIT 100"
         ),
         # cluster-level agreement between two operating points: the
         # ARI machinery over two closures at 0.88 / 0.92

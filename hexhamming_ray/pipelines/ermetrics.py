@@ -2244,6 +2244,154 @@ def er_error_samples(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def er_cluster_profiles(sf_dir: str, *, key_len: int = 24,
+                        window: int = 4, min_sim: float = 0.88,
+                        num_partitions: int | None = None,
+                        checkpoint_dir: str | None = None):
+    """PER-ENTITY PROFILE TABLE: one row per multi-document fuzzy
+    cluster with the aggregates a reviewer (or the golden-record
+    stage) reads first — member count, total character volume, and how
+    many distinct source feeds the entity spans. (cluster_id, n_docs,
+    total_chars, n_sources), clusters with >= 2 docs only (singletons
+    are the corpus).
+
+    Shape: labels + (n_chars, source-hash) doc attrs meet in ONE
+    doc_id exchange (24-byte two-value rows, stride-2 merge); ONE
+    cluster-keyed exchange computes every profile column by run
+    arithmetic from a single lexsort (distinct sources = new-value
+    count within the run, sorted by (cid, src_h)); output is bounded
+    by the multi-doc cluster count. Source strings never leave the
+    first map (64-bit hash convention: equal hash == equal string)."""
+    from hexhamming_ray.functions.hashing import (
+        _window_hashes,
+        utf8_view,
+    )
+    from hexhamming_ray.pipelines.strmatch import er_fuzzy_clusters
+    from hexhamming_ray.pipelines.text import (
+        _default_partitions,
+        _docs,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+    labels = er_fuzzy_clusters(sf_dir, key_len=key_len, window=window,
+                               min_sim=min_sim,
+                               checkpoint_dir=checkpoint_dir)
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "v1": batch.column("cluster_id").cast(pa.int64()),
+                "v2": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_attrs(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        buf, lens, starts = utf8_view(src)
+        h = np.zeros(lens.shape[0], dtype=np.uint64)
+        ne = np.flatnonzero(lens > 0)
+        if ne.shape[0]:
+            h[ne] = _window_hashes(buf, starts[ne], starts[ne] + lens[ne])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "v1": batch.column("n_chars").cast(pa.int64()),
+                "v2": pa.array(h.view(np.int64), pa.int64()),
+                "side": pa.array(
+                    np.ones(len(batch), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    empty_m = pa.table(
+        {
+            "cid": pa.array([], pa.int64()),
+            "chars": pa.array([], pa.int64()),
+            "src_h": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_m
+        d = batch.column("doc_id").to_numpy()
+        v1 = batch.column("v1").to_numpy()
+        v2 = batch.column("v2").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, d))
+        d_s, v1_s, v2_s, s_s = d[order], v1[order], v2[order], s[order]
+        a = np.arange(0, d_s.shape[0], 2)
+        if not ((d_s[a] == d_s[a + 1]).all() and not s_s[a].any()):
+            raise ValueError(
+                "profile merge: duplicated or unmatched doc_id "
+                "(each doc must have exactly one row per side)"
+            )
+        return pa.table(
+            {
+                "cid": pa.array(v1_s[a], pa.int64()),
+                "chars": pa.array(v1_s[a + 1], pa.int64()),
+                "src_h": pa.array(v2_s[a + 1], pa.int64()),
+            }
+        )
+
+    empty_out = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "total_chars": pa.array([], pa.int64()),
+            "n_sources": pa.array([], pa.int64()),
+        }
+    )
+
+    def profile_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
+        c = batch.column("cid").to_numpy()
+        ch = batch.column("chars").to_numpy()
+        sh = batch.column("src_h").to_numpy()
+        order = np.lexsort((sh, c))
+        c_s, ch_s, sh_s = c[order], ch[order], sh[order]
+        new_c = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        starts = np.flatnonzero(new_c)
+        sizes = np.diff(np.append(starts, c_s.shape[0]))
+        new_src = new_c | np.concatenate(
+            ([False], sh_s[1:] != sh_s[:-1])
+        )
+        n_src = np.add.reduceat(new_src.astype(np.int64), starts)
+        tot = np.add.reduceat(ch_s, starts)
+        keep = sizes >= 2
+        return pa.table(
+            {
+                "cluster_id": pa.array(c_s[starts][keep], pa.int64()),
+                "n_docs": pa.array(sizes[keep], pa.int64()),
+                "total_chars": pa.array(tot[keep], pa.int64()),
+                "n_sources": pa.array(n_src[keep], pa.int64()),
+            }
+        )
+
+    return (
+        labels.map_batches(tag_label, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        .union(
+            _docs(sf_dir, ["doc_id", "n_chars", "source"],
+                  hash_shuffle=True)
+            .map_batches(tag_attrs, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        )
+        .repartition(num_blocks=num_partitions, keys=["doc_id"])
+        .map_batches(merge, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["cid"])
+        .map_batches(profile_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+
 def dup_rate_by_source(sf_dir: str, *, key_len: int = 24,
                        window: int = 4, min_sim: float = 0.88,
                        num_partitions: int | None = None,

@@ -1351,6 +1351,88 @@ def er_incremental_report(sf_dir: str, *, key_len: int = 24,
     )
 
 
+def progressive_match_schedule(sf_dir: str, *, k: int = 100,
+                               key_len: int = 24, window: int = 4,
+                               min_sim: float = 0.85,
+                               num_partitions: int | None = None,
+                               checkpoint_dir: str | None = None):
+    """PAY-AS-YOU-GO ER (Whang et al., ICDE'13): the globally
+    best-first resolution schedule — the top-``k`` candidate pairs in
+    decreasing match quality with their global rank, so a budget-bound
+    pipeline (or a clerical-review queue) resolves the most confident
+    merges first and can stop anywhere. Deterministic total order:
+    (jw DESC, id_lo ASC, id_hi ASC). (rank, id_lo, id_hi, jw_sim).
+    The per-DOC review queue is :func:`match_candidates_topk`; this is
+    the per-CORPUS schedule.
+
+    Shape: candidates are window-bounded; each block keeps only its
+    local top-k (one lexsort head-slice — no global sort), and the
+    driver merges num_partitions × k rows with one final lexsort —
+    the partial-top-k-merge plan the relational top-k queries use,
+    volume independent of corpus size."""
+    from hexhamming_ray.pipelines.text import _default_partitions
+
+    num_partitions = num_partitions or _default_partitions()
+    pairs = fuzzy_match_jw(
+        sf_dir, key_len=key_len, window=window, min_sim=min_sim,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+    empty = pa.table(
+        {
+            "id_lo": pa.array([], pa.int64()),
+            "id_hi": pa.array([], pa.int64()),
+            "jw_sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        jw = batch.column("jw_sim").to_numpy()
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        order = np.lexsort((hi, lo, -jw))[:k]
+        return pa.table(
+            {
+                "id_lo": pa.array(lo[order], pa.int64()),
+                "id_hi": pa.array(hi[order], pa.int64()),
+                "jw_sim": pa.array(jw[order], pa.float64()),
+            }
+        )
+
+    part = pairs.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()
+    if not part:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "id_lo": pa.array([], pa.int64()),
+                "id_hi": pa.array([], pa.int64()),
+                "jw_sim": pa.array([], pa.float64()),
+            }
+        )
+    lo = np.array([int(r["id_lo"]) for r in part], dtype=np.int64)
+    hi = np.array([int(r["id_hi"]) for r in part], dtype=np.int64)
+    jw = np.array([float(r["jw_sim"]) for r in part], dtype=np.float64)
+    order = np.lexsort((hi, lo, -jw))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, order.shape[0] + 1, dtype=np.int64),
+                pa.int64(),
+            ),
+            "id_lo": pa.array(lo[order], pa.int64()),
+            "id_hi": pa.array(hi[order], pa.int64()),
+            "jw_sim": pa.array(jw[order], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # q-gram blocking (Gravano et al. count filtering) + meta-blocking WEP
 # ---------------------------------------------------------------------------
