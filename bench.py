@@ -105,6 +105,8 @@ _EXTENDED = [
     "media_wav_index",
     "er_incremental_assign",
     "er_threshold_stability",
+    "progressive_match_schedule",
+    "er_cluster_profiles",
 ]
 
 
