@@ -2745,7 +2745,13 @@ def oracle_sql() -> dict[str, str]:
             "np2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kp), "
             "nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kp "
             " WHERE kpc > 1), "
-            "nt2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kt) "
+            "nt2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM kt), "
+            "c0 AS (SELECT CAST(nn.n AS HUGEINT) AS n, "
+            " CAST(nn.n AS HUGEINT) * (nn.n - 1) // 2 AS total, "
+            " CAST(n11.v AS HUGEINT) AS b, CAST(sp2.v AS HUGEINT) AS p, "
+            " CAST(st2.v AS HUGEINT) AS t FROM nn, n11, sp2, st2), "
+            "c1 AS (SELECT *, 2 * (total * b - p * t) AS num2, "
+            " total * (p + t) - 2 * p * t AS den2 FROM c0) "
             "SELECT nn.n AS n_docs, "
             "CAST(sp.s // nn.n AS BIGINT) AS bcubed_precision_ppm, "
             "CAST(sr.s // nn.n AS BIGINT) AS bcubed_recall_ppm, "
@@ -2760,10 +2766,17 @@ def oracle_sql() -> dict[str, str]:
             " (n11.v + (nn.n * (nn.n - 1) // 2 - sp2.v - st2.v + n11.v)) "
             " // (nn.n * (nn.n - 1) // 2) ELSE 1000000 END AS BIGINT) "
             " AS rand_index_ppm, "
+            "CAST(CASE WHEN c1.den2 = 0 THEN 1000000 "
+            " WHEN c1.num2 < 0 THEN -((1000000 * -c1.num2) // c1.den2) "
+            " ELSE (1000000 * c1.num2) // c1.den2 END AS BIGINT) "
+            " AS ari_ppm, "
+            "CAST(CASE WHEN c1.p * c1.t = 0 THEN 1000000 "
+            " ELSE (1000000 * c1.b * c1.b) // (c1.p * c1.t) END "
+            " AS BIGINT) AS fm2_ppm, "
             "np2.v AS n_pred_clusters, nt2.v AS n_truth_clusters, "
             "ex.v AS n_exact, nm.v AS n_merging_pred, "
             "spl.v AS n_split_parts "
-            "FROM nn, sp, sr, n11, sp2, st2, np2, nm, nt2, ex, spl"
+            "FROM nn, sp, sr, n11, sp2, st2, np2, nm, nt2, ex, spl, c1"
         ),
         # incremental ER: base clusters over base-only ranks (closure);
         # each delta doc takes its best base match's cluster or its own

@@ -798,12 +798,13 @@ def er_evaluation_report(sf_dir: str, *, key_len: int = 24,
     size run sums, closing the recall numerator, C(t,2), and the
     exact/split census; single-row partials both times. Every integer
     expression is identical to the sibling it replaces, so all
-    fourteen columns hash-match the siblings' oracles by
-    construction. ONE row: (n_docs, bcubed_precision_ppm,
-    bcubed_recall_ppm, bcubed_f1_ppm, pairs_total, pairs_same_both,
-    pairs_same_pred, pairs_same_truth, rand_index_ppm,
-    n_pred_clusters, n_truth_clusters, n_exact, n_merging_pred,
-    n_split_parts)."""
+    sixteen columns hash-match the siblings' oracles by
+    construction (incl. the chance-corrected ARI + FM^2 from
+    :func:`er_adjusted_rand`'s exact integer arithmetic). ONE row:
+    (n_docs, bcubed_precision_ppm, bcubed_recall_ppm, bcubed_f1_ppm,
+    pairs_total, pairs_same_both, pairs_same_pred, pairs_same_truth,
+    rand_index_ppm, ari_ppm, fm2_ppm, n_pred_clusters,
+    n_truth_clusters, n_exact, n_merging_pred, n_split_parts)."""
     from hexhamming_ray.pipelines.text import _default_partitions
 
     num_partitions = num_partitions or _default_partitions()
@@ -936,8 +937,25 @@ def er_evaluation_report(sf_dir: str, *, key_len: int = 24,
     f1 = 2 * prec * rec // (prec + rec) if prec + rec else 0
     total = n * (n - 1) // 2
     n11 = tot["pairs_both"]
-    n00 = total - tot["pairs_pred"] - tot["pairs_truth"] + n11
+    sum_p, sum_t = tot["pairs_pred"], tot["pairs_truth"]
+    n00 = total - sum_p - sum_t + n11
     ri = 1_000_000 * (n11 + n00) // total if total else 1_000_000
+    # chance-corrected companions (er_adjusted_rand's exact integer
+    # arithmetic: trunc-toward-zero signed division, Python-int
+    # products — no int64 cliff)
+    num2 = 2 * (total * n11 - sum_p * sum_t)
+    den2 = total * (sum_p + sum_t) - 2 * sum_p * sum_t
+    if den2 == 0:
+        ari = 1_000_000
+    elif num2 < 0:
+        ari = -((1_000_000 * -num2) // den2)
+    else:
+        ari = (1_000_000 * num2) // den2
+    fm2 = (
+        1_000_000 * n11 * n11 // (sum_p * sum_t)
+        if sum_p * sum_t
+        else 1_000_000
+    )
     out = {
         "n_docs": n,
         "bcubed_precision_ppm": prec,
@@ -945,9 +963,11 @@ def er_evaluation_report(sf_dir: str, *, key_len: int = 24,
         "bcubed_f1_ppm": f1,
         "pairs_total": total,
         "pairs_same_both": n11,
-        "pairs_same_pred": tot["pairs_pred"],
-        "pairs_same_truth": tot["pairs_truth"],
+        "pairs_same_pred": sum_p,
+        "pairs_same_truth": sum_t,
         "rand_index_ppm": ri,
+        "ari_ppm": ari,
+        "fm2_ppm": fm2,
         "n_pred_clusters": tot["n_pred"],
         "n_truth_clusters": tot["n_truth"],
         "n_exact": tot["n_exact"],

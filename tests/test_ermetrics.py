@@ -730,6 +730,7 @@ def test_er_evaluation_report_matches_siblings(ray_session):
     bc = EM.er_bcubed_eval(SF_DIR).to_pandas().iloc[0]
     ri = EM.er_rand_index(SF_DIR).to_pandas().iloc[0]
     cf = EM.er_confusion_report(SF_DIR).to_pandas().iloc[0]
+    ar = EM.er_adjusted_rand(SF_DIR).to_pandas().iloc[0]
 
     for col in ("n_docs", "bcubed_precision_ppm", "bcubed_recall_ppm",
                 "bcubed_f1_ppm"):
@@ -737,6 +738,8 @@ def test_er_evaluation_report_matches_siblings(ray_session):
     for col in ("pairs_total", "pairs_same_both", "pairs_same_pred",
                 "pairs_same_truth", "rand_index_ppm"):
         assert panel[col] == ri[col], col
+    for col in ("ari_ppm", "fm2_ppm"):
+        assert panel[col] == ar[col], col
     for col in ("n_pred_clusters", "n_truth_clusters", "n_exact",
                 "n_merging_pred", "n_split_parts"):
         assert panel[col] == cf[col], col
