@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_threshold_stability": EM.er_threshold_stability,
         "progressive_match_schedule": SM.progressive_match_schedule,
         "er_cluster_profiles": EM.er_cluster_profiles,
+        "hamming_incremental_assign": HK.hamming_incremental_assign,
     }
     # ROTATION (round 5): the driver's CORRECTNESS run samples roughly
     # the FIRST 50 registry entries; cumulative driver coverage after
@@ -303,6 +304,7 @@ _ROUND5_FRONT = [
     "er_threshold_stability",
     "progressive_match_schedule",
     "er_cluster_profiles",
+    "hamming_incremental_assign",
     "er_bcubed_eval",
     "er_rand_index",
     "er_threshold_sweep",
@@ -2822,6 +2824,45 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(asg.cluster_id, d.doc_id) AS cluster_id "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d "
             "LEFT JOIN asg ON asg.doc_id = d.doc_id"
+        ),
+        # the reference's predicate in incremental mode: base-only
+        # Hamming components + nearest-base assignment (d ASC, id ASC)
+        "hamming_incremental_assign": (
+            "WITH RECURSIVE "
+            f"k AS (SELECT doc_id, {_HK_KEY} AS key FROM documents), "
+            "Eb AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            " FROM k a JOIN k b ON b.doc_id > a.doc_id "
+            " WHERE mismatches(a.key, b.key) <= 6 "
+            "  AND a.doc_id % 10 <> 0 AND b.doc_id % 10 <> 0), "
+            "edb AS (SELECT a, b FROM Eb UNION SELECT b, a FROM Eb), "
+            "reachb(id, rr) AS ("
+            " SELECT doc_id, doc_id FROM documents "
+            "  WHERE doc_id % 10 <> 0 "
+            " UNION "
+            " SELECT reachb.id, edb.b FROM reachb "
+            " JOIN edb ON reachb.rr = edb.a), "
+            "bcl AS (SELECT id AS doc_id, MIN(rr) AS bcid "
+            " FROM reachb GROUP BY id), "
+            "Ex AS (SELECT CASE WHEN a.doc_id % 10 = 0 "
+            "  THEN a.doc_id ELSE b.doc_id END AS delta_id, "
+            " CASE WHEN a.doc_id % 10 = 0 "
+            "  THEN b.doc_id ELSE a.doc_id END AS base_id, "
+            " CAST(mismatches(a.key, b.key) AS BIGINT) AS d "
+            " FROM k a JOIN k b ON b.doc_id > a.doc_id "
+            " WHERE mismatches(a.key, b.key) <= 6 "
+            "  AND (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)), "
+            "best AS (SELECT delta_id, base_id FROM "
+            " (SELECT *, ROW_NUMBER() OVER (PARTITION BY delta_id "
+            "  ORDER BY d ASC, base_id ASC) AS rk FROM Ex) "
+            " WHERE rk = 1), "
+            "asg AS (SELECT best.delta_id AS doc_id, bcl.bcid "
+            "  AS cluster_id FROM best "
+            " JOIN bcl ON bcl.doc_id = best.base_id) "
+            "SELECT dd.doc_id, "
+            "COALESCE(asg.cluster_id, dd.doc_id) AS cluster_id "
+            "FROM (SELECT doc_id FROM documents "
+            " WHERE doc_id % 10 = 0) dd "
+            "LEFT JOIN asg ON asg.doc_id = dd.doc_id"
         ),
         # per-entity profile table over multi-doc clusters
         "er_cluster_profiles": (

@@ -484,3 +484,232 @@ def hamming_threshold_sweep(sf_dir: str, *, key_len: int = 32,
     return pa.table(
         {k: pa.array(v, pa.int64()) for k, v in out.items()}
     )
+
+
+def hamming_incremental_assign(sf_dir: str, *, key_len: int = 32,
+                               max_dist: int = 6, mod: int = 10,
+                               num_partitions: int | None = None):
+    """INCREMENTAL ER ON THE REFERENCE'S PREDICATE — assign, don't
+    re-resolve, with EXACT-recall blocking: documents with
+    ``doc_id % mod == 0`` are the newly-arrived batch; base clusters
+    are the Hamming-``max_dist`` components over base docs only, and
+    each new doc joins the cluster of its NEAREST base key (smallest
+    positional Hamming distance ``<= max_dist``, ties toward the
+    smaller base id) or founds a singleton. Unlike the JW variant
+    (:func:`~hexhamming_ray.pipelines.strmatch.er_incremental_assign`,
+    whose sorted-neighborhood blocking is rank-dependent), pigeonhole
+    band blocking is rank-free, so restricting to base-base /
+    delta-base pairs is a pure ``pair_filter`` predicate INSIDE the
+    existing pair blocks — recall stays 1.0 by construction on both
+    sides and no new blocking machinery exists to drift. Output:
+    (doc_id, cluster_id) for the DELTA docs only.
+
+    Scale shape: the two candidate passes ride the standard banded
+    exchange; the three assignment exchanges carry 16-24-byte rows
+    (nearest-base run argmin, label attach by run merge, tagged
+    anti-union closing unmatched deltas)."""
+    from hexhamming_ray.pipelines.text import _default_partitions, _docs
+    from hexhamming_ray.state.unionfind import (
+        connected_components,
+        label_nodes,
+    )
+
+    num_partitions = num_partitions or _default_partitions()
+
+    def base_base(a_ids, b_ids):
+        return (a_ids % mod != 0) & (b_ids % mod != 0)
+
+    def cross_set(a_ids, b_ids):
+        return (a_ids % mod == 0) != (b_ids % mod == 0)
+
+    base_edges = hamming_key_pairs(
+        sf_dir, key_len=key_len, max_dist=max_dist,
+        num_partitions=num_partitions, pair_filter=base_base,
+    ).map_batches(
+        lambda b: pa.table(
+            {"id_lo": b.column("a_id"), "id_hi": b.column("b_id")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+    def base_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(ids % mod != 0))
+
+    base_labels = label_nodes(
+        connected_components(base_edges),
+        _docs(sf_dir, ["doc_id"], hash_shuffle=True).map_batches(
+            base_only, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "doc_id", "cluster_id",
+        broadcast_cap=HAMKEY_LABEL_BROADCAST_CAP,
+    )
+
+    cross = hamming_key_pairs(
+        sf_dir, key_len=key_len, max_dist=max_dist,
+        num_partitions=num_partitions, pair_filter=cross_set,
+    )
+
+    def cross_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        d = batch.column("ham_dist").to_numpy()
+        a_d = a % mod == 0
+        return pa.table(
+            {
+                "delta_id": pa.array(np.where(a_d, a, b), pa.int64()),
+                "base_id": pa.array(np.where(a_d, b, a), pa.int64()),
+                "d": pa.array(d, pa.int64()),
+            }
+        )
+
+    empty_best = pa.table(
+        {
+            "base_id": pa.array([], pa.int64()),
+            "delta_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def best_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_best
+        dl = batch.column("delta_id").to_numpy()
+        b = batch.column("base_id").to_numpy()
+        d = batch.column("d").to_numpy()
+        order = np.lexsort((b, d, dl))
+        dl_s, b_s = dl[order], b[order]
+        heads = np.concatenate(([True], dl_s[1:] != dl_s[:-1]))
+        return pa.table(
+            {
+                "base_id": pa.array(b_s[heads], pa.int64()),
+                "delta_id": pa.array(dl_s[heads], pa.int64()),
+            }
+        )
+
+    best = (
+        cross.map_batches(cross_rows, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["delta_id"])
+        .map_batches(best_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(len(batch), np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    def tag_best(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("base_id").cast(pa.int64()),
+                "v": batch.column("delta_id").cast(pa.int64()),
+                "side": pa.array(np.ones(len(batch), np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    empty_asg = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def attach_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_asg
+        k = batch.column("k").to_numpy()
+        v = batch.column("v").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, k))
+        k_s, v_s, s_s = k[order], v[order], s[order]
+        heads = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(heads)
+        if s_s[starts].any():
+            raise ValueError(
+                "hamming incremental attach: base id missing its "
+                "label row"
+            )
+        run_idx = np.cumsum(heads) - 1
+        labels_per_row = v_s[starts][run_idx]
+        pick = s_s == 1
+        return pa.table(
+            {
+                "doc_id": pa.array(v_s[pick], pa.int64()),
+                "cluster_id": pa.array(labels_per_row[pick],
+                                       pa.int64()),
+            }
+        )
+
+    assigned = (
+        base_labels.map_batches(tag_label, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        .union(best.map_batches(tag_best, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["k"])
+        .map_batches(attach_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
+
+    def delta_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        flt = batch.filter(pa.array(ids % mod == 0))
+        n = len(flt)
+        return pa.table(
+            {
+                "k": flt.column("doc_id").cast(pa.int64()),
+                "v": flt.column("doc_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_assigned(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("doc_id").cast(pa.int64()),
+                "v": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(np.ones(len(batch), np.int64),
+                                 pa.int64()),
+            }
+        )
+
+    def close_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_asg
+        k = batch.column("k").to_numpy()
+        v = batch.column("v").to_numpy()
+        s = batch.column("side").to_numpy()
+        order = np.lexsort((s, k))
+        k_s, v_s = k[order], v[order]
+        ends = np.concatenate((k_s[1:] != k_s[:-1], [True]))
+        return pa.table(
+            {
+                "doc_id": pa.array(k_s[ends], pa.int64()),
+                "cluster_id": pa.array(v_s[ends], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id"], hash_shuffle=True)
+        .map_batches(delta_rows, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .union(assigned.map_batches(tag_assigned,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    batch_size=None))
+        .repartition(num_blocks=num_partitions, keys=["k"])
+        .map_batches(close_block, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+    )
